@@ -1,0 +1,91 @@
+"""SparkSession construction + reference-config translation.
+
+The reference context takes ``shuffle_partitions=16`` / ``batch_size=8192``
+(``src/context.rs:41-64``) and the engine reads ``ballista.*`` /
+``datafusion.*`` config keys (``docs/source/user-guide/configs.md``).  This
+module maps those onto Spark SQL confs (SURVEY §4 conf-mapping row) and owns
+the scale-oriented defaults we want on every session:
+
+- AQE on (runtime re-plan, skew-join handling, small-partition coalescing) —
+  replaces Ballista's static stage planning (``docs/developer/architecture.md``);
+- Arrow-accelerated Python boundary;
+- parquet filter pushdown + partition pruning left at Spark defaults (on).
+
+``ensure_session_confs(spark)`` is idempotent and safe to call on a session we
+did not create (the correctness driver passes us its own session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# ballista/datafusion config keys -> Spark SQL conf (SURVEY §4)
+CONF_TRANSLATION = {
+    "ballista.shuffle.partitions": "spark.sql.shuffle.partitions",
+    "ballista.batch.size": "spark.sql.execution.arrow.maxRecordsPerBatch",
+    "ballista.parquet.pruning": "spark.sql.parquet.filterPushdown",
+    "ballista.repartition.joins": None,  # Catalyst always partition-parallelizes
+    "ballista.repartition.aggregations": None,
+    "ballista.repartition.windows": None,
+    "ballista.with_information_schema": None,  # Spark catalog always queryable
+    "datafusion.execution.coalesce_batches": "spark.sql.adaptive.coalescePartitions.enabled",
+    "datafusion.optimizer.filter_null_join_keys": None,
+    "datafusion.optimizer.skip_failed_rules": None,
+}
+
+# Confs that must be (re)applied even on an externally-created session.
+_RUNTIME_CONFS = {
+    # testdata events.ts is timestamp[ns]; Spark cannot scan TIMESTAMP(NANOS)
+    # parquet natively — read as long and convert (sources/registry.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-batched Python boundary (UDFs, toPandas, createDataFrame)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine relies on; idempotent."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this deployment; keep going
+    return spark
+
+
+def translate_conf(key: str) -> str | None:
+    """Map a ballista/datafusion conf key to a Spark conf key (or None)."""
+    return CONF_TRANSLATION.get(key, key if key.startswith("spark.") else None)
+
+
+def build_session(
+    shuffle_partitions: int = 16,
+    batch_size: int = 8192,
+    master: str | None = None,
+    app_name: str = "datafusion_ballista_python_spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with reference-default parity.
+
+    ``shuffle_partitions`` / ``batch_size`` defaults mirror the reference
+    context (``src/context.rs:42``: 16 / 8192).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    )
+    for k, v in (extra_conf or {}).items():
+        mapped = translate_conf(k)
+        if mapped:
+            builder = builder.config(mapped, str(v))
+    spark = builder.getOrCreate()
+    return ensure_session_confs(spark)
