@@ -1,0 +1,172 @@
+"""LLM-data-pipeline corpus: dedup / similarity / text analysis over the
+``documents`` and ``embeddings`` tables (BASELINE north-star operators).
+
+Thin corpus wrappers — the reusable implementations live in
+``datafusion_ballista_python_spark.operators`` (dedup / similarity / text);
+each entry here pins an oracle so the operator is hash-checked against
+DuckDB, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import functions as bf
+from ..operators import dedup, similarity, text
+from . import query
+from .util import load
+
+col = bf.col
+lit = bf.lit
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(TRIM(text)) AS BIGINT) AS n_chars_m,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS BIGINT) AS n_words
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.token_counts(docs).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS len,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS alpha_ratio,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^ ]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS space_ratio,
+           ROUND(CAST(LENGTH(TRIM(text)) AS DOUBLE)
+                 / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 6) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.quality_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.fingerprints(docs).orderBy("doc_id")
+
+
+@query(
+    "lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-zà-ÿäöüßñ]+'),
+                  ['the','and','of','to','is'])) >= 2 THEN 'en'
+             WHEN LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-zà-ÿäöüßñ]+'),
+                  ['der','die','und','das','ist'])) >= 2 THEN 'de'
+             WHEN LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-zà-ÿäöüßñ]+'),
+                  ['el','la','de','que','es'])) >= 2 THEN 'es'
+             WHEN LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-zà-ÿäöüßñ]+'),
+                  ['le','la','et','les','est'])) >= 2 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_guess
+    FROM documents ORDER BY doc_id
+    """,
+)
+def lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.language_id(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, COUNT(*) AS n_copies
+    FROM canon GROUP BY fp
+    ORDER BY canonical_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: fingerprint -> hash groupBy -> canonical representative.
+    Scale: a single hash-partitioned aggregation on the fingerprint."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.exact_clusters(docs).orderBy("canonical_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS grams
+        FROM documents WHERE n_chars < 400
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE) /
+                 (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE) /
+          (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup with language blocking.  Scale: the
+    blocking key bounds the pair explosion; at 100 TB use minhash-LSH
+    (dedup_minhash_lsh) instead of exact pairwise."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("n_chars") < 400), threshold=0.5, block_cols=["lang"]
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "embed_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+            SELECT qid, vec_id, label,
+                   ROUND(LIST_DOT_PRODUCT(qe, embedding) /
+                         (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+                         4) AS cos_sim
+            FROM q CROSS JOIN c
+         )
+    SELECT qid, vec_id, label, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the exact baseline for ANN.  Scale: the
+    candidate side stays partitioned; only k rows per query survive the
+    per-partition top-k before the final merge."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return similarity.cosine_topk(cands, queries, k=10, round_digits=4).orderBy(
+        "qid", F.desc("cos_sim"), "vec_id"
+    )

@@ -41,6 +41,16 @@ def _c(x: Any) -> Column:
     return to_column(x)
 
 
+def _l(x: Any) -> Column:
+    """Literal-position arg: bare python strings are literals here (pad
+    chars, delimiters, search patterns), not column references."""
+    if isinstance(x, Expression):
+        return x.column
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
 def _wrap1(name: str, spark_fn):
     def fn(x) -> Expression:
         return Expression(spark_fn(_c(x)))
@@ -192,7 +202,7 @@ def chr(n) -> Expression:  # noqa: A001
 def btrim(s, chars=None) -> Expression:
     if chars is None:
         return Expression(F.trim(_c(s)))
-    return Expression(F.call_function("btrim", _c(s), _c(chars)))
+    return Expression(F.call_function("btrim", _c(s), _l(chars)))
 
 
 @_export
@@ -225,24 +235,24 @@ def right(s, n) -> Expression:
 
 @_export
 def lpad(s, n, pad=" ") -> Expression:
-    return Expression(F.call_function("lpad", _c(s), _c(n), _c(pad)))
+    return Expression(F.call_function("lpad", _c(s), _c(n), _l(pad)))
 
 
 @_export
 def rpad(s, n, pad=" ") -> Expression:
-    return Expression(F.call_function("rpad", _c(s), _c(n), _c(pad)))
+    return Expression(F.call_function("rpad", _c(s), _c(n), _l(pad)))
 
 
 @_export
 def regexp_match(s, pattern) -> Expression:
     """All regexp matches as an array (documented deviation: DataFusion's
     regexp_match returns first-match capture groups, Postgres-style)."""
-    return Expression(F.call_function("regexp_extract_all", _c(s), _c(pattern)))
+    return Expression(F.call_function("regexp_extract_all", _c(s), _l(pattern)))
 
 
 @_export
 def regexp_replace(s, pattern, replacement) -> Expression:
-    return Expression(F.regexp_replace(_c(s), _c(pattern), _c(replacement)))
+    return Expression(F.regexp_replace(_c(s), _l(pattern), _l(replacement)))
 
 
 @_export
@@ -252,23 +262,23 @@ def repeat(s, n) -> Expression:
 
 @_export
 def replace(s, search, repl) -> Expression:
-    return Expression(F.call_function("replace", _c(s), _c(search), _c(repl)))
+    return Expression(F.call_function("replace", _c(s), _l(search), _l(repl)))
 
 
 @_export
 def split_part(s, delimiter, n) -> Expression:
-    return Expression(F.call_function("split_part", _c(s), _c(delimiter), _c(n)))
+    return Expression(F.call_function("split_part", _c(s), _l(delimiter), _c(n)))
 
 
 @_export
 def starts_with(s, prefix) -> Expression:
-    return Expression(F.call_function("startswith", _c(s), _c(prefix)))
+    return Expression(F.call_function("startswith", _c(s), _l(prefix)))
 
 
 @_export
 def strpos(s, substring) -> Expression:
     """1-based position of substring (0 when absent)."""
-    return Expression(F.call_function("instr", _c(s), _c(substring)))
+    return Expression(F.call_function("instr", _c(s), _l(substring)))
 
 
 @_export
@@ -280,7 +290,7 @@ def substr(s, start, length=None) -> Expression:
 
 @_export
 def translate(s, frm, to) -> Expression:
-    return Expression(F.call_function("translate", _c(s), _c(frm), _c(to)))
+    return Expression(F.call_function("translate", _c(s), _l(frm), _l(to)))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, token-Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+- ``exact_clusters``: one hash-partitioned aggregation on a fingerprint —
+  the only O(n) exact method; always run it first to shrink the corpus.
+- ``ngram_jaccard_pairs``: exact pairwise Jaccard *within blocking keys* —
+  quadratic per block, use only when blocks are bounded.
+- ``minhash_lsh_pairs``: shingles -> minhash signatures -> banded LSH
+  bucket join.  Candidate generation is linear + a shuffle on band keys;
+  only candidates pay the exact-verify cost.  This is the 100 TB path.
+- ``simhash_buckets``: 64-bit simhash; near-dups share band prefixes.
+- ``embedding_near_dup_pairs``: cosine > threshold within blocks (see
+  operators.similarity for the ANN variant).
+
+Hash primitive: md5 hex (lexicographic min == numeric min for fixed-width
+hex) — deterministic and identical across Spark and DuckDB, which is what
+makes the LSH pipeline oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+
+def exact_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group exact duplicates (by normalized-text md5) into clusters.
+
+    Returns (fp, canonical_id, n_copies); canonical is the min id.  One
+    shuffle on the 128-bit fingerprint; skew-free by construction.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate cluster."""
+    w_min = exact_clusters(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+def _token_set(text_col: str, pattern: str = r"\s+") -> Column:
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), pattern))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Optional[Sequence[str]] = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact token-set Jaccard over intra-block pairs (doc_a < doc_b).
+
+    Blocking keys bound the quadratic blow-up; the self-join shuffles once
+    on the block key.  For unblocked corpora use :func:`minhash_lsh_pairs`.
+    """
+    block_cols = list(block_cols or [])
+    toks = df.select(
+        F.col(id_col), *[F.col(b) for b in block_cols], _token_set(text_col).alias("grams")
+    )
+    a = toks.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(b).alias(f"__ba_{b}") for b in block_cols],
+        F.col("grams").alias("grams_a"),
+    )
+    b = toks.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col("grams").alias("grams_b"),
+    )
+    cond = [F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols]
+    cond.append(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size("grams_a") + F.size("grams_b") - F.size(
+        F.array_intersect("grams_a", "grams_b")
+    )
+    jac = inter / union
+    return (
+        a.join(b, on=cond, how="inner")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard"))
+    )
+
+
+def _shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: for seed s, min(md5(s || shingle)).
+
+    md5-hex min is engine-independent (fixed-width lowercase hex), so
+    signatures — and therefore LSH buckets — are reproducible anywhere.
+    Exploding shingles is linear in corpus size; the heavy reduce is a
+    partial-aggregated min per (doc, seed).
+    """
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    seeded = exploded.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    return (
+        seeded.groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    rows/band = num_hashes/bands; docs sharing any band signature become
+    candidates (one shuffle on the band key), then exact token-set Jaccard
+    filters to >= threshold.  Returns (doc_a, doc_b, jaccard).
+    """
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("mh"))).alias("band_sig"))
+    )
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    cands = (
+        left.join(right, on=["band", "band_sig"], how="inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = df.select(F.col(id_col), _token_set(text_col).alias("grams"))
+    pairs = (
+        cands.join(toks.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
+        .join(toks.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+    jac = inter / union
+    return pairs.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def simhash64(text_col: str = "text", n_bits: int = 64) -> Column:
+    """64-bit SimHash from word tokens, via md5-derived per-token bits.
+
+    Token hash = first 16 hex chars of md5 (64 bits).  Bit i of the simhash
+    is the sign of sum over tokens of (bit i ? +1 : -1) — expressed with
+    array transforms + aggregate, fully JVM-side.
+    """
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    tok_hash = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 2)),  # 60 bits from 15 hex chars
+        lambda i: F.aggregate(
+            tok_hash,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(n_bits - 2)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash per doc + a bucket key (top ``prefix_bits`` bits) for
+    candidate grouping; docs in one bucket are near-dup candidates."""
+    sh = simhash64(text_col)
+    return df.select(
+        F.col(id_col),
+        sh.alias("simhash"),
+        F.shiftright(sh, 64 - 1 - prefix_bits).alias("bucket"),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_cols: Optional[Sequence[str]] = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks (doc_a < doc_b)."""
+    from .similarity import cosine_sim
+
+    block_cols = list(block_cols or [])
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(b).alias(f"__ba_{b}") for b in block_cols],
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col(vec_col).alias("vb"),
+    )
+    cond = [F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols]
+    cond.append(F.col("doc_a") < F.col("doc_b"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, on=cond, how="inner")
+        .where(F.round(sim, round_digits) >= threshold)
+        .select("doc_a", "doc_b", F.round(sim, round_digits).alias("cos_sim"))
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (regex/string builtins — whole-stage codegen,
+no Python in the hot path), so they run at scan throughput on 100 TB of
+documents: no shuffle at all, embarrassingly parallel per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _trimmed(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(c)
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-token and word counts per document.
+
+    ``n_tokens`` splits on ``\\s+`` (whitespace runs), ``n_words`` on
+    non-alphanumeric runs — the two standard pre-BPE token estimates.
+    """
+    t = _trimmed(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_m"),
+        F.size(F.split(t, r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.lower(t), r"[^a-z0-9]+")).cast("long").alias("n_words"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cheap quality heuristics: alphabetic ratio, whitespace ratio, average
+    token length.  Use as pre-filters before expensive model scoring."""
+    c = F.col(text_col)
+    t = _trimmed(text_col)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_space = F.length(F.regexp_replace(c, "[^ ]", ""))
+    n_tokens = F.size(F.split(t, r"\s+"))
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("len"),
+        F.round(n_alpha.cast("double") / F.length(c), 6).alias("alpha_ratio"),
+        F.round(n_space.cast("double") / F.length(c), 6).alias("space_ratio"),
+        F.round(F.length(t).cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+    )
+
+
+# language-id stopword sets: tiny, deterministic, cross-engine expressible
+_LANG_STOPWORDS = [
+    ("en", ["the", "and", "of", "to", "is"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+    ("es", ["el", "la", "de", "que", "es"]),
+    ("fr", ["le", "la", "et", "les", "est"]),
+]
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_hits: int = 2
+) -> DataFrame:
+    """n-gram/stopword language heuristic: first language whose stopword set
+    intersects the document's token set in >= ``min_hits`` words.
+
+    Priority order is fixed (en > de > es > fr) so results are deterministic;
+    a real pipeline would score all languages and argmax.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"[^a-zà-ÿäöüßñ]+")
+    guess = None
+    for lang, stops in reversed(_LANG_STOPWORDS):
+        hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in stops])))
+        this = F.when(hits >= min_hits, F.lit(lang))
+        guess = this.otherwise(guess) if guess is not None else this.otherwise(F.lit("unknown"))
+        # build nested WHEN from lowest to highest priority
+    # reversed() above means the final expression checks 'en' first
+    out_cols = [F.col(id_col)]
+    if "lang" in df.columns:
+        out_cols.append(F.col("lang"))
+    return df.select(*out_cols, guess.alias("lang_guess"))

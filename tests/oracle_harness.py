@@ -1,0 +1,101 @@
+"""Mimics the driver's t2 correctness gate: run each corpus query on Spark
+and its oracle on DuckDB over the same parquet, compare row count, column
+names and (order-insensitively) values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(_canon_obj)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), key=lambda s: s.map(repr)).reset_index(drop=True)
+    return df
+
+
+def _canon_obj(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_obj(x) for x in v)
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    spk = canonicalize(spark_df.toPandas())
+    ora = canonicalize(oracle_pdf)
+    if list(spk.columns) != list(ora.columns):
+        return False, f"columns differ: spark={list(spk.columns)} oracle={list(ora.columns)}"
+    if len(spk) != len(ora):
+        return False, f"row count differs: spark={len(spk)} oracle={len(ora)}"
+    for c in spk.columns:
+        a, b = spk[c], ora[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            mism = ~((a == b) | (a.isna() & b.isna()))
+            if mism.any():
+                i = mism.idxmax()
+                return False, f"float col {c} differs at row {i}: {a[i]!r} vs {b[i]!r} (exact compare)"
+        else:
+            eq = (a == b) | (a.isna() & b.isna()) if hasattr(a, "isna") else (a == b)
+            if not eq.all():
+                i = (~eq).idxmax()
+                return False, f"col {c} differs at row {i}: {a[i]!r} vs {b[i]!r}"
+    return True, "ok"
+
+
+def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, str]:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb_con(sf_dir)
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                opdf = con.sql(oracles[name]).df()
+                ok, msg = compare(sdf, opdf)
+                results[name] = "MATCH" if ok else f"MISMATCH: {msg}"
+            else:
+                n = sdf.count()
+                results[name] = f"ROWS_ONLY: {n}"
+        except Exception as e:
+            results[name] = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
+    return results
