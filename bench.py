@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Config parity with the reference defaults (BASELINE.md): shuffle_partitions=16
+-> spark.sql.shuffle.partitions, batch_size=8192 -> arrow maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_semi",
+    "agg_distinct",
+    "grouping_rollup",
+    "window_rank",
+    "fn_date_bin_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datafusion_ballista_python_spark.corpus import load_all
+    from datafusion_ballista_python_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    registry = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            n = df.count()  # force full execution without driver materialization
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures rather than dying
+            timings[name] = -1.0
+            print(f"bench {name} FAILED: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

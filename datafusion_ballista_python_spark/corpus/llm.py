@@ -170,3 +170,101 @@ def embed_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(cands, queries, k=10, round_digits=4).orderBy(
         "qid", F.desc("cos_sim"), "vec_id"
     )
+
+
+_MINHASH_ORACLE = """
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w FROM documents
+),
+shingles AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+    FROM words
+),
+sigs AS (
+    SELECT doc_id, seed, MIN(MD5(seed || '|' || shingle)) AS mh
+    FROM (SELECT doc_id, UNNEST(sh) AS shingle FROM shingles) s
+         CROSS JOIN (SELECT UNNEST(RANGE(16)) AS seed) seeds
+    GROUP BY doc_id, seed
+),
+banded AS (
+    SELECT doc_id, seed // 4 AS band, STRING_AGG(mh, '' ORDER BY mh) AS band_sig
+    FROM sigs GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+             (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN shingles sa ON sa.doc_id = doc_a
+JOIN shingles sb ON sb.doc_id = doc_b
+WHERE CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+      (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 hashes) + 4-band LSH near-dup detection, verified by exact
+    shingle Jaccard >= 0.8.  The md5-hex min-hash primitive is identical in
+    Spark and DuckDB, so the full LSH pipeline is oracle-checkable.
+
+    Scale: candidate generation is linear + one shuffle on band signatures;
+    only bucket-colliding pairs pay the exact-verify join — this is the
+    100 TB dedup path (SURVEY §7 step 8)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash64 bucketing (rows-only check: bit-level simhash is not
+    reasonably SQL-expressible in DuckDB)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_buckets(docs).orderBy("doc_id")
+
+
+@query(
+    "embed_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(LIST_DOT_PRODUCT(a.embedding, b.embedding) /
+                 (SQRT(LIST_DOT_PRODUCT(a.embedding, a.embedding)) *
+                  SQRT(LIST_DOT_PRODUCT(b.embedding, b.embedding))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(a.embedding, b.embedding) /
+                (SQRT(LIST_DOT_PRODUCT(a.embedding, a.embedding)) *
+                 SQRT(LIST_DOT_PRODUCT(b.embedding, b.embedding))), 4) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicates with label blocking."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=0.9, vec_col="embedding", id_col="vec_id", block_cols=["label"]
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH (rows-only:
+    hyperplanes are generated driver-side, not SQL-reproducible).  Recall vs
+    the brute-force baseline is asserted in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return similarity.lsh_topk(cands, queries_df, k=10, n_planes=6, dim=64).orderBy(
+        "qid", F.desc("cos_sim"), "vec_id"
+    )

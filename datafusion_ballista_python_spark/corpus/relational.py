@@ -904,3 +904,77 @@ def distinct_projection(spark, sf_dir):
         .sort(col("l_returnflag").sort(), col("l_linestatus").sort())
     )
     return out.df
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """approx_distinct / HLL (src/functions.rs:302) — rows-only check: HLL
+    estimates differ between Spark and DuckDB implementations by design."""
+    t = _t(spark, sf_dir, "orders")
+    out = t["orders"].aggregate(
+        [col("o_orderstatus")],
+        [
+            bf.approx_distinct(col("o_custkey")).alias("approx_cust"),
+            bf.count(col("o_custkey"), distinct=True).alias("exact_cust"),
+        ],
+    ).sort(col("o_orderstatus").sort())
+    return out.df
+
+
+@query(
+    "udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_quantity))), 3) AS geomean,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udaf_geomean(spark, sf_dir):
+    """User-defined aggregate (Accumulator protocol, SURVEY §2.11) executed
+    as a distributed two-phase aggregation, oracle-checked against DuckDB's
+    EXP(AVG(LN)) (rounded: float accumulation order differs)."""
+    import math
+
+    import pyarrow as pa
+
+    from ..udaf import udaf as make_udaf
+
+    class GeoMean:
+        def __init__(self):
+            self.log_sum = 0.0
+            self.n = 0
+
+        def state(self):
+            return [pa.scalar(self.log_sum), pa.scalar(self.n)]
+
+        def update(self, values):
+            for v in values:
+                pv = v.as_py()
+                if pv is not None and pv > 0:
+                    self.log_sum += math.log(pv)
+                    self.n += 1
+
+        def merge(self, states):
+            self.log_sum += sum(v.as_py() or 0.0 for v in states[0])
+            self.n += sum(v.as_py() or 0 for v in states[1])
+
+        def evaluate(self):
+            return pa.scalar(
+                math.exp(self.log_sum / self.n) if self.n else None, type=pa.float64()
+            )
+
+    gm = make_udaf(GeoMean, pa.float64(), pa.float64(), [pa.float64(), pa.int64()])
+    t = _t(spark, sf_dir, "lineitem")
+    out = (
+        t["lineitem"].filter(col("l_quantity") > lit(0))
+        .aggregate(
+            [col("l_returnflag")],
+            [gm(col("l_quantity")).alias("__gm_raw"), bf.count_star().alias("n")],
+        )
+        .with_column("geomean", bf.round(col("__gm_raw"), 3))
+        .select_columns("l_returnflag", "geomean", "n")
+        .sort(col("l_returnflag").sort())
+    )
+    return out.df

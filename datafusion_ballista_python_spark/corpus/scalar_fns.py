@@ -290,3 +290,25 @@ def fn_timestamp_convert(spark, sf_dir):
         Expression(F.date_format(F.col("ts"), "yyyy-MM-dd")).alias("day_str"),
     ).sort(col("event_id").sort())
     return out.df
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id <= 200 ORDER BY event_id
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """JSON extraction — an extension beyond the reference (OLDREADME.md:37:
+    JSON explicitly unsupported in Ballista); free on Spark."""
+    t = _t(spark, sf_dir, "events")
+    from ..expression import Expression
+
+    e = t["events"].filter(col("event_id") <= lit(200))
+    out = e.select(
+        col("event_id"),
+        Expression(F.get_json_object(F.col("props"), "$.k")).cast("long").alias("k_val"),
+    ).sort(col("event_id").sort())
+    return out.df

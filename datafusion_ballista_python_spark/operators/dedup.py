@@ -49,11 +49,18 @@ def exact_clusters(
 def drop_exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one representative (min id) per exact-duplicate cluster."""
-    w_min = exact_clusters(df, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
+    """Keep exactly one representative row (min id) per exact-duplicate
+    cluster.  row_number over the fingerprint (one shuffle) rather than a
+    semi-join on ids — correct even when id values repeat."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", F.md5(normalized_text(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
-    return df.join(w_min, on=id_col, how="left_semi")
 
 
 def _token_set(text_col: str, pattern: str = r"\s+") -> Column:
@@ -155,7 +162,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
     rows_per_band = num_hashes // bands
     banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        # floor, not bare int-cast: DuckDB's CAST(double AS INT) rounds while
+        # Spark truncates — floor() agrees everywhere
+        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(F.concat_ws("", F.sort_array(F.collect_list("mh"))).alias("band_sig"))
     )
@@ -167,10 +176,11 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = df.select(F.col(id_col), _token_set(text_col).alias("grams"))
+    # verify with exact SHINGLE jaccard — the quantity minhash estimates
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("grams"))
     pairs = (
-        cands.join(toks.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
-        .join(toks.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
@@ -180,33 +190,38 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col: str = "text", n_bits: int = 64) -> Column:
-    """64-bit SimHash from word tokens, via md5-derived per-token bits.
+_SIMHASH_BITS = 60  # 15 hex chars of md5 -> 60 hash bits per token
 
-    Token hash = first 16 hex chars of md5 (64 bits).  Bit i of the simhash
-    is the sign of sum over tokens of (bit i ? +1 : -1) — expressed with
-    array transforms + aggregate, fully JVM-side.
+
+def simhash64(text_col: str = "text", n_bits: int = _SIMHASH_BITS) -> Column:
+    """SimHash from word tokens, via md5-derived per-token bits.
+
+    Token hash = first 15 hex chars of md5 (60 bits, fits a signed long).
+    Bit i of the simhash is the sign of sum over tokens of
+    (bit i set ? +1 : -1).  Shift amounts must be literals in the Column
+    API, so the n_bits votes unroll into one codegen'd expression —
+    JVM-side, no UDF, no shuffle.
     """
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    tok_hash = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 2)),  # 60 bits from 15 hex chars
-        lambda i: F.aggregate(
+    tok_hash = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    def bit_vote(i: int) -> Column:
+        # closure factory keeps the merge lambda strictly binary — pyspark
+        # dispatches higher-order lambdas on parameter count
+        return F.aggregate(
             tok_hash,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(n_bits - 2)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sim = sim + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sim
 
 
 def simhash_buckets(
@@ -218,7 +233,7 @@ def simhash_buckets(
     return df.select(
         F.col(id_col),
         sh.alias("simhash"),
-        F.shiftright(sh, 64 - 1 - prefix_bits).alias("bucket"),
+        F.shiftright(sh, _SIMHASH_BITS - prefix_bits).alias("bucket"),
     )
 
 

@@ -97,6 +97,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -104,17 +105,39 @@ def lsh_topk(
     query_id: str = "qid",
     query_vec: str = "qe",
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored.  Equi-join on bucket id replaces the cross join — the shuffle
-    is on bucket keys, candidate sets shrink ~2^n_planes-fold."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    cand_b = candidates.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-    quer_b = queries.withColumn("__bucket", lsh_bucket(F.col(query_vec), planes))
+    """Approximate top-k with multi-table random-hyperplane LSH.
+
+    OR-amplification: ``n_tables`` independent plane sets; a candidate is
+    probed if it shares a bucket with the query in ANY table (recall
+    ~ 1-(1-p^n_planes)^n_tables).  Each table contributes one equi-join on
+    its bucket id — shuffles on bucket keys only, candidate sets shrink
+    ~2^n_planes-fold per table vs the brute-force cross join.
+    """
+    # candidate-pair generation: one hash equi-join per table (NOT an OR-join,
+    # which would degrade to a nested loop), unioned + deduped before the
+    # expensive cosine scoring
+    pair_frames = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        cb = candidates.select(
+            F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("__bucket")
+        )
+        qb = queries.select(
+            F.col(query_id), lsh_bucket(F.col(query_vec), planes).alias("__bucket")
+        )
+        pair_frames.append(
+            F.broadcast(qb).join(cb, on="__bucket", how="inner").select(query_id, id_col)
+        )
+    pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        pairs = pairs.union(pf)
+    pairs = pairs.distinct()
+
     sim = F.round(cosine_sim(F.col(query_vec), F.col(vec_col)), 4)
     extra = [c for c in candidates.columns if c != vec_col]
     scored = (
-        F.broadcast(quer_b)
-        .join(cand_b, on="__bucket", how="inner")
+        pairs.join(F.broadcast(queries), on=query_id)
+        .join(candidates, on=id_col)
         .select(F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))

@@ -1,0 +1,135 @@
+"""Function semantics: null-ignoring concat, date_bin, trunc, digest,
+window guard rails, avg-distinct identity (SURVEY §2.9 shims)."""
+
+import pyarrow as pa
+import pytest
+
+from ballista import BallistaError, col, lit
+import ballista.functions as f
+
+
+@pytest.fixture(scope="module")
+def mini(ctx):
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3, 4]),
+            pa.array(["a", None, "c", "d"]),
+            pa.array([1.5, -2.7, 3.14159, -0.5]),
+        ],
+        names=["i", "s", "x"],
+    )
+    return ctx.create_dataframe([[batch]])
+
+
+def _one_col(df, name):
+    return pa.Table.from_batches(df.collect()).sort_by("i" if "i" in pa.Table.from_batches(df.collect()).column_names else name).column(name).to_pylist()
+
+
+def test_concat_ignores_nulls(mini):
+    out = pa.Table.from_batches(
+        mini.select(col("i"), f.concat(lit("x"), col("s"), lit("y")).alias("c")).collect()
+    ).sort_by("i")
+    assert out.column("c").to_pylist() == ["xay", "xy", "xcy", "xdy"]
+
+
+def test_trunc_toward_zero(mini):
+    out = pa.Table.from_batches(
+        mini.select(col("i"), f.trunc(col("x")).alias("t")).collect()
+    ).sort_by("i")
+    assert out.column("t").to_pylist() == [1.0, -2.0, 3.0, -0.0]
+
+
+def test_trunc_decimals(mini):
+    out = pa.Table.from_batches(
+        mini.select(col("i"), f.trunc(col("x"), 2).alias("t")).collect()
+    ).sort_by("i")
+    assert out.column("t").to_pylist() == [1.5, -2.7, 3.14, -0.5]
+
+
+def test_date_bin_hour(ctx):
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([0, 1]), pa.array(["2024-03-01 10:47:13", "2024-03-01 23:59:59"])],
+        names=["i", "ts_str"],
+    )
+    df = ctx.create_dataframe([[batch]]).with_column(
+        "b", f.date_bin("1 hour", f.to_timestamp(col("ts_str")))
+    )
+    out = pa.Table.from_batches(df.collect()).sort_by("i")
+    vals = [str(v) for v in out.column("b").to_pylist()]
+    assert vals == ["2024-03-01 10:00:00", "2024-03-01 23:00:00"]
+
+
+def test_date_bin_origin_offset(ctx):
+    batch = pa.RecordBatch.from_arrays([pa.array([0]), pa.array(["2024-03-01 10:47:00"])], names=["i", "t"])
+    df = ctx.create_dataframe([[batch]]).with_column(
+        "b",
+        f.date_bin("1 hour", f.to_timestamp(col("t")), f.to_timestamp(lit("2024-01-01 00:30:00"))),
+    )
+    out = pa.Table.from_batches(df.collect())
+    assert str(out.column("b").to_pylist()[0]) == "2024-03-01 10:30:00"
+
+
+def test_digest_md5_binary(mini):
+    out = pa.Table.from_batches(
+        mini.filter(col("s").is_null() == lit(False))
+        .select(col("i"), f.digest(col("s"), "md5").alias("d"))
+        .collect()
+    )
+    vals = out.column("d").to_pylist()
+    assert all(isinstance(v, bytes) and len(v) == 16 for v in vals)
+
+
+def test_digest_bad_method(mini):
+    with pytest.raises(BallistaError, match="unsupported digest method"):
+        f.digest(col("s"), "crc999")
+
+
+def test_window_unknown_name():
+    with pytest.raises(BallistaError, match="unknown window function"):
+        f.window("not_a_fn", [], order_by=[col("i")])
+
+
+def test_window_rank_requires_order():
+    with pytest.raises(BallistaError, match="requires order_by"):
+        f.window("row_number", [])
+
+
+def test_avg_distinct(mini, ctx):
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1.0, 1.0, 3.0, 5.0])], names=["v"]
+    )
+    df = ctx.create_dataframe([[batch]])
+    out = pa.Table.from_batches(
+        df.aggregate([], [f.avg(col("v"), distinct=True).alias("a")]).collect()
+    )
+    assert out.column("a").to_pylist()[0] == pytest.approx(3.0)
+
+
+def test_in_list_negated(mini):
+    kept = mini.filter(f.in_list(col("i"), [1, 2], negated=True))
+    assert kept.count() == 2
+
+
+def test_case_insensitive_function_names():
+    # reference exposes both pow/power, datepart/date_part, datetrunc/date_trunc
+    assert f.pow is not None and f.power is not None
+    assert callable(f.datepart) and callable(f.date_part)
+    assert callable(f.datetrunc) and callable(f.date_trunc)
+
+
+def test_struct_and_array_constructors(mini):
+    out = pa.Table.from_batches(
+        mini.select(
+            col("i"),
+            f.make_array(col("i"), col("i") + lit(1)).alias("arr"),
+            f.struct(col("i"), col("x")).alias("st"),
+        ).collect()
+    ).sort_by("i")
+    assert out.column("arr").to_pylist()[0] == [1, 2]
+    assert out.column("st").to_pylist()[0] == {"i": 1, "x": 1.5}
+
+
+def test_nested_access(mini):
+    df = mini.select(col("i"), f.struct(col("i"), col("x")).alias("st"))
+    out = pa.Table.from_batches(df.select(col("i"), df["st"]["x"].alias("inner_x")).collect()).sort_by("i")
+    assert out.column("inner_x").to_pylist()[0] == 1.5

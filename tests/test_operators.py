@@ -1,0 +1,123 @@
+"""LLM-pipeline operator tests: dedup invariants, ANN recall vs brute
+force, simhash properties, text metrics."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_cluster_partition(docs):
+    """Clusters partition the corpus: sum of copies == total docs."""
+    clusters = dedup.exact_clusters(docs)
+    total = clusters.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_drop_exact_duplicates_keeps_representatives(spark, docs):
+    doubled = docs.union(docs)  # force exact duplicates
+    kept = dedup.drop_exact_duplicates(doubled)
+    assert kept.count() == docs.count()
+
+
+def test_minhash_detects_exact_duplicates(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "totally different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=2, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (1, 2)
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_for_exact_dup(spark):
+    rows = [(1, "one two three four"), (2, "one two three four"), (3, "five six seven eight")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash_buckets(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_ngram_jaccard_bounds(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.limit(60), threshold=0.3, block_cols=["lang"]
+    ).collect()
+    for r in pairs:
+        assert 0.3 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(cands, queries, k=5)
+    approx = similarity.lsh_topk(cands, queries, k=5, n_planes=4, dim=64)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes -> 16 buckets over 490 candidates; same-bucket neighbors
+    # dominate. Deterministic seed => stable bound.
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_cosine_topk_is_sorted_and_bounded(emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.cosine_topk(emb.filter(F.col("vec_id") > 0), queries, k=7).collect()
+    sims = [r["cos_sim"] for r in out]
+    assert len(out) == 7
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_embedding_near_dup_symmetry_free(emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, block_cols=["label"]).collect()
+    seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(pairs)  # no duplicate pairs
+
+
+def test_token_counts_positive(docs):
+    out = text.token_counts(docs.limit(20)).collect()
+    for r in out:
+        assert r["n_tokens"] >= 1
+        assert r["n_chars_m"] >= r["n_tokens"] - 1
+
+
+def test_quality_ratios_in_range(docs):
+    out = text.quality_scores(docs.limit(20)).collect()
+    for r in out:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["space_ratio"] <= 1.0
+        assert r["avg_token_len"] > 0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    rows = [(1, "hello   world"), (2, "Hello world "), (3, "different text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_language_id_english(spark):
+    rows = [(1, "the cat and the dog of the house is big")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert text.language_id(df).collect()[0]["lang_guess"] == "en"
