@@ -1,0 +1,107 @@
+"""Multimodal corpus: binary media payload + typed metadata over documents.
+
+The synthetic ingest (``attach_media``) is deterministic — payload is the
+utf-8 encoding of ``text`` and metadata derives from ``doc_id`` — so every
+metadata/slicing operator is exactly reproducible in DuckDB
+(``encode``/``octet_length``/``hex``) and hash-checked.  Only the decode
+stub (a Pandas-UDF mapInPandas stage) is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from . import query
+from .util import load
+
+# DuckDB mirror of attach_media's derived columns
+_MEDIA_CTE = """
+media AS (
+    SELECT doc_id,
+           ENCODE(text) AS payload,
+           ['png','wav','mp4'][(doc_id % 3 + 1)] AS format,
+           doc_id % 7 * 64 + 64 AS width,
+           doc_id % 5 * 64 + 64 AS height
+    FROM documents
+)
+"""
+
+
+@query(
+    "mm_media_stats",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT format,
+           COUNT(*) AS n_items,
+           CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
+           CAST(MAX(OCTET_LENGTH(payload)) AS BIGINT) AS max_bytes,
+           CAST(MIN(width) AS BIGINT) AS min_width,
+           CAST(MAX(height) AS BIGINT) AS max_height
+    FROM media GROUP BY format ORDER BY format
+    """,
+)
+def mm_media_stats(spark, sf_dir):
+    """Per-format byte/metadata rollup — JVM-only aggregation over binary."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return multimodal.media_stats(media).orderBy("format")
+
+
+@query(
+    "mm_checksums",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT doc_id, format,
+           CAST(OCTET_LENGTH(payload) AS BIGINT) AS n_bytes,
+           MD5(HEX(payload)) AS payload_md5
+    FROM media ORDER BY doc_id
+    """,
+)
+def mm_checksums(spark, sf_dir):
+    """Integrity fingerprint per media item (corruption/dedup sweep)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return multimodal.media_checksums(media).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    vids AS (
+        SELECT doc_id, payload, OCTET_LENGTH(payload) AS nb, HEX(payload) AS hx
+        FROM media WHERE format = 'mp4'
+    ),
+    frames AS (
+        SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+               CAST(i AS INTEGER) AS frame_idx,
+               SUBSTRING(hx, CAST(i * GREATEST(nb - 16, 0) // 3 AS INTEGER) * 2 + 1, 32)
+                 AS frame_hex
+        FROM vids CROSS JOIN (SELECT UNNEST(RANGE(4)) AS i)
+    )
+    SELECT doc_id, n_bytes, frame_idx, frame_hex FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Evenly-spaced video frame sampling via binary substring (no Python).
+
+    Oracle slices the hex encoding at byte_offset*2 — byte-identical to
+    Spark's substring on the raw binary."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return (
+        multimodal.sample_frames(media, n_frames=4, frame_bytes=16)
+        .select("doc_id", "n_bytes", "frame_idx", "frame_hex")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query("mm_decode_features")
+def mm_decode_features(spark, sf_dir):
+    """Arrow-batched decode to feature vectors (rows-only: the decode kernel
+    is a stubbed Pandas UDF — see operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return multimodal.decode_features(media, dim=8).orderBy("doc_id")

@@ -121,3 +121,54 @@ def test_language_id_english(spark):
     rows = [(1, "the cat and the dog of the house is big")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert text.language_id(df).collect()[0]["lang_guess"] == "en"
+
+
+# -- multimodal ------------------------------------------------------------
+
+from datafusion_ballista_python_spark.operators import multimodal  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def media(docs):
+    return multimodal.attach_media(docs.limit(60))
+
+
+def test_attach_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = [f for f in media.schema if f.name == "media_meta"][0]
+    assert [sf.name for sf in meta.dataType.fields] == [
+        "format", "width", "height", "n_frames", "sample_rate",
+    ]
+
+
+def test_media_stats_cover_all_formats(media):
+    rows = {r["format"]: r for r in multimodal.media_stats(media).collect()}
+    assert set(rows) == {"png", "wav", "mp4"}
+    for r in rows.values():
+        assert r["total_bytes"] >= r["max_bytes"] > 0
+
+
+def test_sample_frames_offsets_and_width(media):
+    out = multimodal.sample_frames(media, n_frames=4, frame_bytes=16).collect()
+    assert out, "expected mp4 rows"
+    for r in out:
+        assert 0 <= r["frame_idx"] < 4
+        assert len(r["frame"]) <= 16
+        assert r["frame_hex"] == bytes(r["frame"]).hex().upper()
+
+
+def test_decode_features_deterministic_and_shaped(media):
+    a = multimodal.decode_features(media, dim=8).orderBy("doc_id").collect()
+    b = multimodal.decode_features(media, dim=8).orderBy("doc_id").collect()
+    assert a == b
+    for r in a:
+        assert len(r["features"]) == 8
+
+
+def test_resize_images_only_png_and_bounded(media):
+    out = multimodal.resize_images(media, 128, 128).collect()
+    n_png = media.filter(F.col("media_meta.format") == "png").count()
+    assert len(out) == n_png
+    for r in out:
+        assert (r["width"], r["height"]) == (128, 128)
+        assert r["n_bytes"] <= 128 * 128 // 64
