@@ -1,0 +1,89 @@
+"""Streaming corpus: Structured Streaming operators, oracle-checked.
+
+``stream_window_counts`` genuinely executes as a stream (availableNow
+trigger into a memory sink) and its final answer is hash-compared with
+DuckDB — the batch/stream equivalence Structured Streaming guarantees.
+Session windows are checked in batch mode against a gap-based SQL oracle
+(lag + cumulative session ids), the standard batch formulation of
+sessionization.
+"""
+
+from __future__ import annotations
+
+from .. import streaming
+from . import query
+from .util import load
+
+
+@query(
+    "stream_window_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation executed AS A STREAM to the end
+    of input, then compared to the batch oracle.  complete-mode memory sink
+    keeps every window; on an unbounded deployment the watermark drops
+    late state instead."""
+    stream = streaming.events_stream(spark, sf_dir)
+    agg = streaming.windowed_counts(stream, window="1 hour", watermark=None)
+    return streaming.run_available_now(
+        agg, "stream_window_counts_sink", output_mode="complete"
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Gap-based per-user sessionization via the native session_window
+    operator (same code path batch & streaming).  Spark's session end =
+    last event + gap; the oracle reproduces that with lag/cumsum."""
+    events = load(spark, sf_dir, "events")["events"]
+    return streaming.session_counts(events, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query("stream_stateful_user_stats")
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) run as a stream to
+    end-of-input; rows-only check (arbitrary-state operators are outside
+    SQL).  Final emitted row per user = full-history stats, asserted
+    against a batch groupBy in tests."""
+    stream = streaming.events_stream(spark, sf_dir)
+    stats = streaming.stateful_user_stats(stream)
+    return streaming.run_available_now(
+        stats, "stream_stateful_sink", output_mode="update"
+    ).orderBy("user_id")

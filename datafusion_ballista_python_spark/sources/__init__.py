@@ -35,9 +35,11 @@ def normalize_ns_timestamps(df: SparkDataFrame, columns=None) -> SparkDataFrame:
     cols = set(columns) if columns else NS_TIMESTAMP_COLUMNS
     for name, dtype in df.dtypes:
         if name in cols and dtype == "bigint":
+            # integer DIV, not `/`: float division rounds the microsecond
+            # (off-by-1us vs DuckDB's truncating ns->us cast)
             df = df.withColumn(
                 name,
-                F.timestamp_micros((F.col(name) / 1000).cast("long")).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"{name} DIV 1000")).cast("timestamp_ntz"),
             )
     return df
 

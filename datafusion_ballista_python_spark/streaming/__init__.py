@@ -1,1 +1,195 @@
-"""Structured Streaming extension (the reference has no streaming, SURVEY §2.10)."""
+"""Structured Streaming over the ``events`` table — an extension beyond the
+reference (which has no streaming operators at all; SURVEY §2.10): the same
+DataFrame declarations run incrementally with watermarks, windows, session
+windows and custom state.
+
+Design: every transformation here is expressed on an unbounded DataFrame, so
+it runs identically on a batch frame (tests + the DuckDB oracle exercise
+exactly that equivalence) and on a stream.  ``run_available_now`` executes a
+stream to the end of currently-available input (the deterministic trigger)
+into a named in-memory sink.
+
+Scale: windowed/session aggregation state is partitioned by group key across
+executors (RocksDB/HDFS state store on a real cluster); watermarks bound
+state size — without one, 100 TB of late-arriving keys would pin state
+forever.  ``stateful_user_stats`` keeps per-key state deliberately tiny
+(four numbers) so state size is O(distinct keys), not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..sources import normalize_ns_timestamps
+
+# events.parquet surfaced through nanosAsLong (see sources): ts arrives as a
+# raw ns long and is normalized to timestamp_ntz(us) below.
+_RAW_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream (file source).  One file here;
+    on a real deployment the same code tails a directory/Kafka topic."""
+    raw = (
+        spark.readStream.schema(_RAW_EVENT_SCHEMA)
+        .format("parquet")
+        # file-stream sources list a directory; pathGlobFilter selects the
+        # events file from the shared testdata dir
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_ns_timestamps(raw)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: Optional[str] = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.  The watermark bounds
+    aggregation state (late rows beyond it are dropped); partial aggregation
+    happens map-side before the keyed state shuffle."""
+    src = events
+    if watermark and events.isStreaming:
+        # watermarks need TIMESTAMP (not NTZ); session tz is pinned UTC so
+        # the cast is a pure type change
+        src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: Optional[str] = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based), built on the native
+    ``session_window`` operator — state merges adjacent windows within the
+    gap; works identically in batch (oracle-checked) and streaming."""
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# -- custom stateful operator (applyInPandasWithState) ---------------------
+
+STATEFUL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_ts", TimestampNTZType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: Tuple, pdfs: Iterator, state: GroupState
+) -> Iterator:
+    """Running per-user aggregate with explicit state — the template for
+    operators Spark lacks natively (per-key models, CEP, custom decay)."""
+    import pandas as pd
+
+    n, total, mx, last_us = state.get if state.exists else (0, 0.0, float("-inf"), 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, total, mx, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+            "max_value": [mx],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregate over user_id via
+    ``applyInPandasWithState``; emits the updated per-user stats each
+    micro-batch.  State is four scalars per key — O(users), not O(events)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming frame over all currently-available input into an
+    in-memory sink; returns the sink as a DataFrame.  Deterministic (the
+    availableNow trigger processes everything then stops)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

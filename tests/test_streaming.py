@@ -1,0 +1,78 @@
+"""Structured Streaming tests: batch/stream equivalence of windowed
+aggregation, session-window invariants, and the custom stateful operator
+against a batch groupBy ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark import streaming
+from datafusion_ballista_python_spark.corpus.util import load
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load(spark, sf_dir, "events")["events"]
+
+
+def test_stream_window_counts_equal_batch(spark, sf_dir, events):
+    stream = streaming.events_stream(spark, sf_dir)
+    agg = streaming.windowed_counts(stream, window="1 hour", watermark=None)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in streaming.run_available_now(agg, "t_swc", "complete").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in streaming.windowed_counts(events, window="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_gap_property(events):
+    sess = streaming.session_counts(events, gap="30 minutes").collect()
+    assert sess
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_start"])
+        for a, b in zip(rows, rows[1:]):
+            # sessions of one user never overlap; end = last event + gap
+            assert a["session_end"] <= b["session_start"]
+        assert sum(r["n_events"] for r in rows) >= len(rows)
+
+
+def test_stateful_user_stats_match_batch(spark, sf_dir, events):
+    stream = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.stateful_user_stats(stream), "t_sus", "update"
+    )
+    # last emitted row per user == full-history stats
+    final = {
+        r["user_id"]: r
+        for r in out.orderBy("user_id").collect()  # single batch -> one row/user
+    }
+    want = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("value").alias("mx"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, r in final.items():
+        w = want[uid]
+        assert r["n_events"] == w["n"]
+        assert abs(r["total_value"] - w["tot"]) < 1e-4
+        assert r["max_value"] == w["mx"]
+        assert r["last_ts"] == w["last"]
+
+
+def test_watermark_is_set_on_stream(spark, sf_dir):
+    stream = streaming.events_stream(spark, sf_dir)
+    agg = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    assert "watermark" in agg._jdf.queryExecution().logical().toString().lower()
