@@ -56,6 +56,20 @@ def main() -> None:
     ensure_session_confs(spark)
     registry = load_all()
 
+    # JIT warmup: run every headline query once at the smallest SF so
+    # whole-stage-codegen classes are compiled before anything is timed —
+    # we measure steady-state throughput, not JVM compilation.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            try:
+                spec.fn(spark, warm_dir).count()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)

@@ -172,7 +172,13 @@ def embed_cosine_topk(spark, sf_dir):
     )
 
 
-_MINHASH_ORACLE = """
+# the exact (a, b) universal-hash coefficients the Spark operator uses —
+# embedded literally so DuckDB reproduces signatures bit-for-bit
+_MH_PARAMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_params(16))
+)
+
+_MINHASH_ORACLE = f"""
 WITH words AS (
     SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w FROM documents
 ),
@@ -182,14 +188,19 @@ shingles AS (
                                         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
     FROM words
 ),
-sigs AS (
-    SELECT doc_id, seed, MIN(MD5(seed || '|' || shingle)) AS mh
+hashed AS (
+    SELECT doc_id,
+           CAST(CONCAT('0x', SUBSTRING(MD5(shingle),1,15)) AS BIGINT)
+             % {dedup.MINHASH_PRIME} AS h
     FROM (SELECT doc_id, UNNEST(sh) AS shingle FROM shingles) s
-         CROSS JOIN (SELECT UNNEST(RANGE(16)) AS seed) seeds
+),
+sigs AS (
+    SELECT doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+    FROM hashed CROSS JOIN (VALUES {_MH_PARAMS_VALUES}) params(seed, a, b)
     GROUP BY doc_id, seed
 ),
 banded AS (
-    SELECT doc_id, seed // 4 AS band, STRING_AGG(mh, '' ORDER BY mh) AS band_sig
+    SELECT doc_id, seed // 4 AS band, STRING_AGG(mh, ',' ORDER BY mh) AS band_sig
     FROM sigs GROUP BY doc_id, band
 ),
 cands AS (

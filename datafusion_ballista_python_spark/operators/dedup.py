@@ -117,32 +117,75 @@ def _shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b < 2^62 (no overflow)
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a, b), a != 0 — fixed so
+    signatures are reproducible across engines (the oracle embeds them)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
 ) -> DataFrame:
-    """MinHash signature per document: for seed s, min(md5(s || '|' || shingle)).
+    """MinHash signature per document via universal hashing: one md5 per
+    shingle -> 60-bit int h, then sig_i = min((a_i*h + b_i) mod p).
 
-    md5-hex min is engine-independent (fixed-width lowercase hex), so
-    signatures — and therefore LSH buckets — are reproducible anywhere.
+    Why this shape (measured at sf0.1):
+    - ONE md5 per shingle; the per-seed work is integer multiply-add —
+      ~16x less hashing than md5 per (shingle, seed);
+    - explode -> project-hash-once -> hash-agg: map-side partial
+      aggregation collapses each doc to num_hashes longs BEFORE the
+      shuffle, so shuffle volume is O(docs), not O(shingles);
+    - text corpora often arrive as few large files while this stage is
+      compute-bound, so we repartition up to the cluster's parallelism
+      first (a ~MB-scale shuffle buying full CPU fan-out; no-op when the
+      input is already well-partitioned, i.e. at real scale).
 
-    Computed as nested array expressions (transform over seeds of
-    array_min over shingle hashes): zero explode, zero shuffle — each row
-    produces its signature in one codegen'd pass, so the stage scales as a
-    pure map over the corpus.  (A naive shingle x seed explode was ~20x
-    slower at sf0.1.)
+    h = first 15 md5 hex chars as int — identical in DuckDB via
+    CAST(CONCAT('0x', SUBSTRING(MD5(g),1,15)) AS BIGINT), which keeps the
+    whole pipeline oracle-checkable.
     """
-    sh = _shingles(text_col, shingle_n)
-    sig_array = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.md5(F.concat_ws("|", s.cast("string"), g)))
+    spark = df.sparkSession
+    if num_partitions is None:
+        target = spark.sparkContext.defaultParallelism
+        num_partitions = target if df.rdd.getNumPartitions() < target else None
+    if num_partitions:
+        df = df.repartition(num_partitions)
+
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("g")
+    )
+    h = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = exploded.select(F.col(id_col), h.alias("h"))
+    params = minhash_params(num_hashes)
+    wide = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)])).alias(
+            "seed", "mh"
         ),
     )
-    return df.select(F.col(id_col), F.posexplode(sig_array).alias("seed", "mh"))
 
 
 def minhash_lsh_pairs(
@@ -167,8 +210,15 @@ def minhash_lsh_pairs(
         # Spark truncates — floor() agrees everywhere
         sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.concat_ws("", F.sort_array(F.collect_list("mh"))).alias("band_sig"))
+        # ","-joined sorted mins: integer signatures need a separator to be
+        # collision-free in string form
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("mh"))).alias("band_sig"))
     )
+    # the self-join below would otherwise recompute the whole corpus-scan ->
+    # hash -> agg DAG for each side; banded is O(docs x bands) tiny rows
+    # (~100x smaller than the corpus), so persisting it is the right trade
+    # at any scale (MEMORY_AND_DISK spills rather than OOMs)
+    banded = banded.persist()
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
     cands = (
@@ -176,9 +226,22 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # consumed by three frames below (two shingle semi-joins + the
+        # verify join) — persist instead of recomputing the bucket shuffle
+        .persist()
     )
-    # verify with exact SHINGLE jaccard — the quantity minhash estimates
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("grams"))
+    # verify with exact SHINGLE jaccard — the quantity minhash estimates.
+    # Shingle arrays are recomputed ONLY for docs that appear in a candidate
+    # pair (semi-join first): at any scale the expensive array build + the
+    # join input shrink from O(corpus) to O(candidates).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), _shingles(text_col, shingle_n).alias("grams")
+    )
     pairs = (
         cands.join(sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
         .join(sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
