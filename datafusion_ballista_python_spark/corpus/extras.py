@@ -1,0 +1,195 @@
+"""Coverage extras: exact percentiles/median, array aggregation, sliding
+window frames, array/struct expression ops, regexp list semantics, and the
+TPC-H Q6-shaped scan-pushdown query.
+
+These close the remaining SURVEY §2 rows that the relational/scalar modules
+don't exercise: SQL-reachable aggregates (§2.5 "other SQL aggregates"),
+custom window frames (§2.6 — SQL-only in the reference), nested-type
+expressions (§1.2/§2.9 array-struct), and ``regexp_match``'s list semantics
+(§2.9 string note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query
+from .util import SQL_DSUM, dsum, load
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 6) AS med_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_qe
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark, sf_dir):
+    """Exact median + interpolated percentiles + sample covariance.  Exact
+    percentile needs a per-group sort — at 100 TB swap to
+    approx_percentile (t-digest, one pass, mergeable) and accept the
+    documented error bound; both are surfaced in functions/."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qe"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))) AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_array_collect(spark, sf_dir):
+    """array_agg/collect_set into a sorted array — deterministic across
+    engines only because of the sort (collection order never is)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "window_sliding_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+           CAST(SUM(1) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS n_prior,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_sliding_frames(spark, sf_dir):
+    """Custom window frames — ROWS sliding average, a PRECEDING-only frame,
+    and nth_value over the full partition (reference: SQL-only custom
+    frames, SURVEY §2.6).  n_prior is NULL for the first row (empty frame)
+    exactly as in SQL."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(F.col("o_custkey") < 200)
+    ob = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = ob.rowsBetween(-2, Window.currentRow)
+    wprior = ob.rowsBetween(Window.unboundedPreceding, -1)
+    wfull = ob.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w3), 6).alias("mov_avg3"),
+        F.sum(F.lit(1)).over(wprior).cast("long").alias("n_prior"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "fn_array_struct_ops",
+    oracle="""
+    SELECT p_partkey,
+           [p_size, LENGTH(p_name)] AS dims,
+           CAST(p_size + LENGTH(p_name) AS BIGINT) AS dim_sum,
+           LENGTH(p_brand) AS brand_len,
+           {'brand': p_brand, 'sz': p_size}.brand AS brand_again,
+           CAST(LIST_CONTAINS([1, 5, 9], p_size % 10) AS BOOLEAN) AS size_hit
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+)
+def fn_array_struct_ops(spark, sf_dir):
+    """Nested-type expression algebra: array construction, arithmetic over
+    elements, struct build + field access, membership (reference:
+    make_array src/functions.rs:288-289, __getitem__ src/expression.rs:96-102)."""
+    p = load(spark, sf_dir, "part")["part"].filter(F.col("p_partkey") < 300)
+    dims = F.array(F.col("p_size").cast("long"), F.length("p_name").cast("long"))
+    st = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    return p.select(
+        "p_partkey",
+        dims.alias("dims"),
+        F.aggregate(dims, F.lit(0).cast("long"), lambda a, x: a + x).alias("dim_sum"),
+        F.length("p_brand").alias("brand_len"),
+        st.getField("brand").alias("brand_again"),
+        F.array_contains(F.array(F.lit(1), F.lit(5), F.lit(9)), (F.col("p_size") % 10)).alias(
+            "size_hit"
+        ),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_regexp_ops",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT_ALL(text, '[A-Za-z]+ing') AS ing_words,
+           CAST(REGEXP_MATCHES(text, '[0-9]') AS BOOLEAN) AS has_digit,
+           REGEXP_EXTRACT(text, '^([A-Za-z]+)', 1) AS first_word
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def fn_regexp_ops(spark, sf_dir):
+    """regexp_match list semantics (extract-all), regexp_like, and group
+    extraction (reference regexp_match src/functions.rs:222 returns a
+    LIST — Spark's regexp_extract_all is the parity mapping)."""
+    d = load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[A-Za-z]+ing")).alias("ing_words"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.regexp_extract("text", "^([A-Za-z]+)", 1).alias("first_word"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q6_revenue_pushdown",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_pushdown(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate reaches the parquet scan
+    (PushedFilters) and only 4 columns are read — the pushdown showcase.
+    Plan asserted in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Plan-quality gates: the physical plans we'd want at 100 TB, asserted at
+test scale — filter pushdown reaching the parquet scan, column pruning,
+broadcast joins for dimension tables, whole-stage codegen (no Python) in
+JVM-only pipelines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark.corpus import load_all
+from datafusion_ballista_python_spark.plans import scan_read_schema
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir, registry):
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    df = registry["q6_revenue_pushdown"].fn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    read = set(scan_read_schema(df))
+    assert read == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir, registry):
+    plan = _physical(registry["q5_region_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "small dims should broadcast"
+
+
+def test_q1_stays_in_codegen(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes THIS plan (incl. codegen spans) on execution
+    plan = _physical(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, "whole-stage codegen spans expected"
+    assert "Python" not in plan
+    assert "partial_sum" in plan, "map-side partial aggregation expected"
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir, registry):
+    plan = _physical(registry["embed_cosine_topk"].fn(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "Python" not in plan
+
+
+def test_minhash_partial_aggregation(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(dedup.minhash_signatures(docs, 8, 3))
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+
+
+def test_filter_projection_pushdown_via_api(ctx, sf_dir):
+    from ballista import col
+
+    df = ctx.read_parquet(f"{sf_dir}/lineitem.parquet")
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    q = df.filter(col("l_quantity") > 40).select_columns("l_returnflag", "l_quantity")
+    plan = explain_formatted(q.df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,40" in plan
