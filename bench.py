@@ -20,14 +20,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_revenue_pushdown",
     "join_semi",
     "agg_distinct",
+    "agg_median_percentile",
     "grouping_rollup",
     "window_rank",
+    "window_sliding_frames",
     "fn_date_bin_events",
+    "session_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
     "embed_cosine_topk",
+    "ann_ivf_topk",
+    "mm_frame_sample",
     "text_quality",
 ]
 
@@ -45,7 +51,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # 8g, deliberately not larger: oversized heaps on virtualized hosts
+        # stall tens of seconds on first-touch page backing (measured: 32g
+        # heap -> intermittent 20-60s JVM freezes; 8g -> stable)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -166,17 +166,23 @@ def train_centroids(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_rows: int = 4096,
 ) -> list[list[float]]:
     """k-means-lite coarse quantizer: deterministic init (first k vectors by
-    id), then ``iters`` assign/average rounds.  Each round is one broadcast
-    map + one partial-aggregated groupBy; only k x dim floats ever reach the
-    driver — at 100 TB train on a sample, the loop shape is unchanged."""
+    id), then ``iters`` assign/average rounds over a bounded sample.
+
+    Quantizer quality needs a representative sample, not the full corpus —
+    training cost stays O(sample x iters) no matter how big the table is
+    (the full corpus is only touched once, by the final cell assignment in
+    ivf_topk).  Each round is one broadcast map + one partial-aggregated
+    groupBy; only k x dim floats ever reach the driver."""
+    sample = df.orderBy(id_col).limit(sample_rows) if sample_rows else df
     centroids = [
         list(r[vec_col])
-        for r in df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        for r in sample.limit(n_centroids).select(vec_col).collect()
     ]
     for _ in range(iters):
-        assigned = df.select(
+        assigned = sample.select(
             F.array_min(_nearest_centroid_structs(F.col(vec_col), centroids))["cid"].alias("cid"),
             F.col(vec_col),
         )

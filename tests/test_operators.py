@@ -198,3 +198,41 @@ def test_train_centroids_shape_and_determinism(emb):
     c2 = similarity.train_centroids(emb, n_centroids=4, iters=1)
     assert c1 == c2
     assert len(c1) == 4 and all(len(v) == len(c1[0]) for v in c1)
+
+
+# -- skew mitigation -------------------------------------------------------
+
+from datafusion_ballista_python_spark.operators import skew  # noqa: E402
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6), r["mx"])
+        for r in skew.salted_agg(
+            li, ["l_returnflag"],
+            {"n": ("l_orderkey", "count"), "qty": ("l_quantity", "sum"), "mx": ("l_quantity", "max")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6), r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("l_orderkey").alias("n"), F.sum("l_quantity").alias("qty"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").count()
+    salted = skew.salted_join(o, c, ["o_custkey"], n_salts=4).count()
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        skew.salted_agg(df, ["id"], {"a": ("id", "avg")})
