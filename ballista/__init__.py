@@ -22,6 +22,7 @@ from datafusion_ballista_python_spark import (  # noqa: F401
     literal,
     udaf,
     udf,
+    udtf,
 )
 from datafusion_ballista_python_spark import functions  # noqa: F401
 
@@ -40,5 +41,6 @@ __all__ = [
     "literal",
     "udf",
     "udaf",
+    "udtf",
     "functions",
 ]

@@ -22,6 +22,7 @@ from .errors import BallistaError, DataFusionError  # noqa: F401
 from .expression import Expression  # noqa: F401
 from .functions import col, column, lit, literal  # noqa: F401
 from .udaf import udaf  # noqa: F401
+from .udtf import register_udtf, udtf  # noqa: F401
 from .udf import Accumulator, ScalarUDF, udf  # noqa: F401
 
 __version__ = "0.1.0"
@@ -42,5 +43,7 @@ __all__ = [
     "literal",
     "udf",
     "udaf",
+    "udtf",
+    "register_udtf",
     "functions",
 ]

@@ -69,3 +69,19 @@ def test_filter_projection_pushdown_via_api(ctx, sf_dir):
     q = df.filter(col("l_quantity") > 40).select_columns("l_returnflag", "l_quantity")
     plan = explain_formatted(q.df)
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,40" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
+    from datafusion_ballista_python_spark.sources import bucketing
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bucketing.write_bucketed(o, "t_orders_b", ["o_orderkey"], 8)
+    bucketing.write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8)
+    ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    joined.collect()
+    plan = _physical(joined)
+    # co-located scan-side join: no shuffle exchange feeds the join
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == li.count()

@@ -145,3 +145,34 @@ def test_udaf_multi_state(ctx, sf_dir):
     ).sort_by("l_linestatus")
     for a, b in zip(ours.column("m").to_pylist(), builtin.column("m").to_pylist()):
         assert a == pytest.approx(b, rel=1e-9)
+
+
+# -- UDTF (extension; reference has none — SURVEY §2.11) -------------------
+
+def test_udtf_split_words(spark):
+    from pyspark.sql import functions as F
+    from datafusion_ballista_python_spark.udtf import udtf, register_udtf
+
+    @udtf(returnType="word string, n int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    rows = SplitWords(F.lit("alpha beta gamma")).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("alpha", 0), ("beta", 1), ("gamma", 2)]
+
+    register_udtf(spark, SplitWords, "split_words")
+    got = spark.sql("SELECT word FROM split_words('x y') ORDER BY n").collect()
+    assert [r["word"] for r in got] == ["x", "y"]
+
+
+def test_udtf_requires_return_type():
+    from datafusion_ballista_python_spark.errors import BallistaError
+    from datafusion_ballista_python_spark.udtf import udtf
+
+    with pytest.raises(BallistaError):
+        @udtf
+        class Bad:
+            def eval(self):
+                yield (1,)
