@@ -978,3 +978,85 @@ def udaf_geomean(spark, sf_dir):
         .sort(col("l_returnflag").sort())
     )
     return out.df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q4 / q10 (order-priority EXISTS check; top returned-revenue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join on the order
+    key; the date range is pushed into the orders scan.  Built with the
+    engine's semi-join API."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        & (col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"]
+    matched = o.df.join(
+        li.df, on=[o.df.o_orderkey == li.df.l_orderkey, li.df.l_shipdate > o.df.o_orderdate],
+        how="left_semi",
+    )
+    return (
+        DataFrame(matched)
+        .aggregate([col("o_orderpriority")], [bf.count_star().alias("order_count")])
+        .sort(col("o_orderpriority").sort())
+        .df
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join (nation broadcasts), filtered fact scan,
+    top-20 by revenue — TakeOrderedAndProject fuses the sort+limit."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        & (col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].filter(col("l_returnflag") == lit("R"))
+    joined = (
+        t["customer"].join(o, join_keys=(["c_custkey"], ["o_custkey"]), how="inner")
+        .join(li, join_keys=(["o_orderkey"], ["l_orderkey"]), how="inner")
+        .join(t["nation"], join_keys=(["c_nationkey"], ["n_nationkey"]), how="inner")
+    )
+    return (
+        joined.aggregate(
+            [col("c_custkey"), col("c_name"), col("n_name")],
+            [dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+        )
+        .sort(col("revenue").sort(ascending=False), col("c_custkey").sort())
+        .limit(20)
+        .df
+    )

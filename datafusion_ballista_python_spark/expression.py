@@ -105,10 +105,20 @@ class Expression:
         return Expression(self._col * _unwrap(other))
 
     def __truediv__(self, other):
+        # deliberate deviation: Spark `/` always returns double, while the
+        # reference engine truncates int/int (DataFusion 24 arithmetic).
+        # Use .div() for the truncating integer form.
         return Expression(self._col / _unwrap(other))
 
     def __rtruediv__(self, other):
         return Expression(to_column(other) / self._col)
+
+    def div(self, other):
+        """Integer (truncating, toward zero) division — DataFusion's
+        int/int `/`.  (a - a % b) is exactly divisible by b, and Spark's %
+        takes the dividend's sign, so this truncates like the reference."""
+        a, b = self._col, _unwrap(other)
+        return Expression(((a - a % b) / b).cast("long"))
 
     def __mod__(self, other):
         return Expression(self._col % _unwrap(other))
