@@ -76,3 +76,25 @@ def test_watermark_is_set_on_stream(spark, sf_dir):
     stream = streaming.events_stream(spark, sf_dir)
     agg = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
     assert "watermark" in agg._jdf.queryExecution().logical().toString().lower()
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, events):
+    # dimension: per-user tier derived from customer-style table (synthetic)
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = streaming.events_stream(spark, sf_dir)
+    enriched = streaming.enrich_with_dimension(stream, dim, on="user_id")
+    out = streaming.run_available_now(
+        enriched.groupBy("tier").count(), "t_enrich", "complete"
+    ).collect()
+    got = {r["tier"]: r["count"] for r in out}
+    want = {
+        r["tier"]: r["count"]
+        for r in streaming.enrich_with_dimension(events, dim, on="user_id")
+        .groupBy("tier")
+        .count()
+        .collect()
+    }
+    assert got == want and sum(got.values()) == events.count()
