@@ -294,3 +294,75 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
         cands, queries_df, k=10, n_centroids=16, n_probe=4
     ).orderBy("qid", F.desc("cos_sim"), "vec_id")
+
+
+@query(
+    "text_stopwords",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(words) AS BIGINT) AS n_words,
+           CAST(LEN(LIST_FILTER(words, x -> LIST_CONTAINS(
+               ['the','and','of','to','a','in','is','it','that','for',
+                'on','with','as','was','at','by','an','be','this','are'], x)))
+             AS BIGINT) AS n_stopwords,
+           ROUND(CAST(LEN(LIST_FILTER(words, x -> LIST_CONTAINS(
+               ['the','and','of','to','a','in','is','it','that','for',
+                'on','with','as','was','at','by','an','be','this','are'], x)))
+             AS DOUBLE) / LEN(words), 6) AS stopword_ratio
+    FROM w ORDER BY doc_id
+    """,
+)
+def text_stopwords(spark, sf_dir):
+    """Stopword-density quality signal (map-only, codegen)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.stopword_stats(docs).orderBy("doc_id")
+
+
+_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_POWERS = [pow(257, _WINNOW_K - 1 - j, 1_000_000_007) for j in range(_WINNOW_K)]
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, LOWER(TRIM(text)) AS txt FROM documents
+        WHERE LENGTH(TRIM(text)) >= {_WINNOW_K + _WINNOW_W}
+    ),
+    codes AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(1, LENGTH(txt)+1),
+                              i -> CAST(ASCII(SUBSTRING(txt, CAST(i AS INT), 1)) AS BIGINT) % 1000000007) AS c
+        FROM t
+    ),
+    grams AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, LEN(c) - {_WINNOW_K} + 1),
+                   i -> CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_WINNOW_K}),
+                        j -> (c[CAST(i+j+1 AS INT)] *
+                              ([{", ".join(map(str, _WINNOW_POWERS))}])[CAST(j+1 AS INT)])
+                             % 1000000007)) % 1000000007 AS BIGINT)) AS g
+        FROM codes
+    ),
+    mins AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(g) - {_WINNOW_W} + 1),
+                   i -> LIST_MIN(LIST_TRANSFORM(RANGE(0, {_WINNOW_W}),
+                                                j -> g[CAST(i+j+1 AS INT)])))) AS m
+        FROM grams
+    )
+    SELECT doc_id, UNNEST(m) AS fp FROM mins ORDER BY doc_id, fp
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints — shared substrings of length
+    >= k+w-1 guarantee shared fingerprints; the plagiarism-detection
+    primitive, fully oracle-checked."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs = docs.filter(F.length(F.trim(F.col("text"))) >= _WINNOW_K + _WINNOW_W)
+    return text.winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)

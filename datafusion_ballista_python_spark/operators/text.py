@@ -7,7 +7,7 @@ documents: no shuffle at all, embarrassingly parallel per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,80 @@ def language_id(
     if "lang" in df.columns:
         out_cols.append(F.col("lang"))
     return df.select(*out_cols, guess.alias("lang_guess"))
+
+
+_STOPWORDS_EN = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def stopword_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword density — the classic fluency/quality signal (boilerplate
+    and keyword-stuffed text score low; natural prose ~0.3-0.5)."""
+    words = F.split(F.lower(_trimmed(text_col)), r"[^a-z0-9]+")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(words), 6).alias("stopword_ratio"),
+    )
+
+
+# -- winnowing fingerprints (rolling hash) ---------------------------------
+
+WINNOW_PRIME = 1_000_000_007
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): k-gram
+    polynomial rolling hashes, minimum per sliding window of ``window``
+    hashes, distinct mins = the fingerprint set.  Guarantees any shared
+    substring of length >= k+window-1 yields a shared fingerprint —
+    the plagiarism/near-dup detection primitive.
+
+    Shape (measured; a nested transform/aggregate-over-sequence HOF version
+    was ~1000x slower — deeply nested lambda evaluation leaves codegen):
+    explode char positions -> per-row gram hash as a flat codegen'd
+    expression (k substring/ascii terms, unrolled) -> sliding min via a
+    ROWS window per doc -> distinct.  The explode runs before any shuffle
+    and the full-text column is projected away in the same stage, so the
+    only exchange is the per-doc window — partitioned by doc, skew-free.
+    """
+    txt = F.lower(_trimmed(text_col))
+    d = df.select(F.col(id_col), txt.alias("__t")).filter(
+        F.length("__t") >= k + window
+    )
+    pos = d.select(
+        F.col(id_col),
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.length("__t") - k)).alias("__i"),
+    )
+    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_PRIME) for j in range(k)]
+    gram = None
+    for j, p in enumerate(powers):
+        term = (
+            F.ascii(F.substring(F.col("__t"), F.col("__i") + j + 1, 1)).cast("long")
+            % WINNOW_PRIME
+        ) * p
+        gram = term if gram is None else (gram + term) % WINNOW_PRIME
+    grams = pos.select(F.col(id_col), F.col("__i"), (gram % WINNOW_PRIME).alias("__g"))
+    wdoc = Window.partitionBy(id_col)
+    wslide = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("__mx", F.max("__i").over(wdoc))
+        .withColumn("__m", F.min("__g").over(wslide))
+        .where(F.col("__i") <= F.col("__mx") - (window - 1))
+        .select(F.col(id_col), F.col("__m").alias("fp"))
+        .distinct()
+        .orderBy(id_col, "fp")
+    )

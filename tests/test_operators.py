@@ -236,3 +236,23 @@ def test_salted_agg_rejects_non_mergeable(spark):
     df = spark.range(5)
     with pytest.raises(ValueError):
         skew.salted_agg(df, ["id"], {"a": ("id", "avg")})
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # docs sharing a substring of length >= k+w-1 must share a fingerprint
+    shared = "the quick brown fox jumps over it"
+    rows = [(1, "AAAA " + shared + " BBBB"), (2, "XXXX " + shared + " YYYY"), (3, "totally unrelated words here okay")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = text.winnow_fingerprints(df, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must yield shared fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_stopword_stats_bounds(docs):
+    out = text.stopword_stats(docs.limit(30)).collect()
+    for r in out:
+        assert 0 <= r["n_stopwords"] <= r["n_words"]
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
