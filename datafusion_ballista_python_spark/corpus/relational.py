@@ -1060,3 +1060,77 @@ def q10_returned_revenue(spark, sf_dir):
         .limit(20)
         .df
     )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation — the
+    pivot-style count split computed in one pass."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+        & (col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    joined = t["orders"].join(li, join_keys=(["o_orderkey"], ["l_orderkey"]), how="inner")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        joined.aggregate(
+            [col("l_linestatus")],
+            [
+                bf.Expression(F.sum(hi).cast("long")).alias("high_line_count"),
+                bf.Expression(F.sum(1 - hi).cast("long")).alias("low_line_count"),
+            ],
+        )
+        .sort(col("l_linestatus").sort())
+        .df
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                     ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+               6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue share over a fact-dim join
+    (part broadcasts); decimal accumulation for cross-engine determinism."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (col("l_shipdate") >= lit("1995-09-01").cast("timestamp_ntz"))
+        & (col("l_shipdate") < lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    joined = li.join(t["part"], join_keys=(["l_partkey"], ["p_partkey"]), how="inner")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(25,6)"))
+    return (
+        joined.aggregate(
+            [],
+            [
+                bf.Expression(
+                    F.round(100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6)
+                ).alias("promo_revenue_pct")
+            ],
+        )
+        .df
+    )

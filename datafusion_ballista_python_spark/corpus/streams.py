@@ -10,6 +10,8 @@ sessionization.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .. import streaming
 from . import query
 from .util import load
@@ -87,3 +89,49 @@ def stream_stateful_user_stats(spark, sf_dir):
     return streaming.run_available_now(
         stats, "stream_stateful_sink", output_mode="update"
     ).orderBy("user_id")
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           e.value AS err_value, e.ts AS err_ts
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Point-in-time join: each purchase gets the user's most recent prior
+    error (value + time).  DuckDB's native ASOF JOIN is the oracle; our
+    implementation is the linear union+window composition
+    (operators/asof.py) — one shuffle, no range join."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", "value", F.col("ts").alias("err_ts0")
+    ).select("user_id", "ts", F.col("value").alias("err_value0"), "err_ts0")
+    out = asof_join(
+        purchases,
+        errors.select("user_id", "ts", "err_value0", "err_ts0"),
+        on="ts",
+        by=["user_id"],
+        right_cols=["err_value0", "err_ts0"],
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
+    ).orderBy("event_id")

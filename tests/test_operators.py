@@ -256,3 +256,35 @@ def test_stopword_stats_bounds(docs):
     for r in out:
         assert 0 <= r["n_stopwords"] <= r["n_words"]
         assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+# -- as-of join ------------------------------------------------------------
+
+from datafusion_ballista_python_spark.operators.asof import asof_join  # noqa: E402
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 20, 200.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_r"]
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    # <=: equal timestamp matches; later right rows don't; missing -> NULL
+    assert out[(1, 10)] == 100.0
+    assert out[(1, 20)] == 150.0
+    assert out[(2, 15)] is None
+    assert out[(3, 5)] is None
+
+    strict = {
+        (r["k"], r["ts"]): r["v_r"]
+        for r in asof_join(left, right, on="ts", by=["k"], strict=True).collect()
+    }
+    assert strict[(1, 10)] is None  # equal ts excluded under strict <
+    assert strict[(1, 20)] == 150.0
