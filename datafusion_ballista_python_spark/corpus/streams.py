@@ -135,3 +135,41 @@ def asof_join_events(spark, sf_dir):
         "event_id", "user_id", "ts", "value",
         F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
     ).orderBy("event_id")
+
+
+@query(
+    "range_join_sessions",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id AS iv_user,
+               CAST(ts AS TIMESTAMP) AS win_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS win_end
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, iv.iv_user, p.ts, iv.win_start
+    FROM p JOIN iv
+      ON iv.win_start <= p.ts AND p.ts < iv.win_end
+    ORDER BY p.event_id, iv.iv_user, iv.win_start
+    """,
+)
+def range_join_sessions(spark, sf_dir):
+    """Interval containment join (purchases inside any 2h post-signup
+    window) via the binned equi-join — no nested loop.  Plan check in
+    tests asserts a hash join, not BroadcastNestedLoop."""
+    from ..operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    iv = ev.filter("event_type = 'signup'").select(
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    p = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts", "value")
+    out = range_join(p, iv, "ts", "win_start", "win_end", bin_width=7200)
+    return out.select("event_id", "user_id", "iv_user", "ts", "win_start").orderBy(
+        "event_id", "iv_user", "win_start"
+    )

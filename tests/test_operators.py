@@ -288,3 +288,21 @@ def test_asof_join_semantics(spark):
     }
     assert strict[(1, 10)] is None  # equal ts excluded under strict <
     assert strict[(1, 20)] == 150.0
+
+
+def test_range_join_matches_nested_loop(spark):
+    from datafusion_ballista_python_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(j, float(j * 7), float(j * 7 + 10)) for j in range(10)], "iid long, s double, e double"
+    )
+    binned = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "x", "s", "e", bin_width=5).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, (F.col("s") <= F.col("x")) & (F.col("x") < F.col("e"))).collect()
+    }
+    assert binned == naive and len(binned) > 0
