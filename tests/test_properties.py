@@ -101,3 +101,40 @@ def test_aggregate_sum_min_max_match_python(spark, xs):
         F.sum("x").alias("s"), F.min("x").alias("mn"), F.max("x").alias("mx")
     ).collect()[0]
     assert (r["s"], r["mn"], r["mx"]) == (sum(xs), min(xs), max(xs))
+
+
+epoch_secs = st.integers(min_value=0, max_value=2_000_000_000)
+
+
+@settings(**SETTINGS)
+@given(e=epoch_secs)
+def test_datetime_functions_match_duckdb(spark, duck, e):
+    row = spark.createDataFrame([(e,)], "e long").select(
+        F.date_trunc("hour", F.timestamp_seconds("e").cast("timestamp_ntz")).alias("h"),
+        F.year(F.timestamp_seconds("e")).alias("y"),
+        F.dayofmonth(F.timestamp_seconds("e")).alias("d"),
+        F.from_unixtime("e", "yyyy-MM-dd HH:mm:ss").alias("s"),
+    ).collect()[0]
+    dh, dy, dd, ds = duck.sql(
+        f"SELECT DATE_TRUNC('hour', TO_TIMESTAMP({e})::TIMESTAMP),"
+        f" YEAR(TO_TIMESTAMP({e})), DAY(TO_TIMESTAMP({e})),"
+        f" STRFTIME(TO_TIMESTAMP({e})::TIMESTAMP, '%Y-%m-%d %H:%M:%S')"
+    ).fetchall()[0]
+    assert (row["h"], row["y"], row["d"], row["s"]) == (dh, dy, dd, ds)
+
+
+@settings(**SETTINGS)
+@given(xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=5),
+       probe=st.integers(min_value=-1000, max_value=1000))
+def test_in_list_matches_python(spark, xs, probe):
+    from ballista import col
+    import datafusion_ballista_python_spark.functions as bf
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    df = spark.createDataFrame([(probe,)], "x long")
+    got = BDF(df).select(
+        bf.in_list(col("x"), [bf.lit(v) for v in xs], negated=False).alias("i"),
+        bf.in_list(col("x"), [bf.lit(v) for v in xs], negated=True).alias("n"),
+    ).df.collect()[0]
+    assert got["i"] == (probe in xs)
+    assert got["n"] == (probe not in xs)
