@@ -15,8 +15,18 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _matrix(series: pd.Series, dtype=np.float64) -> np.ndarray:
+    """Stack a pandas Series of array<float> values into a 2-D matrix."""
+    if len(series) == 0:
+        return np.zeros((0, 1), dtype=dtype)
+    return np.array(series.tolist(), dtype=dtype)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -80,16 +90,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplanes (JVM-side expressions)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: (a * b).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Sign-bit bucket id from random hyperplanes.
+
+    One Arrow-batched matmul per batch ((B x dim) @ (dim x planes), sign ->
+    bit pack).  A literal-expression formulation would put n_planes x dim
+    constant nodes in the Catalyst tree per call — analysis time alone
+    dominates execution; the vectorized numpy path is partition-parallel and
+    O(batch) regardless of dim.
+    """
+    plane_mat = np.array(planes, dtype=np.float64)
+    bits = np.array([1 << i for i in range(len(planes))], dtype=np.int64)
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = _matrix(v)
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(((mat @ plane_mat.T > 0) * bits).sum(axis=1))
+
+    return _bucket(vec)
 
 
 def lsh_topk(
@@ -150,14 +169,35 @@ def lsh_topk(
 
 # -- IVF (inverted-file) ANN ------------------------------------------------
 
-def _nearest_centroid_structs(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of (neg_dot, cid) structs, one per centroid — struct ordering
-    makes array_min/array_sort pick by similarity.  All JVM expressions."""
-    entries = []
-    for cid, c in enumerate(centroids):
-        d = dot(vec, F.array(*[F.lit(x) for x in c]))
-        entries.append(F.struct((-d).alias("nd"), F.lit(cid).alias("cid")))
-    return F.array(*entries)
+def _cell_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: (B x dim) @ (dim x k) ->
+    argmax (ties -> lowest cell id, matching a (neg_dot, cid) struct sort)."""
+    cent = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = _matrix(v)
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype("int32"))
+
+    return _assign
+
+
+def _probe_cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched n_probe nearest cells per query, most-similar first
+    (stable argsort: ties -> lowest cell id)."""
+    cent = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        mat = _matrix(v)
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        order = np.argsort(-(mat @ cent.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _probe
 
 
 def train_centroids(
@@ -171,32 +211,24 @@ def train_centroids(
     """k-means-lite coarse quantizer: deterministic init (first k vectors by
     id), then ``iters`` assign/average rounds over a bounded sample.
 
-    Quantizer quality needs a representative sample, not the full corpus —
-    training cost stays O(sample x iters) no matter how big the table is
-    (the full corpus is only touched once, by the final cell assignment in
-    ivf_topk).  Each round is one broadcast map + one partial-aggregated
-    groupBy; only k x dim floats ever reach the driver."""
+    Quantizer quality needs a representative sample, not the full corpus
+    (FAISS trains IVF quantizers on a sample for the same reason) — the
+    sample is bounded at ``sample_rows``, Arrow-collected once, and the
+    assign/average rounds run as in-memory matmuls.  Training cost is
+    O(sample x k x iters) no matter how big the table is; the full corpus is
+    only touched once, by the distributed cell assignment in ivf_topk."""
     sample = df.orderBy(id_col).limit(sample_rows) if sample_rows else df
-    centroids = [
-        list(r[vec_col])
-        for r in sample.limit(n_centroids).select(vec_col).collect()
-    ]
+    pdf = sample.select(vec_col).toPandas()
+    mat = _matrix(pdf[vec_col])
+    k = min(n_centroids, mat.shape[0])
+    cent = mat[:k].copy()
     for _ in range(iters):
-        assigned = sample.select(
-            F.array_min(_nearest_centroid_structs(F.col(vec_col), centroids))["cid"].alias("cid"),
-            F.col(vec_col),
-        )
-        dim = len(centroids[0])
-        means = (
-            assigned.groupBy("cid")
-            .agg(*[
-                F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)
-            ])
-            .collect()
-        )
-        new = {r["cid"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
-    return centroids
+        cells = np.argmax(mat @ cent.T, axis=1)
+        for i in range(k):
+            members = mat[cells == i]
+            if members.shape[0]:
+                cent[i] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in cent]
 
 
 def ivf_topk(
@@ -214,29 +246,19 @@ def ivf_topk(
     """IVF ANN: coarse-quantize candidates into ``n_centroids`` cells, then
     score each query only against its ``n_probe`` nearest cells.
 
-    Scale path: cell assignment is a pure broadcast map (the k x dim
-    centroid table rides along to every executor); the probe is an equi-join
-    on cell id — candidates are pruned ~n_centroids/n_probe-fold before any
-    cosine math, and at 100 TB the candidate table would be written out
-    partitioned by cell id so probes touch only matching files."""
+    Scale path: cell assignment is a pure map — the k x dim centroid matrix
+    rides along to every executor inside an Arrow-batched numpy UDF (one
+    matmul per batch); the probe is an equi-join on cell id — candidates are
+    pruned ~n_centroids/n_probe-fold before any cosine math, and at 100 TB
+    the candidate table would be written out partitioned by cell id so
+    probes touch only matching files."""
     centroids = train_centroids(candidates, n_centroids, iters, vec_col, id_col)
 
     cells = candidates.withColumn(
-        "__cell",
-        F.array_min(_nearest_centroid_structs(F.col(vec_col), centroids))["cid"],
+        "__cell", _cell_assign_udf(centroids)(F.col(vec_col))
     )
     probes = queries.withColumn(
-        "__cell",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_nearest_centroid_structs(F.col(query_vec), centroids)),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["cid"],
-            )
-        ),
+        "__cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(query_vec)))
     )
     sim = F.round(cosine_sim(F.col(query_vec), F.col(vec_col)), 4)
     extra = [c for c in candidates.columns if c != vec_col]
