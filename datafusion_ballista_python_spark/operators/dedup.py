@@ -132,7 +132,7 @@ def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]
     ]
 
 
-def minhash_signatures(
+def _minhash_wide(
     df: DataFrame,
     num_hashes: int = 16,
     shingle_n: int = 3,
@@ -140,8 +140,10 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
-    """MinHash signature per document via universal hashing: one md5 per
-    shingle -> 60-bit int h, then sig_i = min((a_i*h + b_i) mod p).
+    """One row per document with ``__mh0..__mh{n-1}`` signature columns.
+
+    MinHash via universal hashing: one md5 per shingle -> 60-bit int h,
+    then sig_i = min((a_i*h + b_i) mod p).
 
     Why this shape (measured at sf0.1):
     - ONE md5 per shingle; the per-seed work is integer multiply-add —
@@ -174,12 +176,25 @@ def minhash_signatures(
     )
     hashed = exploded.select(F.col(id_col), h.alias("h"))
     params = minhash_params(num_hashes)
-    wide = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"__mh{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Long-form (doc, seed, mh) minhash signatures — a map-only posexplode
+    of the wide per-document row (see :func:`_minhash_wide`)."""
+    wide = _minhash_wide(df, num_hashes, shingle_n, text_col, id_col, num_partitions)
     return wide.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)])).alias(
@@ -203,16 +218,30 @@ def minhash_lsh_pairs(
     candidates (one shuffle on the band key), then exact token-set Jaccard
     filters to >= threshold.  Returns (doc_a, doc_b, jaccard).
     """
-    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    wide = _minhash_wide(df, num_hashes, shingle_n, text_col, id_col)
     rows_per_band = num_hashes // bands
-    banded = (
-        # floor, not bare int-cast: DuckDB's CAST(double AS INT) rounds while
-        # Spark truncates — floor() agrees everywhere
-        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # ","-joined sorted mins: integer signatures need a separator to be
-        # collision-free in string form
-        .agg(F.concat_ws(",", F.sort_array(F.collect_list("mh"))).alias("band_sig"))
+    # band signatures are built map-side from the wide signature row (no
+    # (doc, band) re-shuffle; the only signature shuffle is the groupBy(doc)
+    # inside _minhash_wide).  ","-joined value-sorted mins: integers need a
+    # separator to be collision-free in string form, and sorting by value
+    # matches STRING_AGG(mh, ',' ORDER BY mh) on the oracle side.
+    banded = wide.select(
+        F.col(id_col),
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(F.array(*[
+                            F.col(f"__mh{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ])),
+                    ).alias("band_sig"),
+                )
+                for b in range(bands)
+            ])
+        ),
     )
     # the self-join below would otherwise recompute the whole corpus-scan ->
     # hash -> agg DAG for each side; banded is O(docs x bands) tiny rows
@@ -234,10 +263,10 @@ def minhash_lsh_pairs(
     # Shingle arrays are recomputed ONLY for docs that appear in a candidate
     # pair (semi-join first): at any scale the expensive array build + the
     # join input shrink from O(corpus) to O(candidates).
-    cand_ids = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # no .distinct() — the semi-join below dedups inherently (its build side
+    # is a hash set), so the extra shuffle would buy nothing
+    cand_ids = cands.select(F.col("doc_a").alias(id_col)).union(
+        cands.select(F.col("doc_b").alias(id_col))
     )
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), _shingles(text_col, shingle_n).alias("grams")
