@@ -1,0 +1,251 @@
+"""Training-data-pipeline corpus: pivot/unpivot reshaping, deterministic
+sampling, vocabulary statistics, length histograms.
+
+These extend the relational surface with the reshaping + reproducible
+subsetting operations a 100 TB corpus build needs.  Reference scope: the
+reference reaches PIVOT-style results only via manual CASE aggregation in
+SQL (`ctx.sql`, src/context.rs:166-172); sampling/vocab ops are part of
+the LLM-pipeline extension layer (SURVEY §7.8).
+
+Determinism: sampling decisions are md5-prefix thresholds (cross-engine
+identical, partition-independent — see operators/sampling.py); counts are
+BIGINT on both sides; revenue sums go through DECIMAL(25,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_sample, stratified_sample
+from . import query
+from .util import SQL_DSUM, SQL_ISUM, dsum, load
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "pivot_priority_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def pivot_priority_by_year(spark, sf_dir):
+    """Pivot: order counts by year × priority, one output column per
+    priority.
+
+    Spark's relational pivot with an *explicit value list* — without it
+    the optimizer must first collect the distinct pivot values to the
+    driver (an extra job + a correctness hazard at 100 TB if values
+    drift).  With the list it compiles to one pass of conditional
+    aggregates, partial map-side like any hash agg.
+    """
+    o = load(spark, sf_dir, "orders")["orders"]
+    piv = (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+          for p, a in zip(PRIORITIES, _ALIASES)],
+    )
+    return renamed.orderBy("o_year")
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+    SELECT measure, {SQL_DSUM('value')} AS total, COUNT(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+      UNION ALL
+      SELECT 'discount' AS measure, l_discount AS value FROM lineitem
+    ) long
+    GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot (wide→long): three measure columns melted to (measure,
+    value) rows, then aggregated per measure.
+
+    Uses the native ``unpivot`` operator — a zero-shuffle row expansion
+    inside the scan stage (the UNION ALL oracle formulation would scan
+    lineitem three times; unpivot scans once).
+    """
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.expr(
+            "CASE measure WHEN 'l_quantity' THEN 'quantity' "
+            "WHEN 'l_extendedprice' THEN 'extendedprice' "
+            "ELSE 'discount' END"
+        ),
+    )
+    return (
+        long.groupBy("measure")
+        .agg(dsum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {SQL_DSUM('o_totalprice')} AS total
+    FROM orders
+    WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '0ccd'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sample_hash_fraction(spark, sf_dir):
+    """Deterministic ~5% hash sample of orders, aggregated by priority.
+
+    The keep/drop decision is md5(o_orderkey)-prefix < threshold —
+    identical on any engine, any partitioning, any cluster size (unlike
+    seeded df.sample, whose output depends on partition layout).
+    Map-only: the filter rides the scan; no shuffle added.
+    0.05 * 16^4 = 3276.8 -> cutoff 0x0ccd.
+    """
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        hash_sample(o, "o_orderkey", 0.05)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    ) ranked
+    WHERE rn <= 10
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly 10 documents per language,
+    chosen by md5(doc_id) rank inside each stratum.
+
+    One window shuffle on the stratum key; the md5 rank makes the pick
+    reproducible and uniform regardless of input order.  At 100 TB,
+    pre-thin skewed strata with hash_sample before ranking (see
+    operators/sampling.py docstring).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        stratified_sample(d, "lang", "doc_id", 10)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / length statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_topk_per_lang",
+    oracle="""
+    SELECT lang, token, cnt
+    FROM (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+      FROM (
+        SELECT lang, t.token AS token, COUNT(*) AS cnt
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        WHERE t.token <> ''
+        GROUP BY lang, t.token
+      ) counted
+    ) ranked
+    WHERE rn <= 5
+    ORDER BY lang, cnt DESC, token
+    """,
+)
+def token_topk_per_lang(spark, sf_dir):
+    """Vocabulary stats: top-5 whitespace tokens per language with a total
+    tie-break order (count desc, token asc) so top-k is unique.
+
+    Scale path: explode is a scan-stage row expansion; the (lang, token)
+    count aggregates map-side before its shuffle; the rank window then
+    operates on the already-collapsed vocabulary (|langs| × |vocab|
+    rows, not corpus rows).  For web-scale vocab, cut the long tail
+    before the window with a HAVING cnt > threshold.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    counted = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.col("cnt").desc(), "token")
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT lang, CAST(n_chars // 500 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs, {SQL_ISUM('n_chars')} AS total_chars
+    FROM documents
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Document-length histogram: 500-char buckets per language.
+
+    Integer-division bucketing (exact on both engines); a pure
+    map-side-partial hash agg over tiny group cardinality.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.groupBy(
+            "lang", F.floor(F.col("n_chars") / 500).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1,0 +1,60 @@
+"""Deterministic, scale-out sampling for training-data pipelines.
+
+Spark's built-in ``df.sample``/``sampleBy`` are seeded-pseudorandom per
+partition split, so results change with partitioning/cluster layout — a
+problem for reproducible 100 TB corpus construction and for oracle
+checking.  These operators derive the sampling decision from a content
+hash of a key column, so the same row is always in or out regardless of
+partition count, executor count, or input ordering:
+
+- :func:`hash_sample` — keep ~fraction of rows by md5(key) prefix.
+  Pure map-side (no shuffle, no state); survives any scale-up.
+- :func:`stratified_sample` — exactly-n-per-stratum, rows ranked inside
+  each stratum by md5(key): one window shuffle on the stratum key.
+  For heavily-skewed strata sizes, pre-filter with :func:`hash_sample`
+  at a few× the expected rate, then rank — keeps the per-stratum sort
+  bounded.
+
+Reference scope note: sampling is not in the reference binding surface
+(no sample operator anywhere in `/root/reference/src`); this is part of
+the LLM-pipeline extension layer.  The md5 path is a JVM builtin
+(`F.md5`), so both operators stay whole-stage-codegen — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_hex(key: Column, width: int) -> Column:
+    """First `width` hex chars of md5 of the key rendered as a string."""
+    return F.substring(F.md5(key.cast("string")), 1, width)
+
+
+def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose md5(key) 4-hex-digit
+    prefix falls below fraction * 16^4.  Map-only; no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    key = F.col(key) if isinstance(key, str) else key
+    cutoff = format(int(round(fraction * 16**4)), "04x")
+    return df.filter(_hash_hex(key, 4) < F.lit(cutoff))
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str | Column, key: str | Column, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic exactly-min(n, |stratum|) rows per stratum: rank rows
+    within each stratum by (md5(key), key) and keep the first n.  The key
+    tie-break makes the order total, so the result is unique even under
+    md5 prefix collisions."""
+    stratum = F.col(stratum) if isinstance(stratum, str) else stratum
+    key = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(stratum).orderBy(_hash_hex(key, 8), key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
