@@ -96,14 +96,17 @@ def ngram_jaccard_pairs(
     )
     cond = [F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols]
     cond.append(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size("grams_a") + F.size("grams_b") - F.size(
-        F.array_intersect("grams_a", "grams_b")
+    # intersection size materialized once per pair — the inline
+    # inter/union form evaluates array_intersect (the expensive part)
+    # twice per pair
+    joined = a.join(b, on=cond, how="inner").withColumn(
+        "__is", F.size(F.array_intersect("grams_a", "grams_b"))
     )
-    jac = inter / union
+    jac = F.col("__is").cast("double") / (
+        F.size("grams_a") + F.size("grams_b") - F.col("__is")
+    )
     return (
-        a.join(b, on=cond, how="inner")
-        .where(jac >= threshold)
+        joined.where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard"))
     )
 
@@ -293,10 +296,9 @@ def minhash_lsh_pairs(
     pairs = (
         cands.join(sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
         .join(sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
+        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
     )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
-    jac = inter / union
+    jac = F.col("__is").cast("double") / (F.size("ga") + F.size("gb") - F.col("__is"))
     return pairs.where(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
@@ -386,25 +388,33 @@ def embedding_near_dup_pairs(
     block_cols: Optional[Sequence[str]] = None,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within blocks (doc_a < doc_b)."""
-    from .similarity import cosine_sim
+    """Embedding-cosine near-dup pairs within blocks (doc_a < doc_b).
+
+    Norms are projected per SIDE before the join (n rows), not per pair
+    (up to n^2/blocks rows) — the inline cosine form folds each vector
+    three times per pair."""
+    from .similarity import dot, norm
 
     block_cols = list(block_cols or [])
-    a = df.select(
+    normed = df.withColumn("__n", norm(F.col(vec_col)))
+    a = normed.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(b).alias(f"__ba_{b}") for b in block_cols],
         F.col(vec_col).alias("va"),
+        F.col("__n").alias("__na"),
     )
-    b = df.select(
+    b = normed.select(
         F.col(id_col).alias("doc_b"),
         *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
         F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"),
     )
     cond = [F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols]
     cond.append(F.col("doc_a") < F.col("doc_b"))
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, on=cond, how="inner")
-        .where(F.round(sim, round_digits) >= threshold)
-        .select("doc_a", "doc_b", F.round(sim, round_digits).alias("cos_sim"))
+        .withColumn("cos_sim", F.round(sim, round_digits))
+        .where(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
     )

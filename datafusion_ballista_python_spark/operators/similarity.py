@@ -45,6 +45,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Project the vector L2 norm as a column.  Pairwise scorers join on
+    pre-normed sides so each row's norm is computed once, not once per
+    pair (the inline cosine_sim form folds the whole vector three times
+    per candidate pair)."""
+    return df.withColumn(out_col, norm(F.col(vec_col)))
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -61,11 +69,13 @@ def cosine_topk(
     partition scores + window-ranks locally, so only ~k rows per query per
     partition reach the final exchange.
     """
-    sim = cosine_sim(F.col(query_vec), F.col(vec_col))
+    extra = [c for c in candidates.columns if c not in (vec_col,)]
+    qn = _with_norm(queries, query_vec, "__qn")
+    cn = _with_norm(candidates, vec_col, "__cn")
+    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    extra = [c for c in candidates.columns if c not in (vec_col,)]
-    scored = F.broadcast(queries).crossJoin(candidates).select(
+    scored = F.broadcast(qn).crossJoin(cn).select(
         F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
@@ -152,11 +162,13 @@ def lsh_topk(
         pairs = pairs.union(pf)
     pairs = pairs.distinct()
 
-    sim = F.round(cosine_sim(F.col(query_vec), F.col(vec_col)), 4)
     extra = [c for c in candidates.columns if c != vec_col]
+    sim = F.round(
+        dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 4
+    )
     scored = (
-        pairs.join(F.broadcast(queries), on=query_id)
-        .join(candidates, on=id_col)
+        pairs.join(F.broadcast(_with_norm(queries, query_vec, "__qn")), on=query_id)
+        .join(_with_norm(candidates, vec_col, "__cn"), on=id_col)
         .select(F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
@@ -260,10 +272,14 @@ def ivf_topk(
     probes = queries.withColumn(
         "__cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(query_vec)))
     )
-    sim = F.round(cosine_sim(F.col(query_vec), F.col(vec_col)), 4)
     extra = [c for c in candidates.columns if c != vec_col]
-    scored = F.broadcast(probes).join(cells, on="__cell").select(
-        F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim")
+    sim = F.round(
+        dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 4
+    )
+    scored = (
+        F.broadcast(_with_norm(probes, query_vec, "__qn"))
+        .join(_with_norm(cells, vec_col, "__cn"), on="__cell")
+        .select(F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (

@@ -134,30 +134,39 @@ def winnow_fingerprints(
 
     Shape (measured; a nested transform/aggregate-over-sequence HOF version
     was ~1000x slower — deeply nested lambda evaluation leaves codegen):
-    explode char positions -> per-row gram hash as a flat codegen'd
-    expression (k substring/ascii terms, unrolled) -> sliding min via a
-    ROWS window per doc -> distinct.  The explode runs before any shuffle
-    and the full-text column is projected away in the same stage, so the
-    only exchange is the per-doc window — partitioned by doc, skew-free.
+    materialize char codes once per doc -> posexplode to skinny
+    (doc, pos, code) rows -> gram hash from k-1 LEADs over the per-doc
+    window (flat codegen arithmetic) -> sliding min via a ROWS window on
+    the same partitioning/ordering (one exchange, one sort) -> distinct.
+    Earlier explode-positions form carried the full text string into
+    every position row — O(len^2) bytes of row traffic per document
+    (ruinous for long docs at scale); this form carries 24 bytes per
+    position regardless of document length.
     """
     txt = F.lower(_trimmed(text_col))
     d = df.select(F.col(id_col), txt.alias("__t")).filter(
         F.length("__t") >= k + window
     )
-    pos = d.select(
-        F.col(id_col),
-        "__t",
-        F.explode(F.sequence(F.lit(0), F.length("__t") - k)).alias("__i"),
-    )
+    codes = d.withColumn(
+        "__c",
+        F.transform(
+            F.sequence(F.lit(1), F.length("__t")),
+            lambda i: F.ascii(F.substring(F.col("__t"), i, 1)).cast("long")
+            % WINNOW_PRIME,
+        ),
+    ).select(F.col(id_col), F.posexplode("__c").alias("__i", "__code"))
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_PRIME) for j in range(k)]
+    wlead = Window.partitionBy(id_col).orderBy("__i")
     gram = None
     for j, p in enumerate(powers):
-        term = (
-            F.ascii(F.substring(F.col("__t"), F.col("__i") + j + 1, 1)).cast("long")
-            % WINNOW_PRIME
-        ) * p
+        c = F.col("__code") if j == 0 else F.lead("__code", j).over(wlead)
+        term = (c * p) % WINNOW_PRIME
         gram = term if gram is None else (gram + term) % WINNOW_PRIME
-    grams = pos.select(F.col(id_col), F.col("__i"), (gram % WINNOW_PRIME).alias("__g"))
+    # lead() past the end is NULL, which nulls the gram — exactly the last
+    # k-1 positions that have no full k-gram
+    grams = codes.select(F.col(id_col), F.col("__i"), gram.alias("__g")).where(
+        F.col("__g").isNotNull()
+    )
     wdoc = Window.partitionBy(id_col)
     wslide = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, window - 1)
     return (
