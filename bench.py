@@ -21,6 +21,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_pushdown",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
     "join_semi",
     "agg_distinct",
     "agg_median_percentile",
@@ -35,6 +39,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "mm_frame_sample",
     "text_quality",
+    "pivot_priority_by_year",
+    "sample_hash_fraction",
+    "token_topk_per_lang",
 ]
 
 

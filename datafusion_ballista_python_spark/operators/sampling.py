@@ -38,6 +38,10 @@ def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
     prefix falls below fraction * 16^4.  Map-only; no shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction == 1.0:
+        # cutoff would be the 5-char "10000", which sorts BELOW "ffff"
+        # lexicographically — full fraction means no filter at all
+        return df
     key = F.col(key) if isinstance(key, str) else key
     cutoff = format(int(round(fraction * 16**4)), "04x")
     return df.filter(_hash_hex(key, 4) < F.lit(cutoff))

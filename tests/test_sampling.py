@@ -1,0 +1,57 @@
+"""Deterministic-sampling invariants: partition-layout independence is the
+whole point of hash-based sampling (seeded df.sample does NOT have it)."""
+
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+
+
+def _ids(df, col="o_orderkey"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+def test_hash_sample_partition_invariant(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = _ids(hash_sample(orders, "o_orderkey", 0.1))
+    re13 = _ids(hash_sample(orders.repartition(13), "o_orderkey", 0.1))
+    re1 = _ids(hash_sample(orders.coalesce(1), "o_orderkey", 0.1))
+    assert base == re13 == re1
+    assert len(base) > 0
+
+
+def test_hash_sample_fraction_roughly_holds(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = orders.count()
+    got = hash_sample(orders, "o_orderkey", 0.2).count()
+    assert 0.1 * total < got < 0.3 * total
+
+
+def test_hash_sample_bounds_are_exact():
+    import pytest
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.range(100)
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+def test_stratified_sample_exact_n_and_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", "doc_id", 7)
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_stratum = {r["lang"]: r["n"] for r in
+                   docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, per_stratum[lang])
+    out2 = stratified_sample(docs.repartition(13), "lang", "doc_id", 7)
+    assert sorted(map(tuple, out.select("lang", "doc_id").collect())) == sorted(
+        map(tuple, out2.select("lang", "doc_id").collect())
+    )
