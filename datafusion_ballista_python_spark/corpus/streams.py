@@ -78,6 +78,34 @@ def session_windows(spark, sf_dir):
     )
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (click→purchase attribution)
+    executed AS A STREAM to end-of-input, hash-compared with a DuckDB batch
+    inequality join — the batch/stream equivalence guarantee.  Both sides
+    watermarked; state store holds only attribution+watermark of history."""
+    stream = streaming.events_stream(spark, sf_dir)
+    joined = streaming.attributed_purchases(stream, attribution="30 minutes")
+    return streaming.run_available_now(
+        joined, "stream_stream_join_sink", output_mode="append"
+    ).orderBy("click_id", "purchase_id")
+
+
 @query("stream_stateful_user_stats")
 def stream_stateful_user_stats(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState) run as a stream to

@@ -197,6 +197,76 @@ def enrich_with_dimension(
     return events.join(d, on=on, how=how)
 
 
+def attributed_purchases(
+    events: DataFrame,
+    attribution: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``right_type`` event to
+    the ``left_type`` events of the same user in the preceding
+    ``attribution`` window (strictly after the click, at most the window
+    later) — the canonical click→purchase attribution shape.
+
+    Scale: both sides carry a watermark and the join condition bounds
+    event-time distance, so Spark's state store retains only
+    ``attribution + watermark`` of history per side — state is O(rate ×
+    window), independent of stream age.  Inner interval joins emit rows
+    eagerly (the watermark only drives state eviction).  One shuffle per
+    side on user_id.  Works identically on the batch frame (the corpus
+    oracle-checks that equivalence vs a DuckDB inequality join).
+    """
+    is_stream = events.isStreaming
+    ts = F.col("ts").cast("timestamp") if is_stream else F.col("ts")
+    clicks = events.where(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        ts.alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        ts.alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if is_stream:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication: keep the first arrival per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark``) — the
+    streaming arm of operators/dedup.exact_clusters for at-least-once
+    sources that re-deliver events.
+
+    Scale: state is a hash set of keys seen within the watermark horizon —
+    O(rate × watermark), not O(stream age); the plain dropDuplicates on a
+    stream would retain every key forever.  On a batch frame this falls
+    back to dropDuplicates (same semantics when all data is present).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -98,3 +98,44 @@ def test_stream_static_enrichment_join(spark, sf_dir, events):
         .collect()
     }
     assert got == want and sum(got.values()) == events.count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events):
+    stream = streaming.events_stream(spark, sf_dir)
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in streaming.run_available_now(
+            streaming.attributed_purchases(stream), "t_ssj", "append"
+        ).collect()
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in streaming.attributed_purchases(events).collect()
+    )
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import pandas as pd
+
+    # an at-least-once source: event 1 delivered three times, event 2 twice
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 3 + ["2024-01-01 00:05:00"] * 2
+                + ["2024-01-01 00:10:00"]
+            ),
+            "user_id": [10, 10, 10, 20, 20, 30],
+        }
+    )
+    src_dir = str(tmp_path / "dup_events")
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src_dir)
+    out = streaming.run_available_now(
+        streaming.dedup_within_watermark(stream, ["event_id"]), "t_sdd", "append"
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+    # batch fallback keeps the same key set
+    batch = streaming.dedup_within_watermark(spark.createDataFrame(pdf), ["event_id"])
+    assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
