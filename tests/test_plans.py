@@ -85,3 +85,60 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
     # co-located scan-side join: no shuffle exchange feeds the join
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == li.count()
+
+
+def test_q19_pushes_part_disjunction_to_scan(spark, sf_dir, registry):
+    # the part-only disjunction (brand/size alternatives) is derivable from
+    # the mixed OR predicate and must prune the part scan
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    df = registry["q19_discounted_revenue"].fn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "PushedFilters" in plan
+    assert "Or(" in plan and "p_brand" in plan, "derived part-side OR filter should reach the scan"
+
+
+def test_q17_single_lineitem_scan(spark, sf_dir, registry):
+    # the correlated-avg rewrite must not scan the fact table twice
+    plan = _physical(registry["q17_small_qty_revenue"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q15_single_lineitem_scan_and_broadcast_max(spark, sf_dir, registry):
+    df = registry["q15_top_supplier"].fn(spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    # ReusedExchange is acceptable: one real scan feeding both the per-key
+    # agg and the scalar max
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_broadcasts_qualifying_orders(spark, sf_dir, registry):
+    df = registry["q18_large_volume"].fn(spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan, "top-100 should fuse, not full-sort"
+
+
+def test_q7_broadcasts_nation_pair_dims(spark, sf_dir, registry):
+    df = registry["q7_volume_shipping"].fn(spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sample_is_scan_stage_filter(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators.sampling import hash_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _physical(hash_sample(orders, "o_orderkey", 0.1))
+    assert "Exchange" not in plan, "hash sampling must be map-only"
+    assert "Python" not in plan
+
+
+def test_unpivot_no_shuffle_before_agg(spark, sf_dir, registry):
+    plan = _physical(registry["unpivot_lineitem_measures"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "unpivot scans once (UNION ALL form scans 3x)"
+    assert "partial" in plan.lower(), "map-side partial agg expected"
