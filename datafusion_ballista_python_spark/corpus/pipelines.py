@@ -249,3 +249,81 @@ def doc_length_histogram(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar UDF through the correctness gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_levenshtein",
+    oracle="""
+    SELECT DISTINCT lang, source,
+           CAST(levenshtein(lang, source) AS INTEGER) AS lev
+    FROM documents
+    ORDER BY lang, source
+    """,
+)
+def udf_levenshtein(spark, sf_dir):
+    """pyarrow scalar UDF (reference src/udf.rs arrays-in/arrays-out
+    contract) oracle-checked against DuckDB's native levenshtein.
+
+    Scale note: UDFs are the deliberate slow path (Arrow-batched, still
+    Python); here it runs AFTER distinct() collapses the input to the
+    tiny (lang, source) domain — the pattern for any expensive per-value
+    function: dedupe the domain first, compute once per distinct value,
+    join back if row-level results are needed.
+    """
+    import pyarrow as pa
+
+    from ..dataframe import DataFrame
+    from ..functions import col
+    from ..udf import udf
+
+    def lev(a: pa.Array, b: pa.Array) -> pa.Array:
+        out = []
+        for x, y in zip(a.to_pylist(), b.to_pylist()):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (cx != cy)))
+                prev = cur
+            out.append(prev[-1])
+        return pa.array(out, pa.int32())
+
+    f = udf(lev, [pa.string(), pa.string()], pa.int32(), "immutable", "lev")
+    d = DataFrame(
+        load(spark, sf_dir, "documents")["documents"].select("lang", "source").distinct()
+    )
+    return (
+        d.select(col("lang"), col("source"), f(col("lang"), col("source")).alias("lev"))
+        .sort(col("lang").sort(), col("source").sort())
+        .df
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@query("grouping_sets", oracle=_GROUPING_SETS_SQL)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form cube/rollup specialize;
+    DataFusion-24 dialect reachable via ctx.sql, reference
+    src/context.rs:166-172).  One pass: Spark expands the sets into a
+    single Expand + hash aggregate, partial map-side."""
+    from .util import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_GROUPING_SETS_SQL)
