@@ -82,3 +82,14 @@ def scan_read_schema(df: SparkDataFrame) -> list[str]:
             inner = line.split("struct<", 1)[-1].rstrip(">")
             cols.extend(p.split(":")[0].strip() for p in inner.split(",") if p)
     return cols
+
+
+def partition_filters(df: SparkDataFrame) -> str:
+    """The PartitionFilters fragment of the scan node (empty string if the
+    scan has none) — assert partition pruning the way assert_pushed_filters
+    asserts row-group pruning."""
+    plan = explain_formatted(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            return line.strip()
+    return ""

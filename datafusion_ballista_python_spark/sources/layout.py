@@ -1,0 +1,85 @@
+"""Data layout for scan-time pruning and healthy file sizes.
+
+Two operators a 100 TB corpus store needs constantly:
+
+- :func:`write_partitioned` — hive-style directory partitioning on
+  low-cardinality columns; filters on those columns become *partition
+  pruning* (directories never listed, files never opened — cheaper than
+  row-group pruning, which still reads footers).  Includes per-partition
+  file-count control so a 1000-executor write doesn't emit
+  1000 files × partitions.
+- :func:`compact` — rewrite a directory of too-many-small-files into
+  ~``target_mb`` outputs.  Streaming sinks and incremental loads
+  accumulate small files; scan cost at scale is dominated by file count
+  (driver listing + per-file open), so periodic compaction is part of
+  the table's lifecycle, not an afterthought.
+
+Reference scope: the reference binds no writers at all (absent from
+src/dataframe.rs; SURVEY §2.1) — this is extension surface, designed
+Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet with bounded files per partition.
+
+    The pre-write repartition on the partition columns routes each
+    partition's rows to ``files_per_partition`` tasks — without it every
+    write task holding rows of a partition emits its own file (executors ×
+    partitions small files).  Raise ``files_per_partition`` when single
+    partitions are too big for one task.
+    """
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition == 1:
+        routed = df.repartition(*cols)
+    else:
+        # salt spreads one partition's rows over N tasks -> N files
+        routed = df.repartition(
+            *cols, (F.abs(F.xxhash64(*cols, F.spark_partition_id())) % files_per_partition)
+        )
+    routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-partitioned dataset; filters on partition columns prune
+    directories (assert with plans.partition_filters)."""
+    return spark.read.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 512,
+) -> int:
+    """Rewrite ``path`` (parquet) into ``out_path`` with ~``target_mb``
+    files.  Returns the number of output files requested.
+
+    Sizing is estimated from the input's on-disk bytes — compressed size
+    is the right proxy since the rewrite re-compresses similarly.  The
+    repartition is a round-robin shuffle (no key), so it also heals
+    skewed file sizes.  At cluster scale run per-partition-directory so
+    each compaction job is bounded.
+    """
+    # JVM-side directory size via Hadoop FS (works for any supported scheme)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, int(total_bytes / (target_mb * 1024 * 1024)) or 1)
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
