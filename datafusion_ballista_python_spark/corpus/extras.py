@@ -51,19 +51,25 @@ def agg_median_percentile(spark, sf_dir):
     "agg_array_collect",
     oracle="""
     SELECT o_orderpriority,
-           LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))) AS statuses,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',')
+             AS statuses,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def agg_array_collect(spark, sf_dir):
     """array_agg/collect_set into a sorted array — deterministic across
-    engines only because of the sort (collection order never is)."""
+    engines only because of the sort (collection order never is).  The array
+    is serialized to a csv string at the result boundary: the driver's
+    canonicalizer can't sort/hash array cells (pandas sort_values dies on
+    numpy arrays), and a string column proves the same values."""
     o = load(spark, sf_dir, "orders")["orders"]
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
@@ -113,7 +119,7 @@ def window_sliding_frames(spark, sf_dir):
     "fn_array_struct_ops",
     oracle="""
     SELECT p_partkey,
-           [p_size, LENGTH(p_name)] AS dims,
+           ARRAY_TO_STRING([p_size, LENGTH(p_name)], ',') AS dims,
            CAST(p_size + LENGTH(p_name) AS BIGINT) AS dim_sum,
            LENGTH(p_brand) AS brand_len,
            {'brand': p_brand, 'sz': p_size}.brand AS brand_again,
@@ -124,13 +130,16 @@ def window_sliding_frames(spark, sf_dir):
 def fn_array_struct_ops(spark, sf_dir):
     """Nested-type expression algebra: array construction, arithmetic over
     elements, struct build + field access, membership (reference:
-    make_array src/functions.rs:288-289, __getitem__ src/expression.rs:96-102)."""
+    make_array src/functions.rs:288-289, __getitem__ src/expression.rs:96-102).
+    The array column is serialized to a csv string at the result boundary
+    (driver canonicalizer can't hash array cells); the aggregate over the
+    real array (dim_sum) still proves the nested algebra."""
     p = load(spark, sf_dir, "part")["part"].filter(F.col("p_partkey") < 300)
     dims = F.array(F.col("p_size").cast("long"), F.length("p_name").cast("long"))
     st = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
     return p.select(
         "p_partkey",
-        dims.alias("dims"),
+        F.array_join(F.transform(dims, lambda x: x.cast("string")), ",").alias("dims"),
         F.aggregate(dims, F.lit(0).cast("long"), lambda a, x: a + x).alias("dim_sum"),
         F.length("p_brand").alias("brand_len"),
         st.getField("brand").alias("brand_again"),
@@ -144,7 +153,8 @@ def fn_array_struct_ops(spark, sf_dir):
     "fn_regexp_ops",
     oracle="""
     SELECT doc_id,
-           REGEXP_EXTRACT_ALL(text, '[A-Za-z]+ing') AS ing_words,
+           COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+ing'), ','), '')
+             AS ing_words,
            CAST(REGEXP_MATCHES(text, '[0-9]') AS BOOLEAN) AS has_digit,
            REGEXP_EXTRACT(text, '^([A-Za-z]+)', 1) AS first_word
     FROM documents WHERE doc_id < 200 ORDER BY doc_id
@@ -153,11 +163,16 @@ def fn_array_struct_ops(spark, sf_dir):
 def fn_regexp_ops(spark, sf_dir):
     """regexp_match list semantics (extract-all), regexp_like, and group
     extraction (reference regexp_match src/functions.rs:222 returns a
-    LIST — Spark's regexp_extract_all is the parity mapping)."""
+    LIST — Spark's regexp_extract_all is the parity mapping).  The match
+    list is serialized to a csv string at the result boundary (driver
+    canonicalizer can't hash array cells); the matches themselves contain
+    no commas ([A-Za-z]+ing), so the join is lossless."""
     d = load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[A-Za-z]+ing")).alias("ing_words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+ing")), ","
+        ).alias("ing_words"),
         F.col("text").rlike("[0-9]").alias("has_digit"),
         F.regexp_extract("text", "^([A-Za-z]+)", 1).alias("first_word"),
     ).orderBy("doc_id")

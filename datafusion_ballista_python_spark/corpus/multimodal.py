@@ -98,10 +98,49 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
-@query("mm_decode_features")
+@query(
+    "mm_decode_features",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    b AS (
+        SELECT doc_id, format, HEX(payload) AS hx,
+               CAST(OCTET_LENGTH(payload) AS BIGINT) AS nb
+        FROM media
+    ),
+    bl AS (
+        SELECT doc_id, format, nb,
+               LIST_TRANSFORM(RANGE(0, nb),
+                   i -> CAST(CONCAT('0x', SUBSTRING(hx, CAST(i*2+1 AS INT), 2)) AS BIGINT)) AS bytes
+        FROM b
+    )
+    SELECT doc_id, format,
+           ARRAY_TO_STRING(
+               LIST_TRANSFORM(RANGE(0, 8),
+                   d -> printf('%.4f', COALESCE(
+                            ROUND_EVEN(LIST_AVG(bytes[CAST(d+1 AS INT):nb:8]), 4), 0.0))),
+               ',') AS features_csv
+    FROM bl ORDER BY doc_id
+    """,
+)
 def mm_decode_features(spark, sf_dir):
-    """Arrow-batched decode to feature vectors (rows-only: the decode kernel
-    is a stubbed Pandas UDF — see operators/multimodal.py)."""
+    """Arrow-batched decode to feature vectors via mapInPandas (the codec is
+    a declared deterministic STUB — per-byte-bucket means, see
+    operators/multimodal.py).  Because the stub is deterministic, the whole
+    decode pipeline IS oracle-checkable: DuckDB re-derives bucket means
+    from the hex payload.  Features are serialized %.4f-csv at the result
+    boundary (driver canonicalizer can't hash array cells); the float32
+    storage error (<2e-5 for byte means <=255) never crosses a 4th-decimal
+    rounding boundary, so the string form is exact."""
     docs = load(spark, sf_dir, "documents")["documents"]
     media = multimodal.attach_media(docs)
-    return multimodal.decode_features(media, dim=8).orderBy("doc_id")
+    feats = multimodal.decode_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "format",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.format_string("%.4f", x.cast("double"))
+            ),
+            ",",
+        ).alias("features_csv"),
+    ).orderBy("doc_id")
