@@ -38,12 +38,14 @@ def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
     prefix falls below fraction * 16^4.  Map-only; no shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    if fraction == 1.0:
-        # cutoff would be the 5-char "10000", which sorts BELOW "ffff"
-        # lexicographically — full fraction means no filter at all
-        return df
     key = F.col(key) if isinstance(key, str) else key
-    cutoff = format(int(round(fraction * 16**4)), "04x")
+    cutoff_int = int(round(fraction * 16**4))
+    if cutoff_int >= 16**4:
+        # any fraction rounding to the max prefix means keep everything —
+        # the 5-char "10000" cutoff would sort BELOW "ffff" lexicographically
+        # and silently keep ~6% (fraction 1.0 AND 0.99999+ both land here)
+        return df
+    cutoff = format(cutoff_int, "04x")
     return df.filter(_hash_hex(key, 4) < F.lit(cutoff))
 
 

@@ -46,10 +46,15 @@ def write_partitioned(
     if files_per_partition == 1:
         routed = df.repartition(*cols)
     else:
-        # salt spreads one partition's rows over N tasks -> N files
-        routed = df.repartition(
-            *cols, (F.abs(F.xxhash64(*cols, F.spark_partition_id())) % files_per_partition)
-        )
+        # per-ROW salt spreads one partition's rows over N tasks -> up to N
+        # files.  Must not derive from the input partitioning (a
+        # spark_partition_id()-based salt is constant per partition-column
+        # value when the input has few partitions -> still 1 file).  The
+        # explicit partition count keeps AQE from coalescing the salted
+        # shuffle back into fewer tasks (which would merge the files again).
+        salt = F.floor(F.rand(42) * files_per_partition).cast("int")
+        n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        routed = df.repartition(max(n_shuffle, files_per_partition), *cols, salt)
     routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
@@ -74,6 +79,15 @@ def compact(
     skewed file sizes.  At cluster scale run per-partition-directory so
     each compaction job is bounded.
     """
+    # overwrite-mode write into (or above) the source would truncate the
+    # input before/while reading it — refuse overlapping paths outright
+    src = path.rstrip("/")
+    dst = out_path.rstrip("/")
+    if dst == src or dst.startswith(src + "/") or src.startswith(dst + "/"):
+        raise ValueError(
+            f"compact out_path {out_path!r} overlaps input path {path!r}; "
+            "write to a sibling directory and swap afterwards"
+        )
     # JVM-side directory size via Hadoop FS (works for any supported scheme)
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc

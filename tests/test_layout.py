@@ -55,6 +55,15 @@ def test_write_partitioned_multiple_files(spark, sf_dir, tmp_path):
     assert years < n <= 4 * years
 
 
+def test_compact_refuses_overlapping_out_path(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "src")
+    for bad in (p, p + "/", p + "/nested", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps"):
+            compact(spark, p, bad)
+
+
 def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     frag = str(tmp_path / "fragmented")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(64).write.parquet(frag)

@@ -29,15 +29,15 @@ def test_hash_sample_fraction_roughly_holds(spark, sf_dir):
     assert 0.1 * total < got < 0.3 * total
 
 
-def test_hash_sample_bounds_are_exact():
+def test_hash_sample_bounds_are_exact(spark):
     import pytest
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     df = spark.range(100)
     assert hash_sample(df, "id", 0.0).count() == 0
     assert hash_sample(df, "id", 1.0).count() == 100
+    # fractions that ROUND to 16^4 must also mean "keep all", not a
+    # lexicographic 5-char cutoff that silently keeps ~6%
+    assert hash_sample(df, "id", 0.9999999).count() == 100
     with pytest.raises(ValueError):
         hash_sample(df, "id", 1.5)
 
