@@ -235,10 +235,39 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-@query("dedup_simhash")
+_SIMHASH_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS words
+    FROM documents
+),
+th AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(words,
+               t -> CAST(CONCAT('0x', SUBSTRING(MD5(t), 1, 15)) AS BIGINT)) AS hs
+    FROM w
+),
+sh AS (
+    SELECT doc_id,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {dedup._SIMHASH_BITS}),
+               i -> CASE WHEN LIST_SUM(LIST_TRANSFORM(hs,
+                        h -> CASE WHEN (h >> CAST(i AS INT)) & 1 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+             AS BIGINT) AS simhash
+    FROM th
+)
+SELECT doc_id, simhash,
+       CAST(simhash >> {dedup._SIMHASH_BITS - 16} AS BIGINT) AS bucket
+FROM sh ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """SimHash64 bucketing (rows-only check: bit-level simhash is not
-    reasonably SQL-expressible in DuckDB)."""
+    """SimHash64 bucketing, fully oracle-checked: the per-token 60-bit md5
+    hash is the same primitive the minhash oracle proves, and the per-bit
+    majority votes are DuckDB list lambdas over the token-hash list."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return dedup.simhash_buckets(docs).orderBy("doc_id")
 
@@ -266,33 +295,143 @@ def embed_near_dup(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-@query("ann_lsh_topk")
+# the exact seeded hyperplanes the Spark operator derives from (seed 42 +
+# 1000*table), embedded as literals so DuckDB rebuilds identical buckets —
+# the _MH_PARAMS_VALUES pattern applied to ANN
+_LSH_N_TABLES, _LSH_N_PLANES, _LSH_DIM, _LSH_SEED = 4, 6, 64, 42
+
+
+def _lsh_planes_values() -> str:
+    rows = []
+    for t in range(_LSH_N_TABLES):
+        planes = similarity._hyperplanes(_LSH_DIM, _LSH_N_PLANES, _LSH_SEED + 1000 * t)
+        for p, vec in enumerate(planes):
+            rows.append(f"({t}, {p}, [{', '.join(repr(x) for x in vec)}])")
+    return ", ".join(rows)
+
+
+_LSH_ORACLE = f"""
+WITH planes(t, p, pv) AS (VALUES {_lsh_planes_values()}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 5),
+qb AS (
+    SELECT qid, t,
+           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(qe, pv) > 0
+                    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM q CROSS JOIN planes GROUP BY qid, t
+),
+cb AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(ce, pv) > 0
+                    THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM c CROSS JOIN planes GROUP BY vec_id, t
+),
+pairs AS (
+    SELECT DISTINCT qb.qid, cb.vec_id
+    FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+),
+scored AS (
+    SELECT p.qid, p.vec_id, c.label,
+           ROUND(LIST_DOT_PRODUCT(q.qe, c.ce) /
+                 (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe)) *
+                  SQRT(LIST_DOT_PRODUCT(c.ce, c.ce))), 4) AS cos_sim
+    FROM pairs p JOIN q ON q.qid = p.qid JOIN c ON c.vec_id = p.vec_id
+)
+SELECT qid, vec_id, label, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate nearest neighbors via random-hyperplane LSH (rows-only:
-    hyperplanes are generated driver-side, not SQL-reproducible).  Recall vs
-    the brute-force baseline is asserted in tests/test_operators.py."""
+    """Approximate nearest neighbors via multi-table random-hyperplane LSH,
+    fully oracle-checked: the seeded hyperplanes are embedded as VALUES
+    literals so DuckDB rebuilds the same buckets, candidate pairs, and
+    rounded cosine scores.  Recall vs the brute-force baseline is asserted
+    in tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     cands = emb.filter(F.col("vec_id") >= 5)
-    return similarity.lsh_topk(cands, queries_df, k=10, n_planes=6, dim=64).orderBy(
-        "qid", F.desc("cos_sim"), "vec_id"
+    return similarity.lsh_topk(
+        cands, queries_df, k=10, n_planes=_LSH_N_PLANES, n_tables=_LSH_N_TABLES,
+        dim=_LSH_DIM, seed=_LSH_SEED,
+    ).orderBy("qid", F.desc("cos_sim"), "vec_id")
+
+
+# fixed seeded quantizer for the corpus entry: the TRAINED quantizer is
+# data-dependent (oracle strings are static), so the corpus pins seeded
+# centroids — search semantics (assign/probe/score/top-k) are identical and
+# fully checkable; the training path is exercised in tests/test_operators.py
+_IVF_CENTROIDS = similarity._hyperplanes(64, 16, seed=7)
+_IVF_N_PROBE = 4
+
+
+def _ivf_centroid_values() -> str:
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}])" for i, v in enumerate(_IVF_CENTROIDS)
     )
 
 
-@query("ann_ivf_topk")
+_IVF_ORACLE = f"""
+WITH cent(cell, cv) AS (VALUES {_ivf_centroid_values()}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 5),
+ca AS (
+    SELECT vec_id, label, ce, cell FROM (
+        SELECT c.*, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY LIST_DOT_PRODUCT(c.ce, cent.cv) DESC, cent.cell) AS rn
+        FROM c CROSS JOIN cent
+    ) WHERE rn = 1
+),
+qp AS (
+    SELECT qid, qe, cell FROM (
+        SELECT q.*, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY LIST_DOT_PRODUCT(q.qe, cent.cv) DESC, cent.cell) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn <= {_IVF_N_PROBE}
+),
+scored AS (
+    SELECT qp.qid, ca.vec_id, ca.label,
+           ROUND(LIST_DOT_PRODUCT(qp.qe, ca.ce) /
+                 (SQRT(LIST_DOT_PRODUCT(qp.qe, qp.qe)) *
+                  SQRT(LIST_DOT_PRODUCT(ca.ce, ca.ce))), 4) AS cos_sim
+    FROM qp JOIN ca USING (cell)
+)
+SELECT qid, vec_id, label, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means-lite cells + n_probe nearest-cell search (rows-only:
-    the iterative quantizer is outside SQL).  Recall vs brute force is
-    asserted in tests/test_operators.py."""
+    """IVF ANN with a pinned seeded quantizer, fully oracle-checked: DuckDB
+    re-derives cell assignment (argmax dot, ties -> lowest cell), the
+    n_probe nearest cells per query, and the rounded cosine top-k.  The
+    trained (k-means-lite) quantizer path is exercised with recall
+    assertions in tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     cands = emb.filter(F.col("vec_id") >= 5)
     return similarity.ivf_topk(
-        cands, queries_df, k=10, n_centroids=16, n_probe=4
+        cands, queries_df, k=10, n_probe=_IVF_N_PROBE, centroids=_IVF_CENTROIDS
     ).orderBy("qid", F.desc("cos_sim"), "vec_id")
 
 

@@ -254,6 +254,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id: str = "qid",
     query_vec: str = "qe",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize candidates into ``n_centroids`` cells, then
     score each query only against its ``n_probe`` nearest cells.
@@ -263,8 +264,13 @@ def ivf_topk(
     matmul per batch); the probe is an equi-join on cell id — candidates are
     pruned ~n_centroids/n_probe-fold before any cosine math, and at 100 TB
     the candidate table would be written out partitioned by cell id so
-    probes touch only matching files."""
-    centroids = train_centroids(candidates, n_centroids, iters, vec_col, id_col)
+    probes touch only matching files.
+
+    ``centroids`` overrides the trained quantizer with a fixed one (e.g.
+    seeded vectors for reproducible/oracle-checkable runs, or a quantizer
+    trained offline once and reused across incremental loads)."""
+    if centroids is None:
+        centroids = train_centroids(candidates, n_centroids, iters, vec_col, id_col)
 
     cells = candidates.withColumn(
         "__cell", _cell_assign_udf(centroids)(F.col(vec_col))
