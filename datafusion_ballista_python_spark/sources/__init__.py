@@ -77,17 +77,18 @@ def read_csv(
 
 
 def read_avro(spark: SparkSession, path: str) -> SparkDataFrame:
-    """Avro scan (src/context.rs:89-98). Requires the spark-avro package; if
-    it is absent in this deployment we raise a clear error."""
+    """Avro scan (src/context.rs:89-98).  Uses the spark-avro datasource
+    when the package is on the classpath; otherwise falls back to the
+    built-in pure-Python container reader (sources/avro.py) — distributed
+    one-task-per-file, null/deflate codecs."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # pragma: no cover - environment dependent
-        if "avro" in str(e).lower() or "Failed to find" in str(e):
-            raise BallistaError(
-                "avro source requires the spark-avro package "
-                "(org.apache.spark:spark-avro); not available in this deployment"
-            ) from e
-        raise
+    except Exception as e:  # spark-avro absent in this deployment
+        if "avro" not in str(e).lower() and "Failed to find" not in str(e):
+            raise
+        from .avro import read_avro_fallback
+
+        return read_avro_fallback(spark, path)
 
 
 def read_json(spark: SparkSession, path: str) -> SparkDataFrame:
