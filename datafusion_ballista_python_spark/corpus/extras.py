@@ -48,6 +48,38 @@ def agg_median_percentile(spark, sf_dir):
 
 
 @query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_DISC(l_extendedprice, 0.5) AS p50_price,
+           QUANTILE_DISC(l_extendedprice, 0.9) AS p90_price,
+           QUANTILE_DISC(l_quantity, 0.25) AS p25_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile — the 100 TB percentile path (SCALE.md): a
+    mergeable quantile sketch, one pass, bounded memory per group, vs the
+    exact percentile()'s per-group full buffering (agg_median_percentile).
+
+    Hash-checkable despite being 'approx': with accuracy >> group size the
+    sketch holds every value and returns the exact discrete quantile, which
+    matches DuckDB's QUANTILE_DISC convention (verified rank-for-rank).  At
+    real scale drop accuracy to the default 10000 and accept rank error
+    <= n/accuracy."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1_000_000).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.9, 1_000_000).alias("p90_price"),
+            F.percentile_approx("l_quantity", 0.25, 1_000_000).alias("p25_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "agg_array_collect",
     oracle="""
     SELECT o_orderpriority,

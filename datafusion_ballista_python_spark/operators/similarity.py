@@ -53,6 +53,9 @@ def _with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, norm(F.col(vec_col)))
 
 
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -62,13 +65,32 @@ def cosine_topk(
     query_id: str = "qid",
     query_vec: str = "qe",
     round_digits: int | None = 4,
+    max_query_rows: int | None = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (brute force).
 
     The query side is tiny -> Catalyst broadcasts it; each candidate
     partition scores + window-ranks locally, so only ~k rows per query per
     partition reach the final exchange.
+
+    Scale guard: cost is O(|candidates| x |queries|) — the labeled exact
+    baseline, not the scale path.  A query side above ``max_query_rows``
+    raises (the limit+count probe short-circuits, so the check itself is
+    cheap); pass ``max_query_rows=None`` to force through, or use
+    :func:`lsh_topk` / :func:`ivf_topk` for large query sets.
     """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            from ..errors import BallistaError
+
+            raise BallistaError(
+                f"cosine_topk is the brute-force exact baseline; query side "
+                f"exceeds max_query_rows={max_query_rows} "
+                f"(O(candidates x queries) crossJoin at this size). Use "
+                f"lsh_topk/ivf_topk for large query sets, or pass "
+                f"max_query_rows=None to force."
+            )
     extra = [c for c in candidates.columns if c not in (vec_col,)]
     qn = _with_norm(queries, query_vec, "__qn")
     cn = _with_norm(candidates, vec_col, "__cn")

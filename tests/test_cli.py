@@ -1,0 +1,55 @@
+"""CLI shim smoke tests — the reference cli.md standalone flow
+(CREATE EXTERNAL TABLE -> SELECT) through the shell entry point."""
+
+import pytest
+
+from datafusion_ballista_python_spark import cli
+from datafusion_ballista_python_spark.context import BallistaContext
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return BallistaContext(spark=spark)
+
+
+def test_split_statements():
+    got = cli._split_statements(
+        "SELECT 1; -- trailing comment; with semicolon\n"
+        "SELECT 'a;b' AS s;\n  \nSELECT 2"
+    )
+    assert got == ["SELECT 1", "SELECT 'a;b' AS s", "SELECT 2"]
+
+
+def test_command_mode(ctx, capsys):
+    rc = cli.main(["-c", "SELECT 1 AS a, 'x' AS b;"], ctx=ctx)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "a" in out and "x" in out
+
+
+def test_cli_external_table_flow(ctx, sf_dir, capsys, tmp_path):
+    # the reference cli.md example shape: DDL registration then a query
+    script = tmp_path / "script.sql"
+    script.write_text(
+        f"CREATE EXTERNAL TABLE cli_orders STORED AS PARQUET "
+        f"LOCATION '{sf_dir}/orders.parquet';\n"
+        "SELECT o_orderstatus, count(*) AS n FROM cli_orders "
+        "GROUP BY 1 ORDER BY 1;\n"
+    )
+    rc = cli.main(["-f", str(script)], ctx=ctx)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "OK" in out  # DDL ack
+    assert "o_orderstatus" in out
+
+
+def test_repl_quits_and_survives_errors(ctx, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("SELECT nonsense_col FROM nowhere;\nquit\n")
+    )
+    rc = cli.main([], ctx=ctx)
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "Error:" in err

@@ -84,6 +84,30 @@ def test_digest_bad_method(mini):
         f.digest(col("s"), "crc999")
 
 
+def test_digest_blake3_matches_spec_vector(mini):
+    # official vector: blake3("abc") (reference digest surface,
+    # src/functions.rs:62-70)
+    out = pa.Table.from_batches(
+        mini.filter(col("s") == lit("a"))
+        .select(col("i"), f.digest(lit("abc"), "blake3").alias("d"))
+        .collect()
+    )
+    assert out.column("d").to_pylist()[0].hex() == (
+        "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85"
+    )
+
+
+def test_blake3_multi_chunk_pure():
+    from datafusion_ballista_python_spark.functions.blake3 import blake3_digest
+
+    # single- vs multi-chunk boundaries all produce 32 bytes and differ
+    hs = {blake3_digest(b"x" * n).hex() for n in (0, 1, 1024, 1025, 2048, 5000)}
+    assert len(hs) == 6
+    assert blake3_digest(b"").hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+
+
 def test_window_unknown_name():
     with pytest.raises(BallistaError, match="unknown window function"):
         f.window("not_a_fn", [], order_by=[col("i")])

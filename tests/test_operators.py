@@ -87,6 +87,21 @@ def test_cosine_topk_is_sorted_and_bounded(emb):
     assert all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_cosine_topk_guards_large_query_side(emb):
+    import pytest
+
+    from datafusion_ballista_python_spark.errors import BallistaError
+
+    queries = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    cands = emb.filter(F.col("vec_id") > 0)
+    with pytest.raises(BallistaError, match="lsh_topk/ivf_topk"):
+        similarity.cosine_topk(cands, queries, k=3, max_query_rows=10)
+    # explicit opt-out still works
+    assert similarity.cosine_topk(
+        cands, queries.limit(2), k=3, max_query_rows=None
+    ).count() == 6
+
+
 def test_embedding_near_dup_symmetry_free(emb):
     pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, block_cols=["label"]).collect()
     seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
