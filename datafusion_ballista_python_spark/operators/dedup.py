@@ -133,10 +133,39 @@ def with_shingles(
 ) -> DataFrame:
     """Project a distinct word-n-gram shingle array onto ``df`` (two-step:
     materialize the words array, then build shingles from the attribute —
-    see :func:`_shingles_of_words` for why)."""
-    return df.withColumn(
-        "__words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ).withColumn(out_col, _shingles_of_words(F.col("__words"), n)).drop("__words")
+    see :func:`_shingles_of_words` for why).
+
+    BOTH projections are wrapped in a ``when(monotonically_increasing_id()
+    >= 0, ...)`` guard — semantically a no-op (the id is always >= 0) but
+    non-deterministic, which the optimizer may neither push through an
+    exchange nor duplicate:
+
+    - words guard: without it the optimizer pushes the whole shingle build
+      below a ``repartition``, so a single-file input computes every shingle
+      in the one scan task and the repartition parallelizes nothing
+      (measured at sf0.1: the scan task carried 2.6s of the 2.9s wall; with
+      the guard the same job is 32-way parallel).
+    - grams guard: ``InferFiltersFromGenerate`` adds a ``size(grams) > 0``
+      filter under the explode; over a deterministic alias it inlines the
+      full gram-array build a second time per row (measured ~1.8x CPU).
+      Guarded, the filter folds over the stored attribute.
+
+    Net at sf0.1: 2.9s -> 0.74s wall for the minhash signature job.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.withColumn(
+            "__words", F.when(F.monotonically_increasing_id() >= 0, words)
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.monotonically_increasing_id() >= 0,
+                _shingles_of_words(F.col("__words"), n),
+            ),
+        )
+        .drop("__words")
+    )
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b < 2^62 (no overflow)
