@@ -25,6 +25,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q18_large_volume",
+    "q21_suppliers_waiting",
     "join_semi",
     "agg_distinct",
     "agg_median_percentile",

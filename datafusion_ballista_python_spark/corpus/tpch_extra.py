@@ -670,3 +670,179 @@ def q2_min_supplier(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q20 — potential part promotion (suppliers dominating a part's volume)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey AS pk, SUM(qty) AS part_qty FROM sp GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM sp JOIN tot ON pk = l_partkey
+        WHERE qty * 2 > part_qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty in the driver's
+    schema — 'excess availability' becomes 'supplier shipped more than
+    half of the part's 1995 volume'): nested IN-subqueries collapsing to
+    a correlated share-of-total threshold plus a semi join.
+
+    The share threshold is multiply-form (``qty * 2 > part_qty``) —
+    exact decimal comparison, no division.  Scale: part filter broadcasts
+    into the lineitem scan; ONE big shuffle to agg (part, supp); the
+    per-part total is a window over the already-tiny agg frame; the
+    qualifying supplier set semi-joins into the nation-filtered supplier
+    dim.  No self-join of lineitem, single fact scan.
+
+    Reference: datafusion's TPC-H q20 (benchmarks/queries/q20.sql) is
+    SQL-reachable via ctx.sql (src/context.rs:166-172).
+    """
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    p = t["part"].df.filter(F.col("p_name").like("small%")).select("p_partkey")
+    sp = (
+        t["lineitem"].df.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        sp.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    nat = t["nation"].df.filter(F.col("n_name") == "NATION_7").select("n_nationkey")
+    return (
+        t["supplier"].df.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_suppliers_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates — 'late' is
+    l_shipdate >= o_orderdate + 60 days): the sole supplier who shipped
+    late on a multi-supplier finished order.
+
+    The oracle keeps the canonical EXISTS / NOT-EXISTS formulation; the
+    Spark plan is the single-scan rewrite — per-(order, supplier) grain
+    with per-order window counts:
+
+      late(l1) AND EXISTS(other supp)      <=> n_supp > 1
+      AND NOT EXISTS(other late supp)      <=> n_late_supp = 1
+
+    so the hash-match doubles as a proof of the rewrite's equivalence.
+    Scale: ONE lineitem scan joined against the 3-column orders
+    projection.  At scale that join is sort-merge on orderkey, and both
+    the (order, supp) aggregate and the per-order window counts reuse
+    its hash(l_orderkey) partitioning (a subset of the group keys
+    satisfies the clustering requirement) — no further full-size
+    exchange.  At bench scale orders broadcasts instead, which trades
+    those savings for two skinny-row exchanges; that is the right trade
+    in both regimes, so no join hint is forced.  The nation-filtered
+    supplier dim broadcasts into the tiny qualifying set.
+
+    Reference: datafusion's TPC-H q21 (benchmarks/queries/q21.sql) is
+    SQL-reachable via ctx.sql (src/context.rs:166-172).
+    """
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    lo = t["lineitem"].df.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        t["orders"].df.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    is_late = (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    g = (
+        lo.withColumn("__late", is_late)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("o_orderstatus").alias("__status"),
+            F.sum("__late").alias("late_rows"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        g.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("late_rows") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("late_rows") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("__status") == "F")
+        )
+    )
+    sup = t["supplier"].df.join(
+        F.broadcast(
+            t["nation"].df.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        qual.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
