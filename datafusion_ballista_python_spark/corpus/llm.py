@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import functions as bf
-from ..operators import dedup, similarity, text
+from ..operators import dedup, graph, similarity, text
 from . import query
 from .util import load
 
@@ -505,3 +505,45 @@ def text_winnow_fingerprints(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")["documents"]
     docs = docs.filter(F.length(F.trim(F.col("text"))) >= _WINNOW_K + _WINNOW_W)
     return text.winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> duplicate clusters
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a ORDER BY node
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Transitive closure of minhash-LSH near-dup pairs into duplicate
+    clusters: (node, component) with component = min reachable doc id —
+    the id to KEEP; every other member is a removable duplicate.
+
+    Spark side is iterative min-label propagation (operators/graph.py:
+    one join + one min-aggregate per round, rounds = cluster diameter,
+    convergence from the monotone label sum, localCheckpoint lineage
+    truncation).  The oracle is a recursive-CTE transitive closure over
+    the SAME embedded-coefficient minhash pair SQL, so the whole
+    pairs -> clusters pipeline is hash-checked end-to-end."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return graph.connected_components(pairs).orderBy("node")

@@ -321,3 +321,58 @@ def test_range_join_matches_nested_loop(spark):
         for r in pts.join(ivs, (F.col("s") <= F.col("x")) & (F.col("x") < F.col("e"))).collect()
     }
     assert binned == naive and len(binned) > 0
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    # component {1,2,3} as a chain, component {10,11} — min labels must
+    # traverse the chain transitively
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    out = graph.connected_components(pairs).collect()
+    assert len(out) == n + 1
+    assert {r["component"] for r in out} == {0}
+
+
+def test_connected_components_iteration_budget_raises(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, max_iterations=2)
+
+
+def test_duplicate_clusters_rollup(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 21)], ["doc_a", "doc_b"]
+    )
+    rows = {
+        r["component"]: (r["n_members"], r["canonical_id"])
+        for r in graph.duplicate_clusters(pairs).collect()
+    }
+    assert rows == {5: (3, 5), 20: (2, 20)}
