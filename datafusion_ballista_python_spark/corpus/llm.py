@@ -547,3 +547,89 @@ def dedup_cluster_components(spark, sf_dir):
         docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )
     return graph.connected_components(pairs).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics term scoring: tf-idf / BM25
+# ---------------------------------------------------------------------------
+
+_TERMS_CTE = """
+terms AS (
+    SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+        FROM documents
+    ) WHERE LENGTH(t) > 0
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+"""
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH {_TERMS_CTE},
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term, tf, df,
+               ROUND(tf * (LN((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)) + 1), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 tf-idf terms per document — the classic keyword/topic signal
+    for corpus curation.  See operators/text.py:tfidf_top_terms for the
+    shuffle shape (map-side-partial tf, term-shuffled df join, 1-row N
+    broadcast, per-doc window top-k)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.tfidf_top_terms(docs, k=3).orderBy(
+        "doc_id", F.desc("tfidf"), "term"
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_TERMS_CTE},
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+               ROUND(LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                     * (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+                     6) AS bm25
+        FROM tf JOIN dfreq USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+    )
+    SELECT doc_id, term, tf, dl, bm25 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, bm25 DESC, term
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75) — the ranking
+    function behind retrieval-based data filtering.  Length
+    normalization uses a 1-row (N, avgdl) broadcast; everything else is
+    the tf-idf shuffle shape."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.bm25_top_terms(docs, k=3).orderBy(
+        "doc_id", F.desc("bm25"), "term"
+    )

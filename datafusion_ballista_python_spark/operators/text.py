@@ -177,3 +177,97 @@ def winnow_fingerprints(
         .distinct()
         .orderBy(id_col, "fp")
     )
+
+
+# -- corpus-statistics term scoring (tf-idf / BM25) ------------------------
+
+
+def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, term occurrence): lowercase, non-alphanumeric
+    split (the same tokenization as token_counts.n_words)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(_trimmed(text_col)), r"[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 0)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k tf-idf terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``), rounded to 6 decimals before ranking so
+    rank boundaries are engine-stable.
+
+    Scale shape: term explode feeds a map-side-partial (doc, term) count
+    (Zipf-skewed hot terms collapse before the shuffle); document
+    frequency is a second partial agg on term; the tf<->df join shuffles
+    both sides on term (vocabulary is too big to broadcast at corpus
+    scale — let AQE broadcast when it is small); the corpus size N is a
+    1-row broadcast; the final per-doc top-k is one window shuffle on
+    doc id.  No driver-side collect anywhere.
+    """
+    terms = _terms(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.log((F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1)) + 1
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col(id_col), "term", "tf", "df", "tfidf")
+    )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25-scored terms per document (Robertson idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, length-normalized tf).
+
+    Same shuffle shape as :func:`tfidf_top_terms` plus a per-doc length
+    aggregate; (N, avgdl) reduce to a 1-row broadcast so the length
+    normalization is map-side.
+    """
+    terms = _terms(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.round(idf * tf_norm, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("bm25"), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col(id_col), "term", "tf", "dl", "bm25")
+    )

@@ -376,3 +376,44 @@ def test_duplicate_clusters_rollup(spark):
         for r in graph.duplicate_clusters(pairs).collect()
     }
     assert rows == {5: (3, 5), 20: (2, 20)}
+
+
+# ---------------------------------------------------------------------------
+# tf-idf / BM25
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_known_values(spark):
+    import math
+
+    docs3 = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in text.tfidf_top_terms(docs3, k=10).collect()
+    }
+    # apple: tf=2 in doc1, df=1, N=3 -> 2 * (ln(4/2)+1)
+    r = out[(1, "apple")]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert abs(r["tfidf"] - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    # banana appears in two docs -> lower idf than apple
+    assert out[(1, "banana")]["tfidf"] < out[(1, "apple")]["tfidf"]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    docs3 = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common filler"), (3, "common other")],
+        ["doc_id", "text"],
+    )
+    rows = text.bm25_top_terms(docs3, k=1).collect()
+    top1 = {r["doc_id"]: r["term"] for r in rows}
+    # despite tf(common)=2 > tf(rare)=1 in doc 1, the rare term wins on idf
+    assert top1[1] == "rare"
+
+
+def test_tfidf_topk_bound(spark, docs):
+    out = text.tfidf_top_terms(docs.limit(50), k=3)
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 3
