@@ -315,3 +315,121 @@ def ivf_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# -- int8 embedding quantization -------------------------------------------
+
+
+def _absmax(vec_col: str | Column) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qcode",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric linear int8 quantization with one GLOBAL scale:
+    ``scale = max |x|`` over the whole corpus, ``code = clamp(round(x /
+    scale * 127), -127, 127)`` — 4x smaller embeddings (float32 -> int8)
+    and integer dot products downstream, the standard storage/compute
+    trade for corpus-scale ANN.
+
+    Rounding is ``floor(v + 0.5)`` (half-toward-+inf) — spelled the same
+    way in the DuckDB oracle so code arrays are bit-identical cross-engine
+    (plain ROUND ties differ between engines).
+
+    Scale shape: the absmax is ONE aggregate reduced map-side to a single
+    row and broadcast back; the quantize itself is a pure codegen map —
+    no Python, no shuffle of the embedding table.  Cosine on quantized
+    codes needs no dequantize: the scale cancels in the ratio.
+    """
+    stats = df.agg(F.max(_absmax(vec_col)).alias("__scale"))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(x.cast("double") / F.col("__scale") * 127 + F.lit(0.5)).cast("int"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, F.transform(F.col(vec_col), code))
+        .withColumn(scale_col, F.col("__scale"))
+        .drop("__scale")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    code_col: str = "qcode",
+    scale_col: str = "scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ~ code * scale / 127``.
+    Reconstruction error is bounded by ``scale / 254`` per dimension."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(code_col),
+            lambda c: (c.cast("double") * F.col(scale_col) / 127),
+        ),
+    )
+
+
+def quantized_cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qe",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact-over-quantized cosine top-k: both sides are int8-quantized
+    with a shared scale, then ranked by cosine of the CODE vectors — the
+    global scale cancels in the ratio, so no dequantization happens and
+    the pairwise math is small-integer dot products.
+
+    Recall loss comes only from rounding (<= 1/254 per dim relative);
+    at 100 TB this is the memory-bound brute-force tier — 4x more vectors
+    per executor than float32 — below which lsh/ivf prune candidates.
+    """
+    both_scale = candidates.select(_absmax(vec_col).alias("__m")).union(
+        queries.select(_absmax(query_vec).alias("__m"))
+    ).agg(F.max("__m").alias("__scale"))
+    code = lambda v: F.transform(  # noqa: E731
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(
+                    x.cast("double") / F.col("__scale") * 127 + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    qn = (
+        queries.crossJoin(F.broadcast(both_scale))
+        .withColumn(query_vec, code(F.col(query_vec)))
+        .drop("__scale")
+    )
+    cn = (
+        candidates.crossJoin(F.broadcast(both_scale))
+        .withColumn(vec_col, code(F.col(vec_col)))
+        .drop("__scale")
+    )
+    return cosine_topk(
+        cn,
+        qn,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id=query_id,
+        query_vec=query_vec,
+        round_digits=round_digits,
+    )

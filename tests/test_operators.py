@@ -417,3 +417,43 @@ def test_tfidf_topk_bound(spark, docs):
     out = text.tfidf_top_terms(docs.limit(50), k=3)
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert per_doc <= 3
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bounded(spark, emb):
+    q = similarity.quantize_embeddings(emb.limit(100))
+    dq = similarity.dequantize_embeddings(q)
+    err = dq.select(
+        F.array_max(
+            F.zip_with(
+                "embedding", "embedding_dq", lambda a, b: F.abs(a.cast("double") - b)
+            )
+        ).alias("e"),
+        F.col("scale"),
+    )
+    row = err.agg(F.max("e").alias("me"), F.max("scale").alias("s")).collect()[0]
+    # per-dim reconstruction error bound: scale / 254
+    assert row["me"] <= row["s"] / 254 + 1e-12
+
+
+def test_quantized_codes_in_range(spark, emb):
+    q = similarity.quantize_embeddings(emb.limit(50))
+    mx = q.select(F.array_max(F.transform("qcode", lambda c: F.abs(c))).alias("m"))
+    assert mx.agg(F.max("m")).collect()[0][0] <= 127
+
+
+def test_quantized_topk_matches_exact_mostly(spark, emb):
+    """int8 rounding must preserve most of the exact top-10 (recall >= 0.8)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 3)
+    exact = similarity.cosine_topk(cands, queries, k=10)
+    quant = similarity.quantized_cosine_topk(cands, queries, k=10)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    s = {(r["qid"], r["vec_id"]) for r in quant.collect()}
+    assert len(e & s) / len(e) >= 0.8
