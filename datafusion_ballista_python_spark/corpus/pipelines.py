@@ -327,3 +327,49 @@ def grouping_sets(spark, sf_dir):
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering values
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_TERMS = " + ".join(
+    f"(((q{j} >> {i}) & 1) * {1 << (i * 2 + j)})"
+    for i in range(_Z_BITS)
+    for j in range(2)
+)
+
+_ZORDER_ORACLE = f"""
+WITH s AS (
+    SELECT MIN(l_partkey) AS mn0, MAX(l_partkey) AS mx0,
+           MIN(l_suppkey) AS mn1, MAX(l_suppkey) AS mx1
+    FROM lineitem
+),
+q AS (
+    SELECT l_orderkey, l_linenumber,
+           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((l_partkey - mn0) * 255 AS DOUBLE) / (mx0 - mn0)) AS BIGINT))) AS q0,
+           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((l_suppkey - mn1) * 255 AS DOUBLE) / (mx1 - mn1)) AS BIGINT))) AS q1
+    FROM lineitem CROSS JOIN s
+)
+SELECT l_orderkey, l_linenumber, CAST({_Z_TERMS} AS BIGINT) AS zval
+FROM q
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("layout_zorder_values", oracle=_ZORDER_ORACLE)
+def layout_zorder_values(spark, sf_dir):
+    """Morton (Z-order) clustering value over (l_partkey, l_suppkey) —
+    the write-layout primitive behind multi-dimensional file pruning
+    (sources/layout.py: write_zordered range-partitions + sorts on this
+    value so every output file covers a tight key-space rectangle).
+    Exact integer quantization makes the curve bit-reproducible in
+    DuckDB, so the full bit-interleave is hash-checked."""
+    from ..sources import layout
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    z = layout.with_zorder(li, ["l_partkey", "l_suppkey"], bits=_Z_BITS, out_col="zval")
+    return z.select("l_orderkey", "l_linenumber", "zval").orderBy(
+        "l_orderkey", "l_linenumber"
+    )

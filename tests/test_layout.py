@@ -76,3 +76,65 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
         spark.read.parquet(out).count()
         == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _files_matching(path, col, value):
+    """Count parquet files whose footer min/max range contains value."""
+    import pyarrow.parquet as pq
+
+    n_match, n_total = 0, 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        n_total += 1
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        i = schema_idx[col]
+        lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+        if lo <= value <= hi:
+            n_match += 1
+    return n_match, n_total
+
+
+def test_write_zordered_prunes_both_dims(spark, sf_dir, tmp_path):
+    from datafusion_ballista_python_spark.sources import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "u")
+    layout.write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    li.repartition(16).write.parquet(upath)
+
+    probe_part = li.agg(F.expr("percentile_approx(l_partkey, 0.5)")).collect()[0][0]
+    probe_supp = li.agg(F.expr("percentile_approx(l_suppkey, 0.5)")).collect()[0][0]
+
+    zp, zt = _files_matching(zpath, "l_partkey", probe_part)
+    zs, _ = _files_matching(zpath, "l_suppkey", probe_supp)
+    up, ut = _files_matching(upath, "l_partkey", probe_part)
+    us, _ = _files_matching(upath, "l_suppkey", probe_supp)
+
+    # unordered writes leave every file covering ~the full key range (no
+    # pruning); z-ordered files cover tight rectangles in BOTH dims
+    assert up == ut and us == ut
+    assert zp < zt and zs < zt
+    assert zp <= zt / 2 and zs <= zt / 2
+
+
+def test_write_zordered_preserves_rows(spark, sf_dir, tmp_path):
+    from datafusion_ballista_python_spark.sources import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    zpath = str(tmp_path / "zfull")
+    layout.write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert "__z" not in back.columns
+    assert sorted(back.columns) == sorted(li.columns)
