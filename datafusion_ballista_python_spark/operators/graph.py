@@ -49,9 +49,19 @@ def connected_components(
     not reach the fixpoint — that means a component has a diameter
     larger than the budget, not silent wrong answers.
     """
+    # both directions from ONE scan of pairs (a union of two selects would
+    # evaluate the upstream pair pipeline — often an expensive dedup plan —
+    # twice)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .persist()
     )
