@@ -373,3 +373,80 @@ def layout_zorder_values(spark, sf_dir):
     return z.select("l_orderkey", "l_linenumber", "zval").orderBy(
         "l_orderkey", "l_linenumber"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed end-to-end corpus-curation pipeline
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE LENGTH(text) >= 200
+          AND CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / LENGTH(text) >= 0.55
+          AND lang IN ('en', 'de')
+    ),
+    d AS (
+        SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+                     ORDER BY doc_id
+                   ) AS rn
+            FROM q
+        ) WHERE rn = 1
+    ),
+    s AS (
+        SELECT * FROM d
+        WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """The composed training-data curation pipeline, end-to-end in one
+    plan: quality gate (length >= 200, alphabetic ratio >= 0.55) ->
+    language allowlist -> exact dedup keeping the min-id representative ->
+    deterministic 50% hash sample -> per-language corpus stats.
+
+    Every stage is one of the engine's pipeline operators
+    (operators/text quality semantics, operators/dedup
+    drop_exact_duplicates, operators/sampling hash_sample) composed as
+    DataFrames, and the whole chain stays one Catalyst plan: the quality
+    + language filters ride the scan, dedup is the single fingerprint
+    window shuffle, the hash sample is a map-side filter, and the final
+    agg is map-side partial.  The DuckDB oracle re-expresses all five
+    stages in SQL, so the COMPOSITION (not just each operator alone) is
+    hash-checked.
+    """
+    from ..operators import dedup as D
+    from ..operators.sampling import hash_sample as hs
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / F.length(c)
+    )
+    q = docs.filter(
+        (F.length(c) >= 200)
+        & (alpha_ratio >= 0.55)
+        & F.col("lang").isin("en", "de")
+    )
+    d = D.drop_exact_duplicates(q)
+    s = hs(d, "doc_id", 0.5)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(c), r"\s+"))).cast("long").alias("total_tokens"),
+            F.sum(F.length(c)).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
