@@ -142,3 +142,61 @@ def test_unpivot_no_shuffle_before_agg(spark, sf_dir, registry):
     plan = _physical(registry["unpivot_lineitem_measures"].fn(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, "unpivot scans once (UNION ALL form scans 3x)"
     assert "partial" in plan.lower(), "map-side partial agg expected"
+
+
+def test_q21_reuses_orderkey_partitioning_in_smj_regime(spark, sf_dir, registry):
+    """In the sort-merge regime (no broadcast), the per-(order,supp) agg
+    and both per-order window counts must ride the join's
+    hash(l_orderkey) partitioning — no further full-size exchange."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _physical(registry["q21_suppliers_waiting"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    # allowed: lineitem on l_orderkey, orders on o_orderkey, final s_name agg
+    assert len(shuffles) == 3, shuffles
+    assert not any("l_suppkey" in s for s in shuffles), (
+        "agg/window must not introduce an (orderkey, suppkey) exchange"
+    )
+
+
+def test_q20_no_cartesian_and_single_lineitem_scan(spark, sf_dir, registry):
+    plan = _physical(registry["q20_potential_promotion"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("FileScan parquet") == 4  # lineitem, part, supplier, nation — each table exactly once
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_stats_broadcast_and_no_udf(spark, sf_dir):
+    from datafusion_ballista_python_spark.sources import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    z = layout.with_zorder(li, ["l_partkey", "l_suppkey"])
+    plan = _physical(z)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_quantize_single_stats_broadcast_no_python(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.quantize_embeddings(emb)
+    plan = _physical(q)
+    assert "Python" not in plan and "BatchEval" not in plan
+    # exactly one corpus-wide aggregate feeding one broadcast
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_tfidf_partial_aggregation_before_shuffle(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(text.tfidf_top_terms(docs, k=3))
+    assert "partial_count" in plan, "term counts must combine map-side"
+    assert "Python" not in plan

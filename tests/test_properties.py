@@ -138,3 +138,48 @@ def test_in_list_matches_python(spark, xs, probe):
     ).df.collect()[0]
     assert got["i"] == (probe in xs)
     assert got["n"] == (probe not in xs)
+
+
+# ---------------------------------------------------------------------------
+# connected components vs reference union-find
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+
+    # reference: classic union-find with min-id relabel
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
