@@ -25,6 +25,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q18_large_volume",
+    "q20_potential_promotion",
     "q21_suppliers_waiting",
     "join_semi",
     "agg_distinct",
@@ -38,11 +39,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embed_cosine_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "mm_frame_sample",
     "text_quality",
+    "text_tfidf_topk",
     "pivot_priority_by_year",
     "sample_hash_fraction",
     "token_topk_per_lang",
+    "pipeline_curate_corpus",
+    "layout_zorder_values",
 ]
 
 

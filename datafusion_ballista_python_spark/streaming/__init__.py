@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -282,3 +282,59 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def incremental_dedup_sink(
+    docs_stream: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_path: str | None = None,
+):
+    """Continuously ingest documents into a parquet corpus store, dropping
+    anything whose content fingerprint is already stored — the streaming
+    arm of exact dedup for incremental training-data ingestion.
+
+    Per micro-batch (``foreachBatch``):
+    1. dedup within the batch itself (first arrival per fingerprint);
+    2. left-anti join against the store's fingerprint column — only the
+       columns needed for the join are read back, so at scale this reads
+       one skinny column of the store, not the corpus;
+    3. append survivors (with their fingerprint materialized, so later
+       batches keep reading just that column).
+
+    Exactly-once story: parquet append + checkpointed offsets means a
+    crashed batch may re-append — but re-delivered rows then dedup
+    against the store on replay, so duplicates cannot accumulate (the
+    dedup IS the idempotence).  At real scale, write the store
+    partitioned/bucketed by fingerprint prefix so the anti-join prunes.
+
+    Returns the StreamingQuery; callers stop it or await termination.
+    """
+    from ..operators.text import normalized_text
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        fresh = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(store_path)
+        ):
+            seen = spark.read.parquet(store_path).select("__fp")
+            fresh = fresh.join(seen, "__fp", "left_anti")
+        fresh.write.mode("append").parquet(store_path)
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -139,3 +139,36 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch fallback keeps the same key set
     batch = streaming.dedup_within_watermark(spark.createDataFrame(pdf), ["event_id"])
     assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
+
+
+def test_incremental_dedup_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """Two ingest passes over overlapping document batches must land every
+    distinct fingerprint exactly once in the store."""
+    from datafusion_ballista_python_spark import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    src_a = str(tmp_path / "in_a")
+    src_b = str(tmp_path / "in_b")
+    store = str(tmp_path / "store")
+    # batch A: first 40 docs; batch B: docs 20-60 (overlap 20-40) plus an
+    # exact-content duplicate of doc at a NEW id
+    a = docs.where(F.col("doc_id") < 40)
+    b = docs.where(F.col("doc_id") >= 20)
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(999_999).cast("long"))
+    a.write.parquet(src_a)
+    b.union(dup).write.parquet(src_b)
+
+    schema = docs.schema
+    for src in (src_a, src_b):
+        q = S.incremental_dedup_sink(
+            spark.readStream.schema(schema).parquet(src), store
+        )
+        q.awaitTermination()
+
+    stored = spark.read.parquet(store)
+    n_docs = docs.count()
+    # every distinct content exactly once; the re-delivered overlap and the
+    # renamed duplicate are both dropped
+    assert stored.count() == n_docs
+    assert stored.select("__fp").distinct().count() == n_docs
+    assert stored.where(F.col("doc_id") == 999_999).count() == 0
