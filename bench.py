@@ -97,6 +97,10 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
+        # isolate queries: frames persisted inside earlier operators (e.g.
+        # the LSH banded signatures) would otherwise pin executor memory and
+        # GC-tax every query that runs after them
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
