@@ -1,0 +1,30 @@
+"""The examples/ scripts (reference examples parity) must actually run."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(name: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", name)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_sql_parquet_example():
+    out = _run("sql-parquet.py")
+    assert "1-URGENT" in out
+
+
+def test_run_scheduler_executor_examples():
+    assert "Scheduler" in _run("run-scheduler.py")
+    assert "Executor" in _run("run-executor.py")
