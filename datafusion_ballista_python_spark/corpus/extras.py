@@ -240,3 +240,52 @@ def q6_revenue_pushdown(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF surface (extension; SURVEY §2.11 "UDTF: absent" in the reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_word_positions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(LEN(arr))) AS INT) AS pos,
+           UNNEST(arr) AS word
+    FROM (
+        SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS arr
+        FROM documents
+        WHERE doc_id < 20 AND LENGTH(TRIM(text)) > 0
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_word_positions(spark, sf_dir):
+    """User-defined TABLE function through the engine's udtf surface
+    (udtf.py), applied laterally per document row — one (word, position)
+    output row per token.  Oracle is DuckDB's zipped-UNNEST form.
+
+    This is the API-surface entry (row-at-a-time Python generator); the
+    engine's hot-path tokenization is the codegen explode in
+    operators/text.py — see SCALE.md's UDF ladder.
+    """
+    from ..udtf import register_udtf, udtf as make_udtf
+
+    @make_udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    register_udtf(spark, SplitWords, "corpus_split_words")
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs.where(
+        (F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0)
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM __udtf_docs d, LATERAL corpus_split_words(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
