@@ -120,6 +120,15 @@ class BallistaContext:
         reference never bound — implemented here, SURVEY §0)."""
         return DataFrame(sources.from_arrow(self.spark, partitions))
 
+    def start_sql_endpoint(self, port: int = 10000) -> int:
+        """Serve this context's catalog over the Thrift JDBC/ODBC protocol —
+        the Spark-native equivalent of the reference's FlightSQL gateway
+        (docs/source/user-guide/flightsql.md); any Hive JDBC client can
+        query the registered tables.  Returns the listening port."""
+        from .endpoint import start_sql_endpoint
+
+        return start_sql_endpoint(self.spark, port=port)
+
     # -- SQL (src/context.rs:166-172) --------------------------------------
 
     def sql(self, query: str) -> DataFrame:

@@ -1,0 +1,68 @@
+"""SQL-over-the-wire endpoint — the Spark-native answer to the reference's
+FlightSQL/JDBC gateway (docs/source/user-guide/flightsql.md: "connect with
+any JDBC client").
+
+The reference serves Arrow FlightSQL from the scheduler; Spark's
+equivalent serving surface is the HiveServer2 Thrift endpoint (the Spark
+Thrift Server), which any Hive JDBC/ODBC client (DBeaver, beeline,
+Tableau, pyhive) can query.  Tables registered on this session
+(``register_parquet`` etc.) are visible to connected clients, and queries
+execute on the full Catalyst/AQE engine.
+
+Scale: the endpoint is a thin RPC front — execution is the same
+distributed engine; concurrent JDBC sessions share the cluster via the
+scheduler pools (`spark.scheduler.mode=FAIR` recommended for mixed
+workloads).
+"""
+
+from __future__ import annotations
+
+import socket
+import time
+
+from pyspark.sql import SparkSession
+
+from .errors import BallistaError
+
+
+def start_sql_endpoint(
+    spark: SparkSession, port: int = 10000, wait_secs: float = 30.0
+) -> int:
+    """Start a Thrift JDBC/ODBC endpoint serving this session's catalog.
+
+    Returns the bound port once it accepts TCP connections.  Idempotence:
+    HiveThriftServer2 is a JVM singleton — a second call in one JVM
+    returns the already-running endpoint's port.
+    """
+    jvm = spark._jvm
+    # the thrift server reads its port from the hadoop/hive conf of the
+    # session's context, not from runtime SQL confs
+    spark.conf.set("hive.server2.thrift.port", str(port))
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "hive.server2.thrift.port", str(port)
+    )
+    try:
+        jsql = spark._jsparkSession.sqlContext()
+        jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+            jsql
+        )
+    except Exception as e:
+        # the server is a JVM singleton: a repeat start throws — treat it
+        # as success iff the endpoint is actually serving
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1.0):
+                return port
+        except OSError:
+            pass
+        raise BallistaError(
+            "SQL endpoint requires Spark's hive-thriftserver classes "
+            f"(bundled with full pyspark distributions): {e}"
+        ) from e
+    deadline = time.monotonic() + wait_secs
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1.0):
+                return port
+        except OSError:
+            time.sleep(0.5)
+    raise BallistaError(f"SQL endpoint did not start listening on port {port}")
