@@ -82,6 +82,10 @@ def build_session(
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+        # static conf, must be set before the JVM session exists: makes the
+        # Thrift JDBC endpoint (endpoint.py) share THIS session so
+        # registered temp views are visible to JDBC clients
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
     )
     for k, v in (extra_conf or {}).items():
         mapped = translate_conf(k)
