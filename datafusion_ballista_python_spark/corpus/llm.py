@@ -722,3 +722,86 @@ def ann_quantized_topk(spark, sf_dir):
     return similarity.quantized_cosine_topk(cands, queries, k=10).orderBy(
         "qid", F.desc("cos_sim"), "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + corpus-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_scrub_pii",
+    oracle=r"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1 (555) 010-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g') AS scrubbed
+    FROM synth ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII masking (emails / phone-shaped digit runs / IPv4) as pure
+    codegen regexp chains.  The entry synthesizes one email, phone and IP
+    per document the same way in both engines, so the masking itself —
+    not just a no-op pass — is hash-checked."""
+    from ..operators.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    synth = docs.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    return scrub_pii(synth, out_col="scrubbed").select("doc_id", "scrubbed").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_remove_boilerplate",
+    oracle=r"""
+    WITH lines AS (
+        SELECT doc_id,
+               CAST(UNNEST(RANGE(LEN(arr))) AS INT) AS pos,
+               UNNEST(arr) AS line
+        FROM (SELECT doc_id, STRING_SPLIT(text, chr(10)) AS arr FROM documents)
+    ),
+    keyed AS (
+        SELECT doc_id, pos, line,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(line)), '\s+', ' ', 'g')) AS fp,
+               LENGTH(TRIM(line)) >= 10 AS long
+        FROM lines
+    ),
+    freq AS (
+        SELECT fp FROM keyed WHERE long
+        GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 2
+    )
+    SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS text
+    FROM keyed
+    WHERE NOT (long AND fp IN (SELECT fp FROM freq))
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style corpus-level line dedup: lines whose normalized form
+    appears in more than 2 documents (boilerplate chrome, license
+    headers, exact-duplicate bodies) are stripped from every document.
+    Documents reassemble in original line order; fully hash-checked."""
+    from ..operators.text import remove_boilerplate_lines
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return remove_boilerplate_lines(docs, max_docs_per_line=2).orderBy("doc_id")

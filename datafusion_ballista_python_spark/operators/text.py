@@ -271,3 +271,98 @@ def bm25_top_terms(
         .where(F.col("__rn") <= k)
         .select(F.col(id_col), "term", "tf", "dl", "bm25")
     )
+
+
+# -- corpus-level boilerplate line removal (C4-style) ----------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_docs_per_line: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Strip lines whose normalized form appears in more than
+    ``max_docs_per_line`` documents (navigation chrome, cookie banners,
+    license headers) — the C4-recipe corpus-level cleanup that per-doc
+    filters can't do.
+
+    Scale shape: posexplode to skinny (doc, pos, line) rows; line
+    fingerprints aggregate with map-side partials (the boilerplate head
+    collapses before the shuffle — the same Zipf argument as tf-idf);
+    frequent lines join back on the fingerprint; surviving lines
+    re-assemble with concat_ws over collect_list ordered by position
+    (one window-free groupBy; order restored via array_sort on (pos,
+    line) structs, not a sort of the whole corpus).  Short lines are
+    exempt (blank/separator lines would collide across every doc).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("__line"))), r"\s+", " ")
+    keyed = lines.withColumn("__fp", F.md5(norm)).withColumn(
+        "__long", F.length(F.trim(F.col("__line"))) >= min_line_chars
+    )
+    freq = (
+        keyed.where(F.col("__long"))
+        .groupBy("__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .where(F.col("__ndocs") > max_docs_per_line)
+        .select("__fp")
+    )
+    kept = keyed.join(
+        freq.withColumnRenamed("__fp", "__bfp"),
+        (F.col("__long")) & (F.col("__fp") == F.col("__bfp")),
+        "left_anti",
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+            ).alias("__parts")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("__parts"), lambda s: s["__line"])
+            ).alias(text_col),
+        )
+    )
+    return reassembled
+
+
+# -- PII scrubbing ---------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+    ip_token: str = "[IP]",
+) -> DataFrame:
+    """Mask emails, phone-number-shaped digit runs, and IPv4 addresses
+    with typed placeholder tokens — the standard pre-training PII scrub.
+
+    Pure codegen (three chained regexp_replace) — no Python, no shuffle;
+    runs at scan throughput.  Pattern-based scrubbing is a floor, not a
+    guarantee: layer model-based NER behind it for higher-recall redaction
+    (that step is the expensive mapInPandas tier).
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _EMAIL_RE, email_token), _IPV4_RE, ip_token
+        ),
+        _PHONE_RE,
+        phone_token,
+    )
+    return df.withColumn(out_col or text_col, scrubbed)

@@ -457,3 +457,40 @@ def test_quantized_topk_matches_exact_mostly(spark, emb):
     e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
     s = {(r["qid"], r["vec_id"]) for r in quant.collect()}
     assert len(e & s) / len(e) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_masks_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk call +1 (555) 123-4567 host 192.168.0.1 end")],
+        ["doc_id", "text"],
+    )
+    out = text.scrub_pii(df).collect()[0]["text"]
+    assert "[EMAIL]" in out and "[PHONE]" in out and "[IP]" in out
+    assert "@" not in out and "192.168" not in out and "555" not in out
+
+
+def test_remove_boilerplate_strips_common_lines_keeps_order(spark):
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (i, f"unique line number {i}\n{footer}\nanother unique {i}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in text.remove_boilerplate_lines(df, max_docs_per_line=2).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"unique line number {i}\nanother unique {i}"
+
+
+def test_remove_boilerplate_short_lines_exempt(spark):
+    rows = [(i, f"---\nreal content {i} stays here") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.remove_boilerplate_lines(df, max_docs_per_line=2).collect()
+    assert all(r["text"].startswith("---\n") for r in out)
