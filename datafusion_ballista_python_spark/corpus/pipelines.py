@@ -527,3 +527,34 @@ def skew_salted_join(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               POWER(
+                 (CAST(CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0,
+                 1.0 / CAST(n_chars AS DOUBLE)
+               ) AS wsk
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY wsk DESC, doc_id
+    LIMIT 40
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis),
+    weight = document length: longer documents are proportionally more
+    likely to be drawn.  The hash-derived uniform makes the draw
+    deterministic and cross-engine reproducible — the whole sample
+    hash-checks against DuckDB computing the identical rank keys."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", "doc_id", n=40
+    ).orderBy("doc_id")

@@ -64,3 +64,38 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: str | Column,
+    key: str | Column,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets rank key ``u^(1/w)`` with
+    ``u`` a content-hash-derived uniform in (0, 1]; the top-n by that key
+    is a weight-proportional sample.  Rows with weight <= 0 are excluded.
+
+    Deterministic per key (same row always in/out for a given corpus),
+    which makes it reproducible across partitionings AND expressible in
+    the DuckDB oracle.  Scale: the rank key is a pure map; top-n fuses to
+    TakeOrderedAndProject (per-partition top-n, k-way driver merge — no
+    full sort).  For n beyond driver-merge comfort, switch to per-stratum
+    ranks (stratified_sample) or threshold sampling.
+    """
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    kcol = F.col(key) if isinstance(key, str) else key
+    # 60-bit md5-derived uniform in (0, 1]; +1 keeps u > 0 so ln(u) finite
+    u = (
+        F.conv(F.substring(F.md5(kcol.cast("string")), 1, 15), 16, 10).cast("double")
+        + 1.0
+    ) / float(16**15)
+    rank_key = F.pow(u, 1.0 / wcol.cast("double"))
+    return (
+        df.where(wcol > 0)
+        .withColumn("__wsk", rank_key)
+        .orderBy(F.col("__wsk").desc(), kcol)
+        .limit(n)
+        .drop("__wsk")
+    )

@@ -55,3 +55,34 @@ def test_stratified_sample_exact_n_and_invariant(spark, sf_dir):
     assert sorted(map(tuple, out.select("lang", "doc_id").collect())) == sorted(
         map(tuple, out2.select("lang", "doc_id").collect())
     )
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from datafusion_ballista_python_spark.operators.sampling import weighted_sample
+
+    # 200 light rows (w=1) + 20 heavy rows (w=100): a 30-row draw should
+    # be dominated by heavy rows under weight-proportional sampling
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 100.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = weighted_sample(df, "w", "k", n=30).collect()
+    heavy = sum(1 for r in out if r["k"] >= 1000)
+    assert heavy >= 15
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from datafusion_ballista_python_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["k", "w"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["k", "w"]).repartition(8)
+    s1 = sorted(r["k"] for r in weighted_sample(df1, "w", "k", 25).collect())
+    s8 = sorted(r["k"] for r in weighted_sample(df8, "w", "k", 25).collect())
+    assert s1 == s8
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from datafusion_ballista_python_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["k", "w"])
+    out = [r["k"] for r in weighted_sample(df, "w", "k", 10).collect()]
+    assert out == [3]
