@@ -433,3 +433,70 @@ def quantized_cosine_topk(
         query_vec=query_vec,
         round_digits=round_digits,
     )
+
+
+# -- IVF on-disk index: cell-partitioned layout + pruned probes ------------
+
+
+def write_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet dataset:
+    one hive partition directory per quantizer cell.
+
+    This is the 100 TB ANN serving layout the in-memory ``ivf_topk``
+    docstring promises: a probe that touches ``n_probe`` of
+    ``n_centroids`` cells reads exactly those partition directories —
+    the other cells' files are never opened (dynamic partition pruning,
+    plan-asserted in tests).  Cell assignment is the same Arrow-batched
+    matmul as the query path; the write shuffles once on cell id.
+    """
+    from ..sources.layout import write_partitioned
+
+    cells = candidates.withColumn(
+        "cell", _cell_assign_udf(centroids)(F.col(vec_col))
+    )
+    write_partitioned(cells, path, ["cell"])
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qe",
+) -> DataFrame:
+    """ANN top-k against a :func:`write_ivf_index` dataset.
+
+    Queries explode to their ``n_probe`` nearest cells; the broadcast
+    probe-side join on the PARTITION column triggers dynamic partition
+    pruning, so the scan reads only the probed cell directories.  Result
+    semantics match :func:`ivf_topk` with the same centroids.
+    """
+    cells = spark.read.parquet(path)
+    probes = queries.withColumn(
+        "cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(query_vec)))
+    )
+    extra = [c for c in cells.columns if c not in (vec_col, "cell")]
+    sim = F.round(
+        dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 4
+    )
+    scored = (
+        F.broadcast(_with_norm(probes, query_vec, "__qn"))
+        .join(_with_norm(cells, vec_col, "__cn"), on="cell")
+        .select(F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

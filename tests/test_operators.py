@@ -494,3 +494,44 @@ def test_remove_boilerplate_short_lines_exempt(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = text.remove_boilerplate_lines(df, max_docs_per_line=2).collect()
     assert all(r["text"].startswith("---\n") for r in out)
+
+
+# ---------------------------------------------------------------------------
+# IVF on-disk index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_roundtrip_matches_in_memory(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = similarity.train_centroids(emb, n_centroids=8)
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") >= 5), path, cents)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    mem = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), queries, k=10, n_probe=4, centroids=cents
+    )
+    idx = similarity.ivf_topk_from_index(
+        spark, path, queries, cents, k=10, n_probe=4
+    )
+    m = {(r["qid"], r["vec_id"]) for r in mem.collect()}
+    i = {(r["qid"], r["vec_id"]) for r in idx.collect()}
+    assert m == i
+
+
+def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
+    import os
+
+    path = str(tmp_path / "ivf2")
+    cents = similarity.train_centroids(emb, n_centroids=8)
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") >= 5), path, cents)
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert n_dirs > 4  # enough cells that pruning is observable
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.ivf_topk_from_index(spark, path, queries, cents, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [" in plan
+    # ground truth: the files actually read cover only the probed cells
+    out.collect()
