@@ -289,3 +289,42 @@ def udtf_word_positions(spark, sf_dir):
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@query(
+    "window_time_range_features",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w1h AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w1h AS DOUBLE) AS sum_1h
+    FROM (SELECT user_id, event_id, value,
+                 EPOCH_US(CAST(ts AS TIMESTAMP)) AS us FROM events)
+    WINDOW w1h AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_time_range_features(spark, sf_dir):
+    """Time-RANGE window frames — per-user rolling 1-hour event count and
+    value sum, the standard time-series feature-engineering shape.  The
+    frame is RANGE over epoch-microseconds (exact integer bounds on both
+    engines; ties are peers in both).  Scale: one exchange on user_id,
+    streaming frame evaluation within each partition — no self-join
+    formulation, no point-in-interval explosion."""
+    ev = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__us"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.withColumn("__us", us)
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
