@@ -558,3 +558,79 @@ def sample_weighted(spark, sf_dir):
     return weighted_sample(
         docs.select("doc_id", "lang", "n_chars"), "n_chars", "doc_id", n=40
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# data-quality gates: profiling + constraint validation
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """Single-pass table profile (count / nulls / min / max / distinct per
+    column) — the promote-gate primitive.  All metrics come from ONE
+    aggregate over the table; the oracle recomputes each column's row
+    independently."""
+    from ..operators.quality import profile_table
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_custkey"]).orderBy(
+        "column"
+    )
+
+
+@query(
+    "dq_constraints_orders",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    ORDER BY rule
+    """,
+)
+def dq_constraints_orders(spark, sf_dir):
+    """Constraint-gate validation: not-null, key uniqueness (count minus
+    distinct — no self-join), and referential integrity (left-anti
+    orphan count) as violation counts.  Hash-matching the oracle proves
+    the formulations, including the expected all-zeros result on clean
+    TPC-H data."""
+    from ..operators.quality import check_constraints
+
+    t = load(spark, sf_dir, "orders", "customer")
+    return check_constraints(
+        t["orders"],
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        fk=(["o_custkey"], t["customer"], ["c_custkey"]),
+    ).orderBy("rule")

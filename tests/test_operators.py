@@ -535,3 +535,39 @@ def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
     assert "dynamicpruning" in plan or "PartitionFilters: [" in plan
     # ground truth: the files actually read cover only the probed cells
     out.collect()
+
+
+# ---------------------------------------------------------------------------
+# data quality
+# ---------------------------------------------------------------------------
+
+
+def test_profile_single_pass(spark):
+    from datafusion_ballista_python_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["k", "v"]
+    )
+    prof = {r["column"]: r for r in quality.profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["k"]["min_s"] == "1" and prof["k"]["max_s"] == "2"
+
+
+def test_check_constraints_counts_violations(spark):
+    from datafusion_ballista_python_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, None), (3, 99)], ["k", "ref"]
+    )
+    ref = spark.createDataFrame([(10,), (20,)], ["r"])
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in quality.check_constraints(
+            df, not_null=["ref"], unique=["k"], fk=(["ref"], ref, ["r"])
+        ).collect()
+    }
+    assert out["not_null:ref"] == 1
+    assert out["unique:k"] == 1  # k=1 appears twice -> surplus of 1
+    assert out["fk:ref->r"] == 1  # ref=99 is an orphan (null exempt)
