@@ -48,6 +48,9 @@ HEADLINE = [
     "token_topk_per_lang",
     "pipeline_curate_corpus",
     "layout_zorder_values",
+    "window_time_range_features",
+    "sample_weighted",
+    "dq_profile_orders",
 ]
 
 
