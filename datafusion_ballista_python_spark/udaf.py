@@ -9,7 +9,9 @@ aggregation — the same shape Spark uses for built-in aggregates:
 
   phase 1 (map-side partial, no shuffle): ``mapInPandas`` folds each
       partition's batches into one accumulator per group key and emits
-      rows of [group keys..., state fields...];
+      rows of [group keys..., state fields...]; the live-accumulator dict
+      is flushed every ``PARTIAL_FLUSH_KEYS`` distinct keys so memory is
+      bounded regardless of per-partition group cardinality;
   phase 2 (final, one shuffle on the group keys): ``applyInPandas`` per
       key calls ``merge`` over the collected partial states, then
       ``evaluate``.
@@ -33,6 +35,12 @@ from pyspark.sql import types as T
 from .datatypes import arrow_to_spark
 from .errors import BallistaError
 from .expression import to_column
+
+# Phase-1 flush threshold: cap on live Python accumulators per task.  With
+# the default 64k keys and small fixed-size states the dict stays ~tens of
+# MB even at 10^8 distinct keys per partition; extra partial rows per key
+# only add shuffle bytes, which phase-2 merge absorbs.
+PARTIAL_FLUSH_KEYS = 65536
 
 
 class UdafFactory:
@@ -112,9 +120,27 @@ def apply_udafs(
     partial_schema = T.StructType(list(key_schema) + state_fields)
     factories = [u.factory for u in udafs]
 
-    def partial(batches):
+    cols = key_names + [f.name for f in state_fields]
+
+    def drain(accs):
+        """Turn the accumulator dict into partial-state rows and clear it."""
         import pandas as pd
 
+        rows = []
+        for key, accum_list in accs.items():
+            row = list(key)
+            for acc in accum_list:
+                row.extend(s.as_py() for s in acc.state())
+            rows.append(row)
+        accs.clear()
+        return pd.DataFrame(rows, columns=cols)
+
+    def partial(batches):
+        # Memory bound: the dict holds at most PARTIAL_FLUSH_KEYS live
+        # accumulators; past that the partial states are emitted early and
+        # the dict reset (a native hash agg's spill).  A key seen again
+        # after a flush just produces another partial row — phase 2's
+        # merge already folds any number of partials per key.
         accs: dict[tuple, list] = {}
         for pdf in batches:
             if pdf.empty:
@@ -127,47 +153,90 @@ def apply_udafs(
                 for ui, fac in enumerate(factories):
                     arr = pa.Array.from_pandas(g[in_names[ui]], type=fac.input_type)
                     accs_for_key[ui].update(arr)
-        rows = []
-        for key, accum_list in accs.items():
-            row = list(key)
-            for acc in accum_list:
-                row.extend(s.as_py() for s in acc.state())
-            rows.append(row)
-        cols = key_names + [f.name for f in state_fields]
-        yield pd.DataFrame(rows, columns=cols)
+            if len(accs) >= PARTIAL_FLUSH_KEYS:
+                yield drain(accs)
+        if accs:
+            yield drain(accs)
 
     partials = base.mapInPandas(partial, schema=partial_schema)
 
     # ---- phase 2: shuffle on keys, merge + evaluate ----------------------
+    # Sort-based streaming merge, not groupBy().applyInPandas: that API
+    # makes one Python call (and one pandas frame) PER GROUP, which at 10^5+
+    # groups dominates wall time.  Hash-repartition on the keys co-locates
+    # each key's partials, sortWithinPartitions makes them contiguous, and
+    # mapInPandas streams group boundaries — O(arrow batches) Python calls
+    # and memory bounded by one batch + the current group's state rows.
     result_fields = T.StructType(
         list(key_schema)
         + [T.StructField(u.out_name, arrow_to_spark(u.factory.return_type), True) for u in udafs]
     )
+    out_cols = [f.name for f in result_fields.fields]
 
-    def final(pdf):
-        import pandas as pd
-
-        out_row = list(pdf.iloc[0][key_names]) if n_keys else []
+    def merge_eval(raw_key, buffers):
+        row = list(raw_key)
         for ui, fac in enumerate(factories):
             acc = fac.accum()
             states = [
-                pa.Array.from_pandas(pdf[f"__st_{ui}_{si}"], type=st)
+                pa.array(buffers[ui][si], type=st)
                 for si, st in enumerate(fac.state_type)
             ]
             acc.merge(states)
-            out_row.append(acc.evaluate().as_py())
-        return pd.DataFrame([out_row], columns=[f.name for f in result_fields.fields])
+            row.append(acc.evaluate().as_py())
+        return row
+
+    def final_stream(batches):
+        import pandas as pd
+
+        def norm(k):
+            # NaN != NaN would split a null-keyed group at a batch boundary
+            return tuple(None if (isinstance(x, float) and x != x) else x for x in k)
+
+        cur_norm = cur_raw = cur_buf = None
+        pending: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # rows arrive sorted by key, so sort=False iterates contiguous runs
+            for key, g in pdf.groupby(key_names, dropna=False, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                nk = norm(key)
+                if cur_norm is not None and nk != cur_norm:
+                    pending.append(merge_eval(cur_raw, cur_buf))
+                    cur_norm = None
+                if cur_norm is None:
+                    cur_norm, cur_raw = nk, key
+                    cur_buf = [[[] for _ in fac.state_type] for fac in factories]
+                for ui, fac in enumerate(factories):
+                    for si in range(len(fac.state_type)):
+                        cur_buf[ui][si].extend(g[f"__st_{ui}_{si}"].tolist())
+            if len(pending) >= 4096:
+                yield pd.DataFrame(pending, columns=out_cols)
+                pending = []
+        if cur_norm is not None:
+            pending.append(merge_eval(cur_raw, cur_buf))
+        if pending:
+            yield pd.DataFrame(pending, columns=out_cols)
+
+    def final_global(batches):
+        import pandas as pd
+
+        buffers = [[[] for _ in fac.state_type] for fac in factories]
+        for pdf in batches:
+            for ui, fac in enumerate(factories):
+                for si in range(len(fac.state_type)):
+                    buffers[ui][si].extend(pdf[f"__st_{ui}_{si}"].tolist())
+        yield pd.DataFrame([merge_eval([], buffers)], columns=out_cols)
 
     if n_keys:
-        finals = partials.groupBy(*key_names).applyInPandas(final, schema=result_fields)
-    else:
         finals = (
-            partials.withColumn("__g", F.lit(1))
-            .groupBy("__g")
-            .applyInPandas(
-                lambda pdf: final(pdf.drop(columns="__g")), schema=result_fields
-            )
+            partials.repartition(*key_names)
+            .sortWithinPartitions(*key_names)
+            .mapInPandas(final_stream, schema=result_fields)
         )
+    else:
+        finals = partials.coalesce(1).mapInPandas(final_global, schema=result_fields)
 
     # ---- optional plain aggregates over the same grouping ----------------
     if plain_aggs:

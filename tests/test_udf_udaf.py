@@ -147,6 +147,37 @@ def test_udaf_multi_state(ctx, sf_dir):
         assert a == pytest.approx(b, rel=1e-9)
 
 
+def test_udaf_high_cardinality_flushes_bounded(ctx, monkeypatch):
+    """Phase-1 memory bound: with >= 10^5 distinct keys per partition and a
+    tiny flush threshold, the partial stage emits many state rows per task
+    instead of one dict over the whole partition, and phase-2 merge still
+    produces exact sums (keys recur across flushes, so a wrong merge or a
+    dropped flush shows up as a wrong total)."""
+    import importlib
+
+    udaf_mod = importlib.import_module("datafusion_ballista_python_spark.udaf")
+    from datafusion_ballista_python_spark.dataframe import DataFrame
+
+    monkeypatch.setattr(udaf_mod, "PARTIAL_FLUSH_KEYS", 1000)
+
+    spark = ctx.spark
+    n, groups = 200_000, 100_000
+    sdf = spark.range(n, numPartitions=4).selectExpr(
+        "CAST(id % 100000 AS DOUBLE) AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    df = DataFrame(sdf)
+    s = udaf(SumAcc, pa.float64(), pa.float64(), [pa.float64()])
+    out = pa.Table.from_batches(
+        df.aggregate([col("k")], [s(col("v")).alias("s")]).collect()
+    )
+    assert out.num_rows == groups
+    # every key k gets id=k and id=k+100000 -> sum = 2k + 100000
+    got = dict(zip(out.column("k").to_pylist(), out.column("s").to_pylist()))
+    for k in (0.0, 1.0, 12345.0, 99999.0):
+        assert got[k] == pytest.approx(2 * k + 100_000)
+    assert sum(got.values()) == pytest.approx(n * (n - 1) / 2)
+
+
 # -- UDTF (extension; reference has none — SURVEY §2.11) -------------------
 
 def test_udtf_split_words(spark):
