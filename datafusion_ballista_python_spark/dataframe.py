@@ -181,17 +181,34 @@ class DataFrame:
 
     def collect_stream(self, batch_size: int = 8192) -> Iterator[pa.RecordBatch]:
         """Incremental arrow batches — bounded driver memory at any scale
-        (SURVEY §7 known-hard #4).  Partitions are fetched one at a time via
-        ``toLocalIterator`` and re-chunked to ``batch_size`` rows."""
-        schema = spark_schema_to_arrow(self.df.schema)
-        buf: list = []
-        for row in self.df.toLocalIterator(prefetchPartitions=True):
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= batch_size:
-                yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+        (SURVEY §7 known-hard #4).
+
+        Arrow-native end to end: ``mapInArrow`` re-chunks each partition's
+        batches to ``batch_size`` rows and serializes them worker-side into
+        Arrow IPC blobs (one binary row per blob); the driver fetches those
+        rows one partition at a time via ``toLocalIterator`` and deserializes
+        blobs back into RecordBatches.  Driver-side Python work is O(blobs),
+        not O(rows) — no per-row ``asDict`` reconstruction — and peak driver
+        memory is one prefetched partition of compacted IPC bytes."""
+        size = int(batch_size)
+
+        def serialize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                for start in range(0, batch.num_rows, size):
+                    chunk = batch.slice(start, size)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, chunk.schema) as writer:
+                        writer.write_batch(chunk)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())],
+                        names=["ipc"],
+                    )
+
+        blobs = self.df.mapInArrow(serialize, schema="ipc binary")
+        for row in blobs.toLocalIterator(prefetchPartitions=True):
+            with pa.ipc.open_stream(row[0]) as reader:
+                for batch in reader:
+                    yield batch
 
     def show(self, num: int = 20) -> None:
         """Pretty-print first ``num`` rows (src/dataframe.rs:124-130)."""

@@ -86,6 +86,43 @@ def test_collect_stream_batches(li):
     assert total == 100
 
 
+def test_collect_stream_matches_collect_values(li):
+    sub = li.limit(50).select(col("l_orderkey"), col("l_quantity"))
+    streamed = pa.Table.from_batches(list(sub.collect_stream(batch_size=7)))
+    collected = pa.Table.from_batches(sub.collect())
+    assert streamed.sort_by("l_orderkey").equals(
+        collected.sort_by("l_orderkey").cast(streamed.schema)
+    )
+
+
+def test_collect_stream_is_arrow_native(ctx):
+    """The driver must deserialize IPC blobs, not rebuild rows: for n rows
+    with batch_size B over p partitions there are at most p + ceil(n/B)
+    blob opens — per-row asDict would be 100k of them."""
+    import pyarrow.ipc
+
+    from datafusion_ballista_python_spark.dataframe import DataFrame
+
+    sdf = ctx.spark.range(100_000, numPartitions=4).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    )
+    opens = 0
+    orig_open = pa.ipc.open_stream
+
+    def counting_open(*a, **kw):
+        nonlocal opens
+        opens += 1
+        return orig_open(*a, **kw)
+
+    pa.ipc.open_stream = counting_open
+    try:
+        total = sum(b.num_rows for b in DataFrame(sdf).collect_stream(batch_size=10_000))
+    finally:
+        pa.ipc.open_stream = orig_open
+    assert total == 100_000
+    assert 0 < opens <= 4 + 10  # blobs, nowhere near per-row
+
+
 def test_explain_string_has_plan(li):
     plan = li.filter(col("l_quantity") > lit(10)).explain_string()
     assert "Scan parquet" in plan or "FileScan" in plan or "PhotonScan" in plan
