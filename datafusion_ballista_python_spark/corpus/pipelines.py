@@ -348,8 +348,8 @@ WITH s AS (
 ),
 q AS (
     SELECT l_orderkey, l_linenumber,
-           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((l_partkey - mn0) * 255 AS DOUBLE) / (mx0 - mn0)) AS BIGINT))) AS q0,
-           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((l_suppkey - mn1) * 255 AS DOUBLE) / (mx1 - mn1)) AS BIGINT))) AS q1
+           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((CAST(l_partkey AS BIGINT) - mn0) * 255 AS DOUBLE) / (mx0 - mn0)) AS BIGINT))) AS q0,
+           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((CAST(l_suppkey AS BIGINT) - mn1) * 255 AS DOUBLE) / (mx1 - mn1)) AS BIGINT))) AS q1
     FROM lineitem CROSS JOIN s
 )
 SELECT l_orderkey, l_linenumber, CAST({_Z_TERMS} AS BIGINT) AS zval

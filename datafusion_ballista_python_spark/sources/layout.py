@@ -114,7 +114,11 @@ def _quantized(col: F.Column, mn: F.Column, mx: F.Column, bits: int, is_int: boo
     """
     top = (1 << bits) - 1
     if is_int:
-        q = F.when(mx > mn, ((col - mn) * top).cast("long") / (mx - mn)).otherwise(F.lit(0))
+        # widen to long BEFORE the multiply: (x - mn) * 255 in a 32-bit
+        # column whose range exceeds ~2^31/top silently wraps in non-ANSI
+        # mode, mis-clustering every file past ~8.4M distinct values
+        c, lo, hi = col.cast("long"), mn.cast("long"), mx.cast("long")
+        q = F.when(mx > mn, (c - lo) * top / (hi - lo)).otherwise(F.lit(0))
         q = F.floor(q).cast("long")
     else:
         q = F.when(

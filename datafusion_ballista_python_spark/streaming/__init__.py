@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator, Optional, Tuple
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -315,9 +316,19 @@ def incremental_dedup_sink(
 
     spark = docs_stream.sparkSession
 
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
-        import os
+    def store_fingerprints():
+        """Read the store's fingerprint column, or None on the first batch.
 
+        Probed via spark.read itself (not driver-local os.path calls,
+        which are always false for hdfs:// or s3a:// stores and would
+        silently disable cross-batch dedup — the sink's core guarantee).
+        """
+        try:
+            return spark.read.parquet(store_path).select("__fp")
+        except AnalysisException:
+            return None
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
         fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         fresh = (
@@ -325,10 +336,8 @@ def incremental_dedup_sink(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.isdir(store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(store_path)
-        ):
-            seen = spark.read.parquet(store_path).select("__fp")
+        seen = store_fingerprints()
+        if seen is not None:
             fresh = fresh.join(seen, "__fp", "left_anti")
         fresh.write.mode("append").parquet(store_path)
 

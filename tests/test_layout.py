@@ -128,6 +128,25 @@ def test_write_zordered_prunes_both_dims(spark, sf_dir, tmp_path):
     assert zp <= zt / 2 and zs <= zt / 2
 
 
+def test_zorder_wide_int32_range_no_overflow(spark):
+    """(x - mn) * 255 on an int32 column whose range exceeds 2^31/255 must
+    not wrap: min and max must land on quantized codes 0 and 255, and codes
+    must be monotone in the value."""
+    from datafusion_ballista_python_spark.sources import layout
+
+    vals = [0, 1, 2**28, 2**30, 2**31 - 10]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, x int"
+    )
+    z = layout.with_zorder(df, ["x"], bits=8, out_col="z")
+    got = {r["x"]: r["z"] for r in z.collect()}
+    # single column -> z-value IS the quantized code
+    assert got[0] == 0 and got[2**31 - 10] == 255
+    codes = [got[v] for v in vals]
+    assert codes == sorted(codes), codes
+    assert all(0 <= c <= 255 for c in codes)
+
+
 def test_write_zordered_preserves_rows(spark, sf_dir, tmp_path):
     from datafusion_ballista_python_spark.sources import layout
 
