@@ -106,17 +106,41 @@ def stream_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
-@query("stream_stateful_user_stats")
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_stateful_user_stats(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState) run as a stream to
-    end-of-input; rows-only check (arbitrary-state operators are outside
-    SQL).  Final emitted row per user = full-history stats, asserted
-    against a batch groupBy in tests."""
+    end-of-input, full-value oracle: the final emitted row per user must
+    equal a batch aggregate over all history.  The accumulator keeps its
+    running total in integer micro-units so the sum is exact (bit-identical
+    to the DECIMAL(25,6) oracle) regardless of batch/partition order.
+    Update mode emits one row per user per micro-batch; the window keeps
+    only the last (max n_events) emission per user."""
+    from pyspark.sql import Window
+
     stream = streaming.events_stream(spark, sf_dir)
     stats = streaming.stateful_user_stats(stream)
-    return streaming.run_available_now(
+    sink = streaming.run_available_now(
         stats, "stream_stateful_sink", output_mode="update"
-    ).orderBy("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
 
 
 @query(

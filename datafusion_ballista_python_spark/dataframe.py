@@ -191,18 +191,29 @@ class DataFrame:
         not O(rows) — no per-row ``asDict`` reconstruction — and peak driver
         memory is one prefetched partition of compacted IPC bytes."""
         size = int(batch_size)
+        # one blob is a single pa.binary() value (int32 offsets, 2 GiB hard
+        # cap); very wide rows x a big batch_size could overflow worker-side,
+        # so chunks above this byte size are subdivided before serializing
+        max_blob_bytes = 128 << 20
 
         def serialize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            def emit(chunk: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+                if chunk.nbytes > max_blob_bytes and chunk.num_rows > 1:
+                    half = chunk.num_rows // 2
+                    yield from emit(chunk.slice(0, half))
+                    yield from emit(chunk.slice(half))
+                    return
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, chunk.schema) as writer:
+                    writer.write_batch(chunk)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())],
+                    names=["ipc"],
+                )
+
             for batch in batches:
                 for start in range(0, batch.num_rows, size):
-                    chunk = batch.slice(start, size)
-                    sink = pa.BufferOutputStream()
-                    with pa.ipc.new_stream(sink, chunk.schema) as writer:
-                        writer.write_batch(chunk)
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())],
-                        names=["ipc"],
-                    )
+                    yield from emit(batch.slice(start, size))
 
         blobs = self.df.mapInArrow(serialize, schema="ipc binary")
         for row in blobs.toLocalIterator(prefetchPartitions=True):

@@ -26,7 +26,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -34,25 +33,23 @@ from pyspark.sql.types import (
 
 from ..sources import normalize_ns_timestamps
 
-# events.parquet surfaced through nanosAsLong (see sources): ts arrives as a
-# raw ns long and is normalized to timestamp_ntz(us) below.
-_RAW_EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source).  One file here;
-    on a real deployment the same code tails a directory/Kafka topic."""
+    on a real deployment the same code tails a directory/Kafka topic.
+
+    The stream schema is probed from the data itself (a batch read of the
+    same glob) rather than hardcoded: ``ts`` may arrive as timestamp[us]
+    (read natively) or as a raw ns long under nanosAsLong — hardcoding one
+    of the two silently corrupts every timestamp when the data is the
+    other.  ``normalize_ns_timestamps`` only rewrites columns that really
+    arrive as bigint, so both layouts stream correctly.
+    """
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(_RAW_EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # file-stream sources list a directory; pathGlobFilter selects the
         # events file from the shared testdata dir
@@ -134,7 +131,11 @@ STATEFUL_OUTPUT_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        # running total in exact integer micro-units (value rounded to 6
+        # decimals per row, like CAST(value AS DECIMAL(25,6))) — float
+        # accumulation would drift by final ulps vs a batch oracle and be
+        # partition-order dependent; integer sums are exact and commutative
+        StructField("total_us6", LongType()),
         StructField("mx", DoubleType()),
         StructField("last_us", LongType()),
     ]
@@ -146,20 +147,28 @@ def _update_user_stats(
 ) -> Iterator:
     """Running per-user aggregate with explicit state — the template for
     operators Spark lacks natively (per-key models, CEP, custom decay)."""
+    import numpy as np
     import pandas as pd
 
-    n, total, mx, last_us = state.get if state.exists else (0, 0.0, float("-inf"), 0)
+    n, total_us6, mx, last_us = (
+        state.get if state.exists else (0, 0, float("-inf"), 0)
+    )
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_us6 += int(
+            np.round(pdf["value"].values * 1e6).astype("int64").sum()
+        )
         mx = max(mx, float(pdf["value"].max()))
-        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, total, mx, last_us))
+        # unit-safe: pandas may hold ts as datetime64[ns] or [us] depending
+        # on the Arrow source unit; normalize to us before taking the max
+        batch_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        last_us = max(last_us, int(batch_us.max()))
+    state.update((n, total_us6, mx, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 6)],
+            "total_value": [total_us6 / 1e6],
             "max_value": [mx],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
@@ -322,11 +331,32 @@ def incremental_dedup_sink(
         Probed via spark.read itself (not driver-local os.path calls,
         which are always false for hdfs:// or s3a:// stores and would
         silently disable cross-batch dedup — the sink's core guarantee).
+        Only the two expected first-batch conditions (no store yet /
+        empty store) map to None; any other AnalysisException (corrupt
+        footer, permissions, schema) re-raises instead of silently
+        disabling cross-batch dedup.
         """
         try:
             return spark.read.parquet(store_path).select("__fp")
-        except AnalysisException:
-            return None
+        except AnalysisException as e:
+            cond = None
+            for probe in ("getCondition", "getErrorClass"):
+                fn = getattr(e, probe, None)
+                if callable(fn):
+                    try:
+                        cond = fn()
+                    except Exception:
+                        cond = None
+                    if cond:
+                        break
+            if cond is not None:
+                if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                    return None
+                raise
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                return None
+            raise
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))

@@ -177,8 +177,12 @@ def apply_udafs(
         row = list(raw_key)
         for ui, fac in enumerate(factories):
             acc = fac.accum()
+            # from_pandas=True: buffer values come off pandas columns where
+            # null states round-trip as NaN/NaT; without it integer state
+            # types raise ArrowInvalid and float states receive NaN instead
+            # of null, corrupting accumulators whose state can be None
             states = [
-                pa.array(buffers[ui][si], type=st)
+                pa.array(buffers[ui][si], type=st, from_pandas=True)
                 for si, st in enumerate(fac.state_type)
             ]
             acc.merge(states)
@@ -189,8 +193,16 @@ def apply_udafs(
         import pandas as pd
 
         def norm(k):
-            # NaN != NaN would split a null-keyed group at a batch boundary
-            return tuple(None if (isinstance(x, float) and x != x) else x for x in k)
+            # NaN != NaN (and NaT != NaT) would split a null-keyed group at
+            # a batch boundary; pd.isna covers NaN, NaT and pd.NA alike
+            out = []
+            for x in k:
+                try:
+                    is_null = bool(pd.isna(x))
+                except (TypeError, ValueError):
+                    is_null = False
+                out.append(None if is_null else x)
+            return tuple(out)
 
         cur_norm = cur_raw = cur_buf = None
         pending: list = []
@@ -236,7 +248,10 @@ def apply_udafs(
             .mapInPandas(final_stream, schema=result_fields)
         )
     else:
-        finals = partials.coalesce(1).mapInPandas(final_global, schema=result_fields)
+        # repartition(1) (a shuffle), NOT coalesce(1): coalesce collapses the
+        # upstream mapInPandas(partial) stage into one task, serializing
+        # phase 1; the shuffle boundary keeps partial accumulation parallel
+        finals = partials.repartition(1).mapInPandas(final_global, schema=result_fields)
 
     # ---- optional plain aggregates over the same grouping ----------------
     if plain_aggs:

@@ -207,3 +207,51 @@ def test_udtf_requires_return_type():
         class Bad:
             def eval(self):
                 yield (1,)
+
+
+def test_udaf_null_integer_state_survives_shuffle(ctx):
+    """A group whose partition saw only nulls carries a None state through
+    phase 1; the phase-2 rebuild must map pandas NaN back to an Arrow null
+    (integer state would otherwise raise ArrowInvalid, float state would
+    silently turn NaN and corrupt min/max-style accumulators)."""
+
+    class MinAcc(Accumulator):
+        def __init__(self):
+            self.m = None
+
+        def state(self):
+            return [pa.scalar(self.m, type=pa.int64())]
+
+        def update(self, values):
+            v = pc.min(values).as_py()
+            if v is not None:
+                self.m = v if self.m is None else min(self.m, v)
+
+        def merge(self, states):
+            for s in states[0]:
+                v = s.as_py()
+                if v is not None:
+                    self.m = v if self.m is None else min(self.m, v)
+
+        def evaluate(self):
+            return pa.scalar(self.m, type=pa.int64())
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "g": ["a"] * 4 + ["b"] * 4,
+            "v": [None, None, None, None, 7, None, 3, None],
+        },
+        schema=pa.schema([("g", pa.string()), ("v", pa.int64())]),
+    )
+    df = ctx.create_dataframe([[batch]])
+    # several partitions => group 'a' contributes all-null (None-state)
+    # partials into the shuffle
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    df = BDF(df.to_spark().repartition(4))
+    m = udaf(MinAcc, pa.int64(), pa.int64(), [pa.int64()])
+    out = pa.Table.from_batches(
+        df.aggregate([col("g")], [m(col("v")).alias("m")]).collect()
+    ).sort_by("g")
+    assert out.column("g").to_pylist() == ["a", "b"]
+    assert out.column("m").to_pylist() == [None, 3]
