@@ -95,23 +95,33 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min-of-N timing: a single timed run is exposed to host-load jitter
+    # (one noisy window tripled a recorded round total); the min over
+    # repeats is the steady-state throughput the warmup already targets
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        # isolate queries: frames persisted inside earlier operators (e.g.
-        # the LSH banded signatures) would otherwise pin executor memory and
-        # GC-tax every query that runs after them
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            n = df.count()  # force full execution without driver materialization
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record failures rather than dying
-            timings[name] = -1.0
-            print(f"bench {name} FAILED: {e}", file=sys.stderr)
+        best = None
+        for _ in range(repeats):
+            # isolate queries: frames persisted inside earlier operators
+            # (e.g. the LSH banded signatures) would otherwise pin executor
+            # memory and GC-tax every query that runs after them
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.count()  # force full execution without driver materialization
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None or elapsed < best else best
+            except Exception as e:  # record failures rather than dying
+                best = -1.0
+                print(f"bench {name} FAILED: {e}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
