@@ -129,6 +129,16 @@ class BallistaContext:
 
         return start_sql_endpoint(self.spark, port=port)
 
+    def start_flightsql_endpoint(self, port: int = 0):
+        """Serve this context's catalog over Arrow Flight SQL — the exact
+        wire protocol the reference scheduler speaks
+        (docs/source/user-guide/flightsql.md), so ADBC / flight-sql-jdbc
+        clients connect directly.  Returns the running server
+        (``.port``, ``.shutdown()``)."""
+        from .flightsql import start_flightsql_endpoint
+
+        return start_flightsql_endpoint(self.spark, port=port)
+
     # -- SQL (src/context.rs:166-172) --------------------------------------
 
     def sql(self, query: str) -> DataFrame:
