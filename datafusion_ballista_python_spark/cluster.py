@@ -51,6 +51,14 @@ class Scheduler:
         """Start/attach the driver session (the actual Spark 'scheduler')."""
         return build_session(master=self.master_url, **kwargs)
 
+    def start_api(self, spark, port: int = 0):
+        """Serve the reference scheduler's REST/metrics API
+        (scheduler.md REST table, metrics.md prometheus set) for the given
+        session; returns the server (``.port``, ``.shutdown()``)."""
+        from .metrics import start_scheduler_api
+
+        return start_scheduler_api(spark, port=port)
+
 
 class Executor:
     """Embedded-executor shim (reference ``src/executor.rs:29-75``).
