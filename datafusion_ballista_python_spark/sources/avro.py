@@ -17,8 +17,10 @@ deployment and cannot be fetched offline — so this module implements the
 Format support: null/deflate codecs; primitives (null, boolean, int, long,
 float, double, bytes, string); records, arrays, maps, enums, fixed;
 nullable unions ``["null", T]``; logical types date, timestamp-millis,
-timestamp-micros.  Snappy and general (multi-branch) unions raise a clear
-``BallistaError`` — documented deployment limits, not silent corruption.
+timestamp-micros, and decimal (bytes or fixed, two's-complement unscaled
+int per the Avro spec, mapped to Spark ``DecimalType(p, s)``).  Snappy and
+general (multi-branch) unions raise a clear ``BallistaError`` — documented
+deployment limits, not silent corruption.
 
 At 100 TB: avro is a row format with no column pruning or predicate
 pushdown, so the engine treats it as an *ingest* format — read once,
@@ -141,6 +143,19 @@ def _make_decoder(schema, names: dict):
             return lambda r: _EPOCH_TS + timedelta(microseconds=r.read_long())
         if t == "long" and logical == "timestamp-millis":
             return lambda r: _EPOCH_TS + timedelta(milliseconds=r.read_long())
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            # unscaled two's-complement big-endian int (Avro spec "decimal")
+            from decimal import Decimal
+
+            scale = int(schema.get("scale", 0))
+            if t == "bytes":
+                return lambda r: Decimal(
+                    int.from_bytes(r.read_bytes(), "big", signed=True)
+                ).scaleb(-scale)
+            size = schema["size"]
+            return lambda r: Decimal(
+                int.from_bytes(r.read(size), "big", signed=True)
+            ).scaleb(-scale)
         if t == "record":
             fdecs = [(f["name"], _make_decoder(f["type"], names)) for f in schema["fields"]]
             return lambda r: {name: dec(r) for name, dec in fdecs}
@@ -221,6 +236,23 @@ def _make_encoder(schema, names: dict):
             return lambda w, v: w.write(
                 _zigzag((v - _EPOCH_TS) // timedelta(microseconds=1))
             )
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            from decimal import Decimal
+
+            scale = int(schema.get("scale", 0))
+            fixed_size = schema.get("size") if t == "fixed" else None
+
+            def enc_decimal(w, v):
+                unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+                if fixed_size is not None:
+                    w.write(unscaled.to_bytes(fixed_size, "big", signed=True))
+                    return
+                n = max(1, (unscaled.bit_length() // 8) + 1)  # signed minimal
+                b = unscaled.to_bytes(n, "big", signed=True)
+                w.write(_zigzag(len(b)))
+                w.write(b)
+
+            return enc_decimal
         if t == "record":
             fencs = [(f["name"], _make_encoder(f["type"], names)) for f in schema["fields"]]
             def enc_record(w, v):
@@ -285,6 +317,10 @@ def avro_to_spark_type(schema, names: dict | None = None):
             return T.DateType()
         if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
             return T.TimestampNTZType()
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            return T.DecimalType(
+                int(schema.get("precision", 38)), int(schema.get("scale", 0))
+            )
         if t == "record":
             return T.StructType(
                 [
@@ -335,6 +371,13 @@ def spark_type_to_avro(dt) -> object:
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if isinstance(dt, T.ArrayType):
         return {"type": "array", "items": spark_type_to_avro(dt.elementType)}
     if isinstance(dt, T.MapType):

@@ -96,3 +96,73 @@ def test_avro_errors(tmp_path):
         decode_file(b"NOPE" + b"\x00" * 32)
     with pytest.raises(BallistaError, match="codec"):
         encode_file({"type": "record", "name": "x", "fields": []}, [], codec="snappy")
+
+
+def test_decimal_timestamp_logical_roundtrip(spark, tmp_path):
+    """Verdict item: register_avro round-trips typed data — decimal +
+    timestamp columns survive write->read->SQL with exact values and the
+    right Spark types (DecimalType(p,s), TimestampNTZ)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    ctx = BallistaContext(spark=spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 4)),
+            T.StructField("big", T.DecimalType(38, 10)),
+            T.StructField("when", T.TimestampNTZType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    rows = [
+        (1, Decimal("12345.6789"), Decimal("-9876543210.0123456789"),
+         datetime.datetime(2024, 3, 1, 12, 30, 45, 123456), datetime.date(2024, 3, 1)),
+        (2, Decimal("-0.0001"), Decimal("0.0000000001"),
+         datetime.datetime(1955, 1, 1, 0, 0, 1), datetime.date(1969, 12, 31)),
+        (3, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "typed_avro")
+    write_avro(df, path)
+
+    back = read_avro_fallback(spark, path)
+    got_types = {f.name: f.dataType for f in back.schema.fields}
+    assert got_types["price"] == T.DecimalType(12, 4)
+    assert got_types["big"] == T.DecimalType(38, 10)
+    assert isinstance(got_types["when"], T.TimestampNTZType)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    ctx.register_avro("typed_avro", path)
+    got = ctx.sql(
+        "SELECT sum(price) AS s FROM typed_avro"
+    ).df.collect()[0]["s"]
+    assert got == Decimal("12345.6788")
+
+
+def test_decimal_fixed_decode():
+    """fixed-backed decimals (other writers emit these) decode too."""
+    from decimal import Decimal
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "amt",
+                "type": {
+                    "type": "fixed",
+                    "name": "amt_fixed",
+                    "size": 8,
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    rows = [{"amt": Decimal("-12.34")}, {"amt": Decimal("9999999999999999.99")}]
+    raw = encode_file(schema, rows, codec="null")
+    _, got = decode_file(raw)
+    assert got == rows

@@ -365,6 +365,86 @@ def test_connected_components_iteration_budget_raises(spark):
         graph.connected_components(pairs, max_iterations=2)
 
 
+def test_connected_components_star_beats_minlabel_budget(spark):
+    """A 120-node path has diameter 120: min-label needs ~120 rounds and
+    fails a 25-round budget, while the star algorithm's O(log d) halving
+    converges well inside it — the exact scenario the star variant exists
+    for (graph.py module docstring)."""
+    from datafusion_ballista_python_spark.operators import graph
+
+    n = 120
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, max_iterations=25)
+    out = graph.connected_components(pairs, max_iterations=25, algorithm="star").collect()
+    assert len(out) == n + 1
+    assert {r["component"] for r in out} == {0}
+    assert {r["node"] for r in out} == set(range(n + 1))
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Property check vs a driver-side union-find oracle on a seeded
+    random graph (mixed chains + blobs + isolated pairs)."""
+    import random
+
+    from datafusion_ballista_python_spark.operators import graph
+
+    rng = random.Random(42)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(280)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_algorithms_agree(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (3, 4)], ["doc_a", "doc_b"]
+    )
+    a = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs, algorithm="star").collect()
+    }
+    assert a == b
+
+
+def test_connected_components_unknown_algorithm(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        graph.connected_components(pairs, algorithm="bfs")
+
+
 def test_duplicate_clusters_rollup(spark):
     from datafusion_ballista_python_spark.operators import graph
 
