@@ -555,6 +555,20 @@ def dedup_cluster_components(spark, sf_dir):
     return graph.connected_components(pairs).orderBy("node")
 
 
+@query("dedup_cluster_components_star", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components_star(spark, sf_dir):
+    """Same closure as dedup_cluster_components via the large-star/
+    small-star algorithm (Kiveris et al.) — O(log d) rounds instead of
+    O(diameter), the scale path for chain-heavy near-dup graphs.  Both
+    algorithms must produce the identical (node, min-id component)
+    labeling, so they share one oracle."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return graph.connected_components(pairs, algorithm="star").orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # corpus-statistics term scoring: tf-idf / BM25
 # ---------------------------------------------------------------------------
