@@ -1,0 +1,137 @@
+"""Training-data assembly corpus: decontamination, sequence packing,
+chunking (operators/training.py), each hash-checked against a DuckDB
+oracle that re-derives the same answer in pure SQL."""
+
+from __future__ import annotations
+
+from . import query
+from .util import load
+
+# same tokenization on both engines: lowercase, split on non-alphanumeric,
+# drop empties
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),"
+    " x -> length(x) > 0)"
+)
+
+
+@query(
+    "train_ngram_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    grams AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS ng
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    eval_grams AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(e.ng) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(e.ng) AS DOUBLE) / COUNT(*) AS contamination
+    FROM grams g LEFT JOIN eval_grams e USING (ng)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def train_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-document fraction of distinct word
+    trigrams colliding with the eval set (docs with doc_id % 97 == 0
+    stand in for an external benchmark).  Eval n-grams are DISTINCTed
+    and broadcast — no corpus bytes move for the membership test."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    eval_docs = docs.where("doc_id % 97 = 0")
+    return training.ngram_contamination(docs, eval_docs, n=3).orderBy("doc_id")
+
+
+@query(
+    "train_pack_sequences",
+    oracle="""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS BIGINT) AS n
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s
+        FROM counted WHERE n > 0
+    ),
+    spans AS (
+        SELECT doc_id, n, s,
+               unnest(generate_series(s // 512, (s + n - 1) // 512)) AS seq_id
+        FROM placed
+    )
+    SELECT seq_id,
+           doc_id,
+           n AS n_tokens,
+           GREATEST(s - seq_id * 512, 0) AS seq_begin,
+           LEAST(s + n - seq_id * 512, 512) AS seq_end
+    FROM spans
+    ORDER BY seq_id, doc_id
+    """,
+)
+def train_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing into 512-token training sequences: one
+    row per (sequence, document) overlap with the document's token span
+    inside the sequence.  The Spark side computes the global prefix sum
+    with bucketed two-level windows (no one-partition window); the
+    oracle's single ORDER BY window proves the decomposition exact."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return training.pack_sequences(docs, 512, bucket_size=64).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+@query(
+    "train_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    nz AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM t WHERE len(toks) > 0
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(sta) AS start,
+               generate_subscripts(sta, 1) - 1 AS chunk_id
+        FROM (
+            SELECT doc_id, toks,
+                   list_filter(generate_series(1, n, 30),
+                               st -> st = 1 OR st + 8 <= n) AS sta
+            FROM nz
+        )
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[start:start+37]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start:start+37], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def train_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (38-token windows, 8-token overlap, so
+    step 30): per-chunk token counts + text.  Pure codegen, zero
+    shuffle; tail windows adding no new tokens are dropped on both
+    sides."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return training.chunk_documents(docs, 38, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -1,0 +1,219 @@
+"""Training-data assembly operators: benchmark decontamination, sequence
+packing, and document chunking — the last mile between a curated corpus
+and model-ready training batches (extension beyond the reference, which
+has no corpus tooling; SURVEY §2.13).
+
+All three are pure DataFrame compositions (codegen token/n-gram work,
+no Python UDFs); oracles in corpus/llm.py hash-check each against DuckDB.
+
+Scale notes per operator in the docstrings; the common theme: tokenize
+once per row map-side, keep every join on a key (n-gram string, bucket
+id), and never materialize a global sort — the packing operator's global
+prefix sum is two bounded windows (per-bucket cumsum + a tiny bucket
+roll-up), not a one-partition window over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_array(text_col) -> "F.Column":
+    """Ordered token array: lowercase, split on non-alphanumeric — the
+    same tokenization as text.token_counts / text._terms."""
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def _ngrams(tokens, n: int) -> "F.Column":
+    """Space-joined word n-grams of an ordered token array (codegen:
+    sequence + transform + slice — no explode until the caller wants
+    rows)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word ``n``-grams that also occur anywhere in
+    the evaluation set — the standard n-gram-collision test used to
+    detect eval-set leakage before training.
+
+    Returns ``(id_col, n_ngrams, n_contaminated, contamination)`` for
+    every document with at least one n-gram; filter
+    ``contamination >= threshold`` to quarantine.
+
+    Scale: the eval side collapses to DISTINCT n-grams and is broadcast —
+    eval benchmarks are MBs against a 100 TB corpus, so the join ships no
+    corpus bytes; the only shuffle is the per-doc distinct + aggregate,
+    keyed on (doc, ngram).  Tokenization and n-gram assembly are
+    whole-stage codegen (sequence/transform/slice), zero Python.
+    """
+    eval_text = eval_text_col or text_col
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_ngrams(_token_array(text_col), n)).alias("__ng"),
+    ).distinct()
+    eval_grams = (
+        eval_docs.select(F.explode(_ngrams(_token_array(eval_text), n)).alias("__ng"))
+        .distinct()
+    )
+    hits = doc_grams.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "__ng", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            # raw double division of two exact longs (no rounding): IEEE
+            # division is correctly rounded, so the value is bit-identical
+            # across engines — rounding to N places is NOT (half-up vs
+            # half-even disagree at exact midpoints like 1/128)
+            "contamination",
+            F.col("n_contaminated") / F.col("n_ngrams"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``id_col`` order into one continuous token stream, which is cut into
+    fixed ``seq_len`` training sequences (the GPT-style packing that
+    wastes zero tokens to padding).  Returns one row per (sequence,
+    document) overlap: ``(seq_id, id_col, n_tokens, seq_begin, seq_end)``
+    where ``[seq_begin, seq_end)`` is the document's token span within
+    the sequence.
+
+    Scale: the global prefix sum is NOT a one-partition window (that
+    serializes the corpus through one task).  Documents are grouped into
+    ``id DIV bucket_size`` buckets: a tiny per-bucket roll-up (one row
+    per bucket) carries the cross-bucket running offset, broadcast back;
+    the per-document cumsum then runs inside each bucket's partition.
+    Both windows are bounded; the wide work is one hash shuffle on the
+    bucket key.
+    """
+    counted = docs.select(
+        F.col(id_col),
+        F.size(_token_array(text_col)).cast("long").alias("__n"),
+    ).where(F.col("__n") > 0)
+    bucketed = counted.withColumn("__b", (F.col(id_col) / bucket_size).cast("long"))
+
+    # cross-bucket offsets: one row per bucket, cumulative over bucket id
+    bucket_offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.sum("__n").alias("__bn"))
+        .withColumn(
+            "__boff",
+            F.coalesce(
+                F.sum("__bn").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__bn")
+    )
+
+    within = Window.partitionBy("__b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        bucketed.join(F.broadcast(bucket_offsets), "__b")
+        .withColumn(
+            "__start", F.col("__boff") + F.coalesce(F.sum("__n").over(within), F.lit(0))
+        )
+        .withColumn("__end", F.col("__start") + F.col("__n"))
+    )
+
+    # a document spans sequences floor(start/L) .. floor((end-1)/L)
+    spans = placed.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("__start"),
+        F.col("__end"),
+        F.explode(
+            F.sequence(
+                (F.col("__start") / seq_len).cast("long"),
+                ((F.col("__end") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    return spans.select(
+        "seq_id",
+        F.col(id_col),
+        "n_tokens",
+        F.greatest(F.col("__start") - F.col("seq_id") * seq_len, F.lit(0)).alias(
+            "seq_begin"
+        ),
+        F.least(
+            F.col("__end") - F.col("seq_id") * seq_len, F.lit(seq_len).cast("long")
+        ).alias("seq_end"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunking: cut each document into
+    chunks of ``chunk_tokens`` tokens with ``overlap`` tokens of context
+    carried between consecutive chunks (the RAG/long-doc preprocessing
+    shape).  Returns ``(id_col, chunk_id, n_tokens, chunk_text)``.
+
+    Scale: embarrassingly parallel — tokenize + window entirely inside
+    codegen (sequence/transform/slice), one output row per chunk, no
+    shuffle at all; a 100 TB corpus chunks at scan speed.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks_col = "__toks_all"
+    with_toks = docs.select(
+        F.col(id_col), _token_array(text_col).alias(toks_col)
+    ).where(F.size(toks_col) > 0)
+    # window starts: 1, 1+step, ... — a tail start only counts if its
+    # window adds tokens beyond the previous chunk's coverage
+    # (start + overlap <= n_tokens); the first window always stands
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(toks_col), F.lit(step)),
+        lambda s: (s == 1) | (s + F.lit(overlap) <= F.size(toks_col)),
+    )
+    exploded = with_toks.select(
+        F.col(id_col),
+        F.col(toks_col),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(F.col(toks_col), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

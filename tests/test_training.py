@@ -1,0 +1,119 @@
+"""Training-data assembly operator invariants (operators/training.py):
+decontamination, sequence packing, chunking."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark.operators import training
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox strikes again and again"),
+            (4, "short"),
+            (5, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_contamination_self_is_total(spark, docs):
+    """A document evaluated against itself is 100% contaminated."""
+    out = {
+        r["doc_id"]: r
+        for r in training.ngram_contamination(docs, docs, n=3).collect()
+    }
+    for r in out.values():
+        assert r["n_contaminated"] == r["n_ngrams"]
+        assert r["contamination"] == 1.0
+    # docs with < n tokens produce no n-grams at all
+    assert 4 not in out and 5 not in out
+
+
+def test_contamination_disjoint_is_zero(spark, docs):
+    ev = spark.createDataFrame([(9, "zz yy xx ww vv")], ["doc_id", "text"])
+    out = training.ngram_contamination(docs, ev, n=3).collect()
+    assert all(r["n_contaminated"] == 0 and r["contamination"] == 0.0 for r in out)
+
+
+def test_contamination_counts_distinct_ngrams(spark):
+    """Repeated n-grams in a doc count once (distinct semantics)."""
+    d = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    r = training.ngram_contamination(d, ev, n=3).collect()[0]
+    # distinct trigrams of 'a b c a b c a b c': abc, bca, cab
+    assert r["n_ngrams"] == 3 and r["n_contaminated"] == 1
+
+
+def test_pack_sequences_partitions_token_stream(spark, docs):
+    """Spans tile each sequence exactly: within a sequence the doc spans
+    are disjoint, contiguous from 0, and every sequence except the last
+    is completely full."""
+    L = 8
+    rows = training.pack_sequences(docs, L, bucket_size=2).collect()
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    max_seq = max(by_seq)
+    for seq_id, members in by_seq.items():
+        members.sort(key=lambda r: r["seq_begin"])
+        assert members[0]["seq_begin"] == 0
+        for a, b in zip(members, members[1:]):
+            assert a["seq_end"] == b["seq_begin"]  # no gap, no overlap
+        if seq_id != max_seq:
+            assert members[-1]["seq_end"] == L  # full sequence
+    # total packed tokens == total tokens in non-empty docs
+    total_span = sum(r["seq_end"] - r["seq_begin"] for r in rows)
+    total_tokens = (
+        docs.select(F.size(training._token_array("text")).alias("n"))
+        .where("n > 0")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_span == total_tokens
+
+
+def test_pack_sequences_bucketing_invariant(spark, docs):
+    """The bucketed two-level prefix sum must equal the single-window
+    layout for any bucket size."""
+    a = sorted(map(tuple, training.pack_sequences(docs, 8, bucket_size=1).collect()))
+    b = sorted(map(tuple, training.pack_sequences(docs, 8, bucket_size=1000).collect()))
+    assert a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark, docs):
+    out = training.chunk_documents(docs, 4, overlap=1).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc  # whitespace-only doc yields nothing
+    # doc 1 has 9 tokens: chunks at starts 1,4,7 of size 4,4,3
+    d1 = by_doc[1]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 3]
+    # consecutive chunks share exactly `overlap` tokens
+    t0 = d1[0]["chunk_text"].split()
+    t1 = d1[1]["chunk_text"].split()
+    assert t0[-1:] == t1[:1]
+    # reassembly: dropping the overlap prefix of each later chunk
+    # reconstructs the full token stream
+    rebuilt = t0 + t1[1:] + d1[2]["chunk_text"].split()[1:]
+    assert " ".join(rebuilt) == "the quick brown fox jumps over the lazy dog"
+
+
+def test_chunk_documents_drops_covered_tail(spark):
+    """A tail window fully inside the previous chunk is not emitted."""
+    d = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    out = training.chunk_documents(d, 8, overlap=2).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 7
+
+
+def test_chunk_documents_overlap_validation(spark, docs):
+    with pytest.raises(ValueError, match="overlap"):
+        training.chunk_documents(docs, 4, overlap=4)
