@@ -117,3 +117,26 @@ def test_chunk_documents_drops_covered_tail(spark):
 def test_chunk_documents_overlap_validation(spark, docs):
     with pytest.raises(ValueError, match="overlap"):
         training.chunk_documents(docs, 4, overlap=4)
+
+
+def test_training_plan_quality(spark, docs, sf_dir):
+    """100 TB gates: the eval-side membership join broadcasts (no corpus
+    shuffle for the probe), chunking is entirely map-side (zero
+    Exchange), and packing's only wide exchanges are on the bucket key —
+    never a single-partition exchange over the corpus rows."""
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    ev = docs.where("doc_id % 2 = 0")
+    plan = explain_formatted(training.ngram_contamination(docs, ev, n=3))
+    assert "BroadcastHashJoin" in plan, "eval n-grams must broadcast"
+
+    plan = explain_formatted(training.chunk_documents(docs, 8, overlap=2))
+    assert "Exchange" not in plan, "chunking must be map-only"
+
+    plan = explain_formatted(training.pack_sequences(docs, 64, bucket_size=4))
+    # the corpus-wide data only ever hash-partitions on the bucket key;
+    # SinglePartition exchanges may exist only on the tiny per-bucket
+    # roll-up (one row per bucket), which the broadcast then distributes
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            pytest.fail(f"corpus rows must not funnel through one partition: {line}")
