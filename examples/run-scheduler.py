@@ -7,6 +7,8 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root import shim (unneeded once pip-installed)
 
 
+import urllib.request
+
 from ballista import Scheduler
 
 scheduler = Scheduler(
@@ -15,3 +17,14 @@ scheduler = Scheduler(
     external_host="127.0.0.1",
 )
 print(scheduler)
+
+# the reference scheduler's REST/metrics surface (scheduler.md REST table,
+# metrics.md) is served from the driver session
+spark = scheduler.session(app_name="run-scheduler-example")
+spark.sparkContext.setLogLevel("ERROR")
+spark.sql("SELECT count(*) FROM range(1000)").collect()
+api = scheduler.start_api(spark, port=0)
+with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/api/metrics") as r:
+    body = r.read().decode()
+print("metrics served:", "job_exec_time_seconds" in body)
+api.shutdown()

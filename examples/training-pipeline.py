@@ -1,0 +1,32 @@
+"""Training-data assembly walkthrough (operators/training.py): benchmark
+decontamination -> sliding-window chunking -> fixed-length sequence
+packing, the last mile between a curated corpus and model-ready batches."""
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root import shim (unneeded once pip-installed)
+
+from ballista import BallistaContext
+from datafusion_ballista_python_spark.operators import training
+
+ctx = BallistaContext(master="local[4]", shuffle_partitions=4)
+spark = ctx.spark
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+# 1. decontaminate: drop training docs sharing trigrams with the eval set
+eval_docs = docs.where("doc_id % 97 = 0")
+contaminated = training.ngram_contamination(docs, eval_docs, n=3).where(
+    "contamination > 0.5"
+)
+clean = docs.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+print("docs:", docs.count(), "quarantined:", contaminated.count())
+
+# 2. chunk long documents into 128-token windows with 16 tokens of overlap
+chunks = training.chunk_documents(clean, 128, overlap=16)
+print("chunks:", chunks.count())
+
+# 3. pack the corpus into 512-token training sequences (concat-and-chunk)
+packed = training.pack_sequences(clean, 512)
+n_seqs = packed.agg({"seq_id": "max"}).collect()[0][0] + 1
+print("sequences:", n_seqs)

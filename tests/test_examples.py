@@ -28,3 +28,14 @@ def test_sql_parquet_example():
 def test_run_scheduler_executor_examples():
     assert "Scheduler" in _run("run-scheduler.py")
     assert "Executor" in _run("run-executor.py")
+
+
+def test_flight_sql_example():
+    out = _run("flight-sql.py")
+    assert "statement: ['NATION_0', 'NATION_1', 'NATION_2']" in out
+    assert "prepared: 25" in out
+
+
+def test_training_pipeline_example():
+    out = _run("training-pipeline.py")
+    assert "docs: " in out and "chunks: " in out and "sequences: " in out
