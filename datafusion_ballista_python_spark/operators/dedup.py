@@ -96,6 +96,15 @@ def ngram_jaccard_pairs(
     )
     cond = [F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols]
     cond.append(F.col("doc_a") < F.col("doc_b"))
+    # length filter (exact, from the set-similarity-join literature):
+    # J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|), so pairs with
+    # a size ratio below t can be rejected BEFORE the expensive
+    # array_intersect runs — this prunes inside the join, cutting the
+    # per-pair work, and never changes the result set
+    if threshold > 0:
+        sa, sb = F.size("grams_a"), F.size("grams_b")
+        cond.append(sa.cast("double") >= F.lit(threshold) * sb)
+        cond.append(sb.cast("double") >= F.lit(threshold) * sa)
     # intersection size materialized once per pair — the inline
     # inter/union form evaluates array_intersect (the expensive part)
     # twice per pair
