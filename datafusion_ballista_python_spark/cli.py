@@ -97,6 +97,18 @@ def main(argv: Optional[list[str]] = None, ctx=None) -> int:
     p.add_argument("-n", "--num-rows", type=int, default=100, help="rows to print")
     p.add_argument("-f", "--file", help="run a ';'-separated SQL script and exit")
     p.add_argument("-c", "--command", help="run the given SQL and exit")
+    p.add_argument(
+        "--flightsql-port",
+        type=int,
+        default=None,
+        help="also serve Arrow Flight SQL on this port (0 = ephemeral)",
+    )
+    p.add_argument(
+        "--metrics-port",
+        type=int,
+        default=None,
+        help="also serve the scheduler REST/metrics API on this port (0 = ephemeral)",
+    )
     args = p.parse_args(argv)
 
     if ctx is None:
@@ -107,6 +119,15 @@ def main(argv: Optional[list[str]] = None, ctx=None) -> int:
             shuffle_partitions=args.shuffle_partitions,
             batch_size=args.batch_size,
         )
+
+    if args.flightsql_port is not None:
+        server = ctx.start_flightsql_endpoint(port=args.flightsql_port)
+        print(f"FlightSQL endpoint: grpc://127.0.0.1:{server.port}")
+    if args.metrics_port is not None:
+        from .metrics import start_scheduler_api
+
+        api = start_scheduler_api(ctx.spark, port=args.metrics_port)
+        print(f"Scheduler API: http://127.0.0.1:{api.port}/api/metrics")
 
     if args.command is not None:
         for stmt in _split_statements(args.command):

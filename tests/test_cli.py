@@ -53,3 +53,31 @@ def test_repl_quits_and_survives_errors(ctx, capsys, monkeypatch):
     err = capsys.readouterr().err
     assert rc == 0
     assert "Error:" in err
+
+
+def test_cli_serves_flightsql_and_metrics(ctx, capsys):
+    import re
+    import urllib.request
+
+    import pyarrow.flight as flight
+
+    from datafusion_ballista_python_spark import flightsql
+    from datafusion_ballista_python_spark.cli import main
+
+    rc = main(
+        ["--flightsql-port", "0", "--metrics-port", "0", "-c", "SELECT 1 AS one;"],
+        ctx=ctx,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    fs = re.search(r"grpc://127\.0\.0\.1:(\d+)", out)
+    api = re.search(r"http://127\.0\.0\.1:(\d+)", out)
+    assert fs and api
+    c = flight.FlightClient(f"grpc://127.0.0.1:{fs.group(1)}")
+    t = flightsql.execute_query(c, "SELECT 2 AS two")
+    assert t.column("two").to_pylist() == [2]
+    c.close()
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{api.group(1)}/api/metrics", timeout=10
+    ) as r:
+        assert "job_submitted_total" in r.read().decode()
