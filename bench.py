@@ -117,8 +117,9 @@ def main() -> None:
                 df.count()  # force full execution without driver materialization
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None or elapsed < best else best
-            except Exception as e:  # record failures rather than dying
-                best = -1.0
+            except Exception as e:  # record failures rather than dying,
+                # but never discard an earlier successful timing
+                best = -1.0 if best is None else best
                 print(f"bench {name} FAILED: {e}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)

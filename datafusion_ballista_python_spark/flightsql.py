@@ -21,20 +21,28 @@ the codec below speaks the protobuf wire format directly (varint +
 length-delimited fields — the only wire types these messages use), so no
 protobuf runtime or generated stubs are needed.
 
-Statement handles are STATELESS: the handle is the UTF-8 query text
-itself.  Any server replica (or a restarted server) can serve a DoGet for
-a ticket minted by another — the property that lets the endpoint scale
-horizontally behind a load balancer at 100 TB, where a sticky
-handle→session map would pin every client to one gateway.
+Statement handles for QUERIES are STATELESS: the handle is the UTF-8
+query text itself.  Any server replica (or a restarted server) can serve
+a DoGet for a ticket minted by another — the property that lets the
+endpoint scale horizontally behind a load balancer at 100 TB, where a
+sticky handle→session map would pin every client to one gateway.  Eager
+COMMAND statements (DDL/DML — spark.sql executes them at plan time) are
+the exception: their result is cached under a one-shot handle served by
+the planning server, because re-executing on DoGet would apply the side
+effects twice.
 
 Execution is the full Catalyst/AQE engine; the gateway only moves Arrow
-batches (``df.toArrow`` — zero row-wise conversion).
+batches, and DoGet STREAMS them (``collect_stream``: one partition of
+worker-serialized IPC blobs on the driver at a time), so result size
+never exceeds driver memory.
 """
 
 from __future__ import annotations
 
 import re
 import threading
+import uuid
+from collections import OrderedDict
 from typing import Iterator, Optional
 
 import pyarrow as pa
@@ -180,15 +188,28 @@ def _serialized_schema(schema: pa.Schema) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
-def _spark_result_schema(spark: SparkSession, query: str) -> pa.Schema:
+def _to_arrow_schema(df) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(spark.sql(query).schema)
+    return to_arrow_schema(df.schema)
+
+
+def _is_command(df) -> bool:
+    """True when spark.sql() already EXECUTED the statement eagerly
+    (DDL/DML commands run during analysis — SELECTs stay lazy)."""
+    try:
+        name = df._jdf.queryExecution().analyzed().getClass().getName()
+    except Exception:
+        return False
+    return name.endswith("CommandResult") or name.endswith("Command")
 
 
 # ---------------------------------------------------------------------------
 # the server
 # ---------------------------------------------------------------------------
+
+
+_CMD_PREFIX = b"cmd:"
 
 
 class FlightSqlServer(flight.FlightServerBase if flight else object):
@@ -199,16 +220,46 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             raise BallistaError("pyarrow was built without flight support")
         super().__init__(location)
         self.spark = spark
+        # eagerly-executed statements (DDL/DML): spark.sql() runs them at
+        # plan time, so the result is cached under a one-shot handle and
+        # DoGet serves the cache instead of executing a second time
+        self._command_results: "OrderedDict[bytes, pa.Table]" = OrderedDict()
 
     # -- helpers -----------------------------------------------------------
 
+    def _plan_statement(self, query: str) -> tuple[pa.Schema, bytes]:
+        """Plan (and for eager commands: execute exactly once) a SQL
+        statement; returns (result schema, DoGet handle).  SELECTs get the
+        STATELESS query-text handle; commands get a cached-result handle
+        because re-executing them on DoGet would apply their side effects
+        twice."""
+        df = self.spark.sql(query)
+        if _is_command(df):
+            table = df.toArrow()  # command output is tiny (acks/row counts)
+            handle = _CMD_PREFIX + uuid.uuid4().hex.encode()
+            self._command_results[handle] = table
+            while len(self._command_results) > 128:
+                self._command_results.popitem(last=False)
+            return table.schema, handle
+        return _to_arrow_schema(df), query.encode()
+
     def _statement_info(
-        self, descriptor, query: str, ticket_type: str, handle: bytes
+        self, descriptor, schema: pa.Schema, ticket_type: str, handle: bytes
     ) -> "flight.FlightInfo":
-        schema = _spark_result_schema(self.spark, query)
         ticket = flight.Ticket(pack_any(_SQL_NS + ticket_type, _ld(1, handle)))
         endpoint = flight.FlightEndpoint(ticket, [])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    def _schema_for_handle(self, handle: bytes) -> pa.Schema:
+        if handle.startswith(_CMD_PREFIX):
+            table = self._command_results.get(handle)
+            if table is None:
+                raise BallistaError(
+                    "unknown command handle (command results are served by "
+                    "the planning server; re-submit the statement)"
+                )
+            return table.schema
+        return _to_arrow_schema(self.spark.sql(handle.decode()))
 
     def _metadata_info(self, descriptor, schema: pa.Schema) -> "flight.FlightInfo":
         # metadata tickets round-trip the command itself
@@ -238,6 +289,8 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         ).cast(_GET_DB_SCHEMAS_SCHEMA)
 
     def _tables_table(self, fields: dict[int, list]) -> pa.Table:
+        catalog_filter = _str_field(fields, 1)
+        schema_pattern = _str_field(fields, 2)
         name_pattern = _str_field(fields, 3)
         table_types = [bytes(v).decode() for v in fields.get(4, [])]
         include_schema = bool(fields.get(5, [0])[0])
@@ -245,11 +298,18 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         rows = []
         for t in self.spark.catalog.listTables():
             ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
+            ns = t.namespace[0] if t.namespace else None
+            if catalog_filter is not None and catalog_filter not in ("", current):
+                continue
+            if schema_pattern is not None and not _like_to_regex(
+                schema_pattern
+            ).match(ns or ""):
+                continue
             if table_types and ttype not in table_types:
                 continue
             if name_pattern is not None and not _like_to_regex(name_pattern).match(t.name):
                 continue
-            rows.append((current, t.namespace[0] if t.namespace else None, t.name, ttype))
+            rows.append((current, ns, t.name, ttype))
         data = {
             "catalog_name": pa.array([r[0] for r in rows], pa.utf8()),
             "db_schema_name": pa.array([r[1] for r in rows], pa.utf8()),
@@ -273,14 +333,15 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         fields = _parse(payload)
         if type_name == _SQL_NS + "CommandStatementQuery":
             query = _str_field(fields, 1) or ""
+            schema, handle = self._plan_statement(query)
             return self._statement_info(
-                descriptor, query, "TicketStatementQuery", query.encode()
+                descriptor, schema, "TicketStatementQuery", handle
             )
         if type_name == _SQL_NS + "CommandPreparedStatementQuery":
             handle = bytes(fields.get(1, [b""])[0])
             return self._statement_info(
                 descriptor,
-                handle.decode(),
+                self._schema_for_handle(handle),
                 "CommandPreparedStatementQuery",
                 handle,
             )
@@ -305,10 +366,27 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             _SQL_NS + "TicketStatementQuery",
             _SQL_NS + "CommandPreparedStatementQuery",
         ):
-            query = bytes(fields.get(1, [b""])[0]).decode()
-            # executed on the full distributed engine; Arrow end to end
-            table = self.spark.sql(query).toArrow()
-            return flight.RecordBatchStream(table)
+            handle = bytes(fields.get(1, [b""])[0])
+            if handle.startswith(_CMD_PREFIX):
+                # eager command: executed exactly once at planning; serve
+                # the cached result instead of applying side effects again
+                table = self._command_results.get(handle)
+                if table is None:
+                    raise BallistaError(
+                        "unknown command handle (command results are served "
+                        "by the planning server; re-submit the statement)"
+                    )
+                return flight.RecordBatchStream(table)
+            # SELECT path: executed on the full distributed engine, Arrow
+            # end to end, and STREAMED — collect_stream fetches one
+            # partition of IPC blobs at a time, so driver memory stays
+            # bounded no matter how large the result is
+            from .dataframe import DataFrame as _BDF
+
+            df = self.spark.sql(handle.decode())
+            return flight.GeneratorStream(
+                _to_arrow_schema(df), _BDF(df).collect_stream()
+            )
         if type_name == _SQL_NS + "CommandGetCatalogs":
             return flight.RecordBatchStream(self._catalogs_table())
         if type_name == _SQL_NS + "CommandGetDbSchemas":
@@ -329,10 +407,13 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             type_name, payload = unpack_any(body)
             fields = _parse(payload)
             query = _str_field(fields, 1) or ""
-            schema = _spark_result_schema(self.spark, query)
+            # one plan (and for eager commands, exactly one execution);
+            # the returned handle is what CommandPreparedStatementQuery
+            # later presents, so commands never re-execute per fetch
+            schema, handle = self._plan_statement(query)
             result = pack_any(
                 _SQL_NS + "ActionCreatePreparedStatementResult",
-                _ld(1, query.encode()) + _ld(2, _serialized_schema(schema)),
+                _ld(1, handle) + _ld(2, _serialized_schema(schema)),
             )
             yield result
             return
@@ -366,6 +447,10 @@ def metadata_descriptor(command: str, **kwargs) -> "flight.FlightDescriptor":
     CommandGetTables / CommandGetTableTypes."""
     payload = b""
     if command == "CommandGetTables":
+        if kwargs.get("catalog") is not None:
+            payload += _ld(1, kwargs["catalog"].encode())
+        if kwargs.get("db_schema_filter_pattern"):
+            payload += _ld(2, kwargs["db_schema_filter_pattern"].encode())
         if kwargs.get("table_name_filter_pattern"):
             payload += _ld(3, kwargs["table_name_filter_pattern"].encode())
         for tt in kwargs.get("table_types", []):

@@ -99,7 +99,12 @@ class SchedulerApi:
         """GET /api/job/{id}/dot — Spark's own DAG-viz DOT (stages, scopes,
         codegen clusters), concatenated over the job's stages."""
         store = self._job_store()
-        graphs = _scala_seq(store.operationGraphForJob(job_id))
+        try:
+            graphs = _scala_seq(store.operationGraphForJob(job_id))
+        except Exception:
+            # AppStatusStore throws NoSuchElementException for unknown
+            # jobs — surface as 404, not a dropped connection
+            return None
         if not graphs:
             return None
         jvm = self.spark.sparkContext._jvm

@@ -137,7 +137,14 @@ def _connected_components_star(
     groupBy-min aggregates + two joins, all on the node key; edges stay
     distinct, so the working set is O(edges), never the quadratic closure.
     """
-    spark = pairs.sparkSession
+    # nodes whose every pair is a self-loop would vanish from the edge
+    # list below; kept aside so they come back as singleton components —
+    # minlabel emits them, and the two algorithms must agree exactly
+    all_nodes = (
+        pairs.select(
+            F.explode(F.array(F.col(id_a), F.col(id_b))).alias(node_col)
+        ).distinct()
+    )
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -145,6 +152,19 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+
+    def finalize(star_edges: DataFrame) -> DataFrame:
+        members = star_edges.select(
+            F.col("u").alias(node_col), F.col("v").alias(comp_col)
+        )
+        roots = star_edges.select(
+            F.col("v").alias(node_col), F.col("v").alias(comp_col)
+        ).distinct()
+        labeled = members.union(roots).distinct()
+        singletons = all_nodes.join(labeled, node_col, "left_anti").select(
+            F.col(node_col), F.col(node_col).alias(comp_col)
+        )
+        return labeled.union(singletons)
 
     def large_star(e: DataFrame) -> DataFrame:
         adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -192,13 +212,7 @@ def _connected_components_star(
                 edges_next
             ).isEmpty():
                 # fixpoint: every edge is (member, component-min)
-                members = edges_next.select(
-                    F.col("u").alias(node_col), F.col("v").alias(comp_col)
-                )
-                roots = edges_next.select(
-                    F.col("v").alias(node_col), F.col("v").alias(comp_col)
-                ).distinct()
-                return members.union(roots).distinct()
+                return finalize(edges_next)
         prev = cur
         edges = edges_next
 

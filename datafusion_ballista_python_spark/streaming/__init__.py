@@ -155,8 +155,12 @@ def _update_user_stats(
     )
     for pdf in pdfs:
         n += len(pdf)
+        # round half AWAY FROM ZERO (trunc(x + sign*0.5)) to match the
+        # oracle's CAST(value AS DECIMAL(25,6)) — np.round's half-to-even
+        # diverges on exact midpoints like 2.5e-6
+        scaled = pdf["value"].values * 1e6
         total_us6 += int(
-            np.round(pdf["value"].values * 1e6).astype("int64").sum()
+            np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
         )
         mx = max(mx, float(pdf["value"].max()))
         # unit-safe: pandas may hold ts as datetime64[ns] or [us] depending

@@ -180,7 +180,12 @@ def apply_udafs(
             # from_pandas=True: buffer values come off pandas columns where
             # null states round-trip as NaN/NaT; without it integer state
             # types raise ArrowInvalid and float states receive NaN instead
-            # of null, corrupting accumulators whose state can be None
+            # of null, corrupting accumulators whose state can be None.
+            # KNOWN LIMIT: a float state that legitimately holds NaN is
+            # indistinguishable from null after the pandas shuffle and
+            # arrives as None in merge(); accumulators for which NaN is a
+            # meaningful state value should encode it explicitly (e.g. a
+            # separate boolean state field) rather than rely on NaN
             states = [
                 pa.array(buffers[ui][si], type=st, from_pandas=True)
                 for si, st in enumerate(fac.state_type)

@@ -134,3 +134,53 @@ def test_stateless_tickets_survive_server_restart(ctx, server):
         c2.close()
     finally:
         other.shutdown()
+
+
+def test_command_statement_executes_exactly_once(client, ctx, tmp_path_factory):
+    """Eager DDL/DML runs at plan time in spark.sql; the endpoint must
+    serve DoGet from the cached result instead of executing again."""
+    path = str(tmp_path_factory.mktemp("fsql") / "cmd_tbl")
+    flightsql.execute_query(
+        client,
+        f"CREATE TABLE fsql_cmd (k INT) USING parquet LOCATION '{path}'",
+    )
+    try:
+        flightsql.execute_query(client, "INSERT INTO fsql_cmd VALUES (1)")
+        table = flightsql.execute_query(client, "SELECT count(*) AS n FROM fsql_cmd")
+        assert table.column("n").to_pylist() == [1]  # exactly one row inserted
+    finally:
+        ctx.spark.sql("DROP TABLE IF EXISTS fsql_cmd")
+
+
+def test_prepared_command_executes_exactly_once(client, ctx, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fsql") / "cmd_tbl2")
+    ctx.spark.sql(
+        f"CREATE TABLE fsql_cmd2 (k INT) USING parquet LOCATION '{path}'"
+    )
+    try:
+        flightsql.prepare_and_execute(client, "INSERT INTO fsql_cmd2 VALUES (7)")
+        n = ctx.spark.sql("SELECT count(*) AS n FROM fsql_cmd2").collect()[0]["n"]
+        assert n == 1
+    finally:
+        ctx.spark.sql("DROP TABLE IF EXISTS fsql_cmd2")
+
+
+def test_large_result_streams(client):
+    """DoGet streams SELECT results (GeneratorStream over collect_stream)
+    rather than materializing on the driver; a multi-partition range
+    round-trips completely and in full."""
+    t = flightsql.execute_query(
+        client, "SELECT id FROM range(0, 100000, 1, 8) ORDER BY id"
+    )
+    assert t.num_rows == 100000
+    assert t.column("id").to_pylist()[:3] == [0, 1, 2]
+
+
+def test_get_tables_schema_filter(client):
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor(
+            "CommandGetTables", db_schema_filter_pattern="no_such_schema_%"
+        )
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.num_rows == 0

@@ -120,3 +120,9 @@ def test_scheduler_shim_serves_api(spark):
         assert status == 200 and isinstance(json.loads(body), list)
     finally:
         srv.shutdown()
+
+
+def test_api_job_dot_unknown_job_is_404(api_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(api_server, "/api/job/999999/dot")
+    assert ei.value.code == 404

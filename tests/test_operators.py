@@ -651,3 +651,22 @@ def test_check_constraints_counts_violations(spark):
     assert out["not_null:ref"] == 1
     assert out["unique:k"] == 1  # k=1 appears twice -> surplus of 1
     assert out["fk:ref->r"] == 1  # ref=99 is an orphan (null exempt)
+
+
+def test_connected_components_self_loops_agree(spark):
+    """Self-loop-only nodes are singleton components under BOTH
+    algorithms (the star edge filter must not drop them)."""
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (7, 7), (7, 8)], ["doc_a", "doc_b"]
+    )
+    a = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs, algorithm="star").collect()
+    }
+    assert a == b == {1: 1, 2: 1, 5: 5, 7: 7, 8: 7}
