@@ -96,6 +96,41 @@ def train_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "train_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    grams AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS ng
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    per_gram AS (
+        SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, ng
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+             AS dup_ngram_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_ngram_frac
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def train_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals (bigram repeat fraction +
+    most-frequent-bigram share) per document — one (doc, n-gram) shuffle
+    with map-side partials, O(distinct n-grams) bytes."""
+    from ..operators import text
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.repetition_metrics(docs, n=2).orderBy("doc_id")
+
+
+@query(
     "train_chunk_documents",
     oracle=f"""
     WITH t AS (

@@ -54,6 +54,55 @@ def normalized_text(col: str | Column = "text") -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def repetition_metrics(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the standard
+    quality filter that catches boilerplate loops and degenerate
+    generations before training:
+
+    - ``dup_ngram_frac``: fraction of word ``n``-gram OCCURRENCES that are
+      repeats of an earlier occurrence (``1 - distinct/total``);
+    - ``top_ngram_frac``: fraction of all n-gram occurrences taken by the
+      single most frequent n-gram;
+    - ``n_ngrams``: total n-gram occurrences (filter support).
+
+    Docs with fewer than ``n`` tokens are omitted (no n-grams exist).
+
+    Scale: both metrics come from ONE hash shuffle on (doc, n-gram) with
+    map-side partial aggregation (counts per gram), then a per-doc
+    roll-up — shuffle bytes are O(distinct n-grams per doc), never
+    O(text), and no second pass over the corpus.
+    """
+    from .training import _ngrams, _token_array
+
+    grams = df.select(
+        F.col(id_col), _ngrams(_token_array(text_col), n).alias("__gs")
+    ).where(F.size("__gs") > 0)
+    per_gram = (
+        grams.select(F.col(id_col), F.explode("__gs").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max("__c").alias("__top"),
+        F.sum("__c").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    return top.select(
+        F.col(id_col),
+        "n_ngrams",
+        (
+            F.lit(1.0)
+            - F.col("__distinct").cast("double") / F.col("n_ngrams")
+        ).alias("dup_ngram_frac"),
+        (F.col("__top").cast("double") / F.col("n_ngrams")).alias("top_ngram_frac"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text."""
     return df.select(

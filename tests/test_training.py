@@ -140,3 +140,26 @@ def test_training_plan_quality(spark, docs, sf_dir):
     for line in plan.splitlines():
         if "Exchange SinglePartition" in line:
             pytest.fail(f"corpus rows must not funnel through one partition: {line}")
+
+
+def test_repetition_metrics_known_values(spark):
+    from datafusion_ballista_python_spark.operators import text
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),      # bigrams: 3x "spam spam"
+            (2, "all words are different"),  # 3 distinct bigrams
+            (3, "one"),                      # < 2 tokens: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_metrics(d, n=2).collect()}
+    assert 3 not in out
+    r1 = out[1]
+    assert r1["n_ngrams"] == 3
+    assert r1["dup_ngram_frac"] == pytest.approx(1 - 1 / 3)
+    assert r1["top_ngram_frac"] == 1.0
+    r2 = out[2]
+    assert r2["n_ngrams"] == 3
+    assert r2["dup_ngram_frac"] == 0.0
+    assert r2["top_ngram_frac"] == pytest.approx(1 / 3)
