@@ -144,6 +144,32 @@ def stream_stateful_user_stats(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Streaming deduplication executed AS A STREAM to end-of-input
+    (dropDuplicatesWithinWatermark: state bounded by the watermark
+    horizon, not stream age).  Which physical row survives per key is
+    arrival-order dependent, so the entry projects the KEY SET — exactly
+    the distinct keys, deterministic and hash-comparable with DuckDB."""
+    stream = streaming.events_stream(spark, sf_dir)
+    deduped = streaming.dedup_within_watermark(
+        stream, ["user_id", "event_type"], watermark="100 days"
+    )
+    sink = streaming.run_available_now(
+        deduped.select("user_id", "event_type"),
+        "stream_dedup_keys_sink",
+        output_mode="append",
+    )
+    return sink.distinct().orderBy("user_id", "event_type")
+
+
+@query(
     "asof_join_events",
     oracle="""
     WITH p AS (
