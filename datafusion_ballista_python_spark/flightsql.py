@@ -13,6 +13,9 @@ command set an ADBC / flight-sql-jdbc client issues —
 - ``ActionCreatePreparedStatementRequest`` / Close → DoAction;
 - ``CommandPreparedStatementQuery`` → GetFlightInfo/DoGet for prepared
   statements;
+- ``CommandStatementUpdate`` / ``CommandPreparedStatementUpdate`` →
+  DoPut with a ``DoPutUpdateResult`` record count (the ADBC
+  ExecuteUpdate DML path);
 - ``CommandGetCatalogs`` / ``CommandGetDbSchemas`` / ``CommandGetTables`` /
   ``CommandGetTableTypes`` — catalog metadata with the spec-fixed schemas.
 
@@ -93,8 +96,16 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 
 def _vi(field: int, value: int) -> bytes:
-    """Varint field (wire type 0)."""
+    """Varint field (wire type 0); negatives use int64 two's complement
+    (protobuf int64 encoding, e.g. record_count = -1 for 'unknown')."""
+    if value < 0:
+        value &= (1 << 64) - 1
     return _varint(field << 3) + _varint(value)
+
+
+def _signed64(value: int) -> int:
+    """Decode a protobuf int64 varint value back to a signed int."""
+    return value - (1 << 64) if value >= 1 << 63 else value
 
 
 def _parse(buf: bytes) -> dict[int, list]:
@@ -401,6 +412,30 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             )
         raise BallistaError(f"unsupported FlightSQL ticket: {type_name or 'empty'}")
 
+    def do_put(self, context, descriptor, reader, writer):
+        """FlightSQL DML path: CommandStatementUpdate / prepared update —
+        what an ADBC client's ExecuteUpdate sends.  Executes exactly once
+        and reports DoPutUpdateResult{record_count} in the put metadata
+        (-1 = unknown: Spark DML commands don't always surface a row
+        count)."""
+        type_name, payload = unpack_any(bytes(descriptor.command))
+        fields = _parse(payload)
+        if type_name == _SQL_NS + "CommandStatementUpdate":
+            query = _str_field(fields, 1) or ""
+        elif type_name == _SQL_NS + "CommandPreparedStatementUpdate":
+            query = bytes(fields.get(1, [b""])[0]).decode()
+        else:
+            raise BallistaError(f"unsupported FlightSQL DoPut: {type_name or 'empty'}")
+        result = self.spark.sql(query)  # executes the DML eagerly
+        count = -1
+        try:
+            rows = result.collect()
+            if rows and len(rows[0]) == 1 and isinstance(rows[0][0], int):
+                count = rows[0][0]  # e.g. num_affected_rows
+        except Exception:
+            pass
+        writer.write(pa.py_buffer(_vi(1, count)))
+
     def do_action(self, context, action) -> Iterator[bytes]:
         body = bytes(action.body.to_pybytes()) if action.body else b""
         if action.type == "CreatePreparedStatement":
@@ -467,6 +502,24 @@ def execute_query(client: "flight.FlightClient", query: str) -> pa.Table:
     DoGet(endpoint ticket) → Arrow table."""
     info = client.get_flight_info(statement_query_descriptor(query))
     return client.do_get(info.endpoints[0].ticket).read_all()
+
+
+def execute_update(client: "flight.FlightClient", query: str) -> int:
+    """ADBC-style ExecuteUpdate: DoPut(CommandStatementUpdate) with no
+    data stream; returns the server-reported record count (-1 =
+    unknown)."""
+    desc = flight.FlightDescriptor.for_command(
+        pack_any(_SQL_NS + "CommandStatementUpdate", _ld(1, query.encode()))
+    )
+    writer, metadata_reader = client.do_put(desc, pa.schema([]))
+    writer.done_writing()
+    buf = metadata_reader.read()
+    writer.close()
+    if buf is None:
+        return -1
+    fields = _parse(buf.to_pybytes())
+    vals = fields.get(1)
+    return _signed64(vals[0]) if vals else -1
 
 
 def prepare_and_execute(client: "flight.FlightClient", query: str) -> pa.Table:

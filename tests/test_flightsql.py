@@ -184,3 +184,29 @@ def test_get_tables_schema_filter(client):
     )
     table = client.do_get(info.endpoints[0].ticket).read_all()
     assert table.num_rows == 0
+
+
+def test_do_put_statement_update(client, ctx, tmp_path_factory):
+    """The proper FlightSQL DML path (ADBC ExecuteUpdate): DoPut with
+    CommandStatementUpdate executes exactly once and returns a
+    DoPutUpdateResult in the put metadata."""
+    path = str(tmp_path_factory.mktemp("fsql") / "upd_tbl")
+    ctx.spark.sql(f"CREATE TABLE fsql_upd (k INT) USING parquet LOCATION '{path}'")
+    try:
+        count = flightsql.execute_update(client, "INSERT INTO fsql_upd VALUES (1), (2)")
+        assert count in (-1, 2)  # Spark may not surface affected-row counts
+        n = ctx.spark.sql("SELECT count(*) AS n FROM fsql_upd").collect()[0]["n"]
+        assert n == 2  # exactly one execution
+    finally:
+        ctx.spark.sql("DROP TABLE IF EXISTS fsql_upd")
+
+
+def test_do_put_unknown_command_raises(client):
+    desc = flight.FlightDescriptor.for_command(
+        flightsql.pack_any("arrow.flight.protocol.sql.CommandNope", b"")
+    )
+    with pytest.raises(flight.FlightError):
+        writer, reader = client.do_put(desc, pa.schema([]))
+        writer.done_writing()
+        reader.read()
+        writer.close()
