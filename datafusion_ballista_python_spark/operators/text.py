@@ -16,11 +16,20 @@ def _trimmed(col: str | Column) -> Column:
     return F.trim(c)
 
 
+# GPT-2-style pre-tokenizer shape (contractions | space-prefixed letter /
+# digit / punctuation runs | whitespace), ASCII form without lookahead so
+# RE2 (DuckDB oracle) and Java regex (Spark) agree match-for-match
+BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace-token and word counts per document.
+    """Whitespace-token, word, and BPE-ish piece counts per document.
 
     ``n_tokens`` splits on ``\\s+`` (whitespace runs), ``n_words`` on
-    non-alphanumeric runs — the two standard pre-BPE token estimates.
+    non-alphanumeric runs, and ``n_bpe_pieces`` counts matches of a
+    GPT-2-style pre-tokenization regex (:data:`BPE_ISH_RE`) — the three
+    standard pre-training token estimates, cheapest to most faithful.
+    All pure codegen, zero shuffle.
     """
     t = _trimmed(text_col)
     return df.select(
@@ -28,6 +37,7 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.length(t).cast("long").alias("n_chars_m"),
         F.size(F.split(t, r"\s+")).cast("long").alias("n_tokens"),
         F.size(F.split(F.lower(t), r"[^a-z0-9]+")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower(t), F.lit(BPE_ISH_RE)).cast("long").alias("n_bpe_pieces"),
     )
 
 
