@@ -9,9 +9,12 @@ aggregation — the same shape Spark uses for built-in aggregates:
 
   phase 1 (map-side partial, no shuffle): ``mapInPandas`` folds each
       partition's batches into one accumulator per group key and emits
-      rows of [group keys..., state fields...]; the live-accumulator dict
-      is flushed every ``PARTIAL_FLUSH_KEYS`` distinct keys so memory is
-      bounded regardless of per-partition group cardinality;
+      rows of [group keys..., state fields..., validity flags...] — the
+      explicit per-state validity bit keeps null state distinguishable
+      from a genuine NaN float state across the pandas shuffle; the
+      live-accumulator dict is flushed every ``PARTIAL_FLUSH_KEYS``
+      distinct keys so memory is bounded regardless of per-partition
+      group cardinality;
   phase 2 (final, one shuffle on the group keys): ``applyInPandas`` per
       key calls ``merge`` over the collected partial states, then
       ``evaluate``.
@@ -111,16 +114,24 @@ def apply_udafs(
     key_schema = [base.schema[k] for k in key_names]
 
     # ---- phase 1: map-side partial accumulation --------------------------
+    # each state field travels with an explicit boolean validity flag:
+    # pandas represents null as NaN/NaT, so without the flag a genuinely
+    # NaN float state and a null state are indistinguishable after the
+    # shuffle (and integer nulls would not round-trip at all)
     state_fields: list[T.StructField] = []
+    validity_fields: list[T.StructField] = []
     for ui, u in enumerate(udafs):
         for si, st in enumerate(u.factory.state_type):
             state_fields.append(
                 T.StructField(f"__st_{ui}_{si}", arrow_to_spark(st), True)
             )
-    partial_schema = T.StructType(list(key_schema) + state_fields)
+            validity_fields.append(
+                T.StructField(f"__stv_{ui}_{si}", T.BooleanType(), False)
+            )
+    partial_schema = T.StructType(list(key_schema) + state_fields + validity_fields)
     factories = [u.factory for u in udafs]
 
-    cols = key_names + [f.name for f in state_fields]
+    cols = key_names + [f.name for f in state_fields] + [f.name for f in validity_fields]
 
     def drain(accs):
         """Turn the accumulator dict into partial-state rows and clear it."""
@@ -129,9 +140,12 @@ def apply_udafs(
         rows = []
         for key, accum_list in accs.items():
             row = list(key)
+            valid = []
             for acc in accum_list:
-                row.extend(s.as_py() for s in acc.state())
-            rows.append(row)
+                for s in acc.state():
+                    row.append(s.as_py())
+                    valid.append(bool(s.is_valid))
+            rows.append(row + valid)
         accs.clear()
         return pd.DataFrame(rows, columns=cols)
 
@@ -173,90 +187,137 @@ def apply_udafs(
     )
     out_cols = [f.name for f in result_fields.fields]
 
-    def merge_eval(raw_key, buffers):
+    def rebuild_state(vals, valids, st) -> pa.Array:
+        """Reconstruct a state array from pandas-round-tripped values plus
+        the explicit validity flags: validity False -> null regardless of
+        the placeholder pandas used (NaN/NaT/None); validity True with a
+        NaN/None value -> the state really was NaN (float types keep it);
+        integer values promoted to float by a nullable pandas column are
+        narrowed back."""
+        out = []
+        integer = pa.types.is_integer(st)
+        floating = pa.types.is_floating(st)
+        for v, ok in zip(vals, valids):
+            if not ok:
+                out.append(None)
+                continue
+            if v is None and floating:
+                # Spark's pandas->Arrow boundary already collapsed the NaN
+                # to null inside phase 1's output; validity says the state
+                # was real, so for float types it can only have been NaN
+                out.append(float("nan"))
+                continue
+            if isinstance(v, float):
+                if v != v:  # genuine NaN state, preserved
+                    out.append(float("nan"))
+                    continue
+                if integer:
+                    v = int(v)
+            out.append(v)
+        # from_pandas=False: nulls are already explicit Nones here, and
+        # from_pandas=True would collapse the just-restored NaNs back to
+        # null — the exact corruption this function exists to prevent
+        return pa.array(out, type=st, from_pandas=False)
+
+    def merge_eval(raw_key, buffers, vbuffers):
         row = list(raw_key)
         for ui, fac in enumerate(factories):
             acc = fac.accum()
-            # from_pandas=True: buffer values come off pandas columns where
-            # null states round-trip as NaN/NaT; without it integer state
-            # types raise ArrowInvalid and float states receive NaN instead
-            # of null, corrupting accumulators whose state can be None.
-            # KNOWN LIMIT: a float state that legitimately holds NaN is
-            # indistinguishable from null after the pandas shuffle and
-            # arrives as None in merge(); accumulators for which NaN is a
-            # meaningful state value should encode it explicitly (e.g. a
-            # separate boolean state field) rather than rely on NaN
             states = [
-                pa.array(buffers[ui][si], type=st, from_pandas=True)
+                rebuild_state(buffers[ui][si], vbuffers[ui][si], st)
                 for si, st in enumerate(fac.state_type)
             ]
             acc.merge(states)
             row.append(acc.evaluate().as_py())
         return row
 
+    # phase 2 runs on ARROW batches (mapInArrow), not pandas: the pandas
+    # bridge conflates NaN with null in float columns, so a NaN produced
+    # by evaluate() (or carried in a state) would silently become null in
+    # the emitted result; Arrow batches round-trip both faithfully
+    def _out_schema() -> pa.Schema:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(result_fields)
+
+    def emit_batch(rows: list, schema: pa.Schema) -> pa.RecordBatch:
+        cols_data = list(zip(*rows)) if rows else [[] for _ in schema]
+        arrays = [
+            pa.array(list(vals), type=f.type, from_pandas=False)
+            for vals, f in zip(cols_data, schema)
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    def norm(k):
+        # NaN != NaN would split a float-NaN-keyed group at a batch
+        # boundary (Arrow to_pylist yields proper None for nulls, so only
+        # float NaN needs canonicalizing)
+        return tuple(
+            ("__nan__",) if isinstance(x, float) and x != x else x for x in k
+        )
+
     def final_stream(batches):
-        import pandas as pd
-
-        def norm(k):
-            # NaN != NaN (and NaT != NaT) would split a null-keyed group at
-            # a batch boundary; pd.isna covers NaN, NaT and pd.NA alike
-            out = []
-            for x in k:
-                try:
-                    is_null = bool(pd.isna(x))
-                except (TypeError, ValueError):
-                    is_null = False
-                out.append(None if is_null else x)
-            return tuple(out)
-
-        cur_norm = cur_raw = cur_buf = None
+        schema = _out_schema()
+        cur_norm = cur_raw = cur_buf = cur_vbuf = None
         pending: list = []
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # rows arrive sorted by key, so sort=False iterates contiguous runs
-            for key, g in pdf.groupby(key_names, dropna=False, sort=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+            key_lists = [rb.column(k).to_pylist() for k in key_names]
+            st_lists = {
+                (ui, si): rb.column(f"__st_{ui}_{si}").to_pylist()
+                for ui, fac in enumerate(factories)
+                for si in range(len(fac.state_type))
+            }
+            v_lists = {
+                (ui, si): rb.column(f"__stv_{ui}_{si}").to_pylist()
+                for ui, fac in enumerate(factories)
+                for si in range(len(fac.state_type))
+            }
+            for i in range(rb.num_rows):
+                key = tuple(kl[i] for kl in key_lists)
                 nk = norm(key)
                 if cur_norm is not None and nk != cur_norm:
-                    pending.append(merge_eval(cur_raw, cur_buf))
+                    pending.append(merge_eval(cur_raw, cur_buf, cur_vbuf))
                     cur_norm = None
                 if cur_norm is None:
                     cur_norm, cur_raw = nk, key
                     cur_buf = [[[] for _ in fac.state_type] for fac in factories]
+                    cur_vbuf = [[[] for _ in fac.state_type] for fac in factories]
                 for ui, fac in enumerate(factories):
                     for si in range(len(fac.state_type)):
-                        cur_buf[ui][si].extend(g[f"__st_{ui}_{si}"].tolist())
+                        cur_buf[ui][si].append(st_lists[(ui, si)][i])
+                        cur_vbuf[ui][si].append(v_lists[(ui, si)][i])
             if len(pending) >= 4096:
-                yield pd.DataFrame(pending, columns=out_cols)
+                yield emit_batch(pending, schema)
                 pending = []
         if cur_norm is not None:
-            pending.append(merge_eval(cur_raw, cur_buf))
+            pending.append(merge_eval(cur_raw, cur_buf, cur_vbuf))
         if pending:
-            yield pd.DataFrame(pending, columns=out_cols)
+            yield emit_batch(pending, schema)
 
     def final_global(batches):
-        import pandas as pd
-
+        schema = _out_schema()
         buffers = [[[] for _ in fac.state_type] for fac in factories]
-        for pdf in batches:
+        vbuffers = [[[] for _ in fac.state_type] for fac in factories]
+        for rb in batches:
             for ui, fac in enumerate(factories):
                 for si in range(len(fac.state_type)):
-                    buffers[ui][si].extend(pdf[f"__st_{ui}_{si}"].tolist())
-        yield pd.DataFrame([merge_eval([], buffers)], columns=out_cols)
+                    buffers[ui][si].extend(rb.column(f"__st_{ui}_{si}").to_pylist())
+                    vbuffers[ui][si].extend(rb.column(f"__stv_{ui}_{si}").to_pylist())
+        yield emit_batch([merge_eval([], buffers, vbuffers)], schema)
 
     if n_keys:
         finals = (
             partials.repartition(*key_names)
             .sortWithinPartitions(*key_names)
-            .mapInPandas(final_stream, schema=result_fields)
+            .mapInArrow(final_stream, schema=result_fields)
         )
     else:
         # repartition(1) (a shuffle), NOT coalesce(1): coalesce collapses the
         # upstream mapInPandas(partial) stage into one task, serializing
         # phase 1; the shuffle boundary keeps partial accumulation parallel
-        finals = partials.repartition(1).mapInPandas(final_global, schema=result_fields)
+        finals = partials.repartition(1).mapInArrow(final_global, schema=result_fields)
 
     # ---- optional plain aggregates over the same grouping ----------------
     if plain_aggs:

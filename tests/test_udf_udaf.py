@@ -255,3 +255,58 @@ def test_udaf_null_integer_state_survives_shuffle(ctx):
     ).sort_by("g")
     assert out.column("g").to_pylist() == ["a", "b"]
     assert out.column("m").to_pylist() == [None, 3]
+
+
+def test_udaf_nan_float_state_distinct_from_null(ctx):
+    """A float state that legitimately holds NaN must arrive in merge()
+    as NaN, while a null state arrives as None — the explicit validity
+    flag distinguishes them across the pandas shuffle (previously NaN
+    collapsed to null and poison semantics were silently lost)."""
+
+    class PoisonSum(Accumulator):
+        """Sum that poisons to NaN if ANY input value is null."""
+
+        def __init__(self):
+            self.s = 0.0
+            self.seen = False
+
+        def state(self):
+            # None state = no data seen; NaN state = poisoned
+            return [pa.scalar(self.s if self.seen else None, type=pa.float64())]
+
+        def update(self, values):
+            if len(values):
+                self.seen = True
+                if values.null_count:
+                    self.s = float("nan")
+                else:
+                    self.s += pc.sum(values).as_py() or 0.0
+
+        def merge(self, states):
+            for s in states[0]:
+                v = s.as_py()
+                if v is None:
+                    continue  # empty partial
+                self.seen = True
+                self.s += v  # NaN propagates
+
+        def evaluate(self):
+            return pa.scalar(self.s if self.seen else None, type=pa.float64())
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "g": ["a"] * 3 + ["b"] * 3,
+            "v": [1.0, None, 2.0, 1.5, 2.5, 3.0],
+        },
+        schema=pa.schema([("g", pa.string()), ("v", pa.float64())]),
+    )
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    df = BDF(ctx.create_dataframe([[batch]]).to_spark().repartition(3))
+    agg = udaf(PoisonSum, pa.float64(), pa.float64(), [pa.float64()])
+    out = pa.Table.from_batches(
+        df.aggregate([col("g")], [agg(col("v")).alias("s")]).collect()
+    ).sort_by("g")
+    res = dict(zip(out.column("g").to_pylist(), out.column("s").to_pylist()))
+    assert res["a"] != res["a"]  # NaN: group a saw a null input -> poisoned
+    assert res["b"] == pytest.approx(7.0)
