@@ -28,7 +28,7 @@ lit = bf.lit
            CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
            CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS BIGINT) AS n_words,
            CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(TRIM(text)),
-                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))
+                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^ \\t\\n\\f\\ra-z0-9]+|[ \\t\\n\\f\\r]+'))
                 AS BIGINT) AS n_bpe_pieces
     FROM documents ORDER BY doc_id
     """,

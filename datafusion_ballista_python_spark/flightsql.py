@@ -423,15 +423,28 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         if type_name == _SQL_NS + "CommandStatementUpdate":
             query = _str_field(fields, 1) or ""
         elif type_name == _SQL_NS + "CommandPreparedStatementUpdate":
-            query = bytes(fields.get(1, [b""])[0]).decode()
+            handle = bytes(fields.get(1, [b""])[0])
+            if handle.startswith(_CMD_PREFIX):
+                # the DML already executed (exactly once) at prepare time;
+                # acknowledging here without re-executing keeps the
+                # exactly-once guarantee — the handle is NOT SQL text
+                if handle not in self._command_results:
+                    raise BallistaError(
+                        "unknown prepared command handle (results live on "
+                        "the preparing server; re-prepare the statement)"
+                    )
+                writer.write(pa.py_buffer(_vi(1, -1)))
+                return
+            query = handle.decode()
         else:
             raise BallistaError(f"unsupported FlightSQL DoPut: {type_name or 'empty'}")
         result = self.spark.sql(query)  # executes the DML eagerly
         count = -1
         try:
             rows = result.collect()
-            if rows and len(rows[0]) == 1 and isinstance(rows[0][0], int):
-                count = rows[0][0]  # e.g. num_affected_rows
+            v = rows[0][0] if rows and len(rows[0]) == 1 else None
+            if isinstance(v, int) and not isinstance(v, bool):
+                count = v  # e.g. num_affected_rows
         except Exception:
             pass
         writer.write(pa.py_buffer(_vi(1, count)))

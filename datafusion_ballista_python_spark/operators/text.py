@@ -18,8 +18,13 @@ def _trimmed(col: str | Column) -> Column:
 
 # GPT-2-style pre-tokenizer shape (contractions | space-prefixed letter /
 # digit / punctuation runs | whitespace), ASCII form without lookahead so
-# RE2 (DuckDB oracle) and Java regex (Spark) agree match-for-match
-BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+# RE2 (DuckDB oracle) and Java regex (Spark) agree match-for-match.
+# Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's \s includes
+# \x0B (vertical tab) while RE2's does not, and that one character would
+# silently split pieces differently across the two engines
+BPE_ISH_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^ \t\n\f\ra-z0-9]+|[ \t\n\f\r]+"
+)
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

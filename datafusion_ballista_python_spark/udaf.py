@@ -185,7 +185,6 @@ def apply_udafs(
         list(key_schema)
         + [T.StructField(u.out_name, arrow_to_spark(u.factory.return_type), True) for u in udafs]
     )
-    out_cols = [f.name for f in result_fields.fields]
 
     def rebuild_state(vals, valids, st) -> pa.Array:
         """Reconstruct a state array from pandas-round-tripped values plus

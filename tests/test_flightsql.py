@@ -210,3 +210,38 @@ def test_do_put_unknown_command_raises(client):
         writer.done_writing()
         reader.read()
         writer.close()
+
+
+def test_do_put_prepared_update_exactly_once(client, ctx, tmp_path_factory):
+    """ADBC prepared ExecuteUpdate: prepare executes the eager DML once;
+    the DoPut with the prepared handle must ACK without re-executing
+    (previously it parsed the cmd: handle as SQL and errored after the
+    side effect had applied)."""
+    path = str(tmp_path_factory.mktemp("fsql") / "pupd_tbl")
+    ctx.spark.sql(f"CREATE TABLE fsql_pupd (k INT) USING parquet LOCATION '{path}'")
+    try:
+        req = flightsql.pack_any(
+            "arrow.flight.protocol.sql.ActionCreatePreparedStatementRequest",
+            flightsql._ld(1, b"INSERT INTO fsql_pupd VALUES (5)"),
+        )
+        results = list(client.do_action(flight.Action("CreatePreparedStatement", req)))
+        _, payload = flightsql.unpack_any(results[0].body.to_pybytes())
+        handle = bytes(flightsql._parse(payload).get(1, [b""])[0])
+        assert handle.startswith(b"cmd:")
+
+        desc = flight.FlightDescriptor.for_command(
+            flightsql.pack_any(
+                "arrow.flight.protocol.sql.CommandPreparedStatementUpdate",
+                flightsql._ld(1, handle),
+            )
+        )
+        writer, metadata_reader = client.do_put(desc, pa.schema([]))
+        writer.done_writing()
+        buf = metadata_reader.read()
+        writer.close()
+        assert buf is not None  # server ACKed with a DoPutUpdateResult
+
+        n = ctx.spark.sql("SELECT count(*) AS n FROM fsql_pupd").collect()[0]["n"]
+        assert n == 1  # exactly one execution, at prepare time
+    finally:
+        ctx.spark.sql("DROP TABLE IF EXISTS fsql_pupd")
