@@ -114,6 +114,38 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_against_reference",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents
+    ),
+    ref AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+    batch AS (
+        SELECT doc_id, f,
+               ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp WHERE doc_id >= 250
+    )
+    SELECT b.doc_id
+    FROM batch b LEFT JOIN ref r ON b.f = r.f
+    WHERE b.rn = 1 AND r.f IS NULL
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_against_reference(spark, sf_dir):
+    """Cross-corpus dedup: documents with doc_id >= 250 (the 'new crawl')
+    deduped within themselves AND against the doc_id < 250 reference
+    corpus via a left-anti join on the skinny 128-bit fingerprint
+    column — the batch arm of the incremental streaming dedup sink."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = dedup.dedup_against_reference(
+        docs.where("doc_id >= 250"), docs.where("doc_id < 250")
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (

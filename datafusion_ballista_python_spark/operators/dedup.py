@@ -63,6 +63,42 @@ def drop_exact_duplicates(
     )
 
 
+def dedup_against_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop rows whose normalized-text
+    fingerprint already exists in ``reference`` — the batch operator for
+    deduplicating a new crawl against the existing training corpus
+    (the batch arm of streaming.incremental_dedup_sink).
+
+    Also dedups within ``df`` itself (first id per fingerprint), so the
+    survivors are collision-free both against the reference AND each
+    other — appending them to the reference keeps it exact-dup-free.
+
+    Scale: the reference contributes ONE skinny 128-bit fingerprint
+    column to a left-anti hash join — at 100 TB read just that column
+    (store it materialized, as the incremental sink does); both the
+    anti-join and the within-batch row_number shuffle on the skew-free
+    fingerprint."""
+    from pyspark.sql import Window
+
+    ref_fp = reference.select(
+        F.md5(normalized_text(ref_text_col or text_col)).alias("__fp")
+    ).distinct()
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", F.md5(normalized_text(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp", "__rn")
+    )
+
+
 def _token_set(text_col: str, pattern: str = r"\s+") -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), pattern))
 
