@@ -170,3 +170,39 @@ def train_chunk_documents(spark, sf_dir):
     return training.chunk_documents(docs, 38, overlap=8).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@query(
+    "train_mixture_sample",
+    oracle="""
+    SELECT source, doc_id, lang
+    FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    ) ranked
+    WHERE rn <= CASE source
+                  WHEN 'src0' THEN 20
+                  WHEN 'src1' THEN 12
+                  WHEN 'src2' THEN 7
+                  ELSE 3
+                END
+    ORDER BY source, doc_id
+    """,
+)
+def train_mixture_sample(spark, sf_dir):
+    """Deterministic training-mix assembly: per-source quotas (20/12/7
+    for src0/src1/src2, 3 for every other source — all four quota arms
+    exercised by the testdata's 25-docs-per-source layout) selected by
+    md5(doc_id) rank within each source — reproducible membership, one
+    window shuffle."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = mixture_sample(
+        docs, "source", {"src0": 20, "src1": 12, "src2": 7}, "doc_id", default_n=3
+    )
+    return out.select("source", "doc_id", "lang").orderBy("source", "doc_id")

@@ -99,3 +99,38 @@ def weighted_sample(
         .limit(n)
         .drop("__wsk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group: str | Column,
+    targets: dict[str, int],
+    key: str | Column,
+    default_n: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep exactly
+    min(targets[group], |group|) rows per group value — how a training
+    mix is assembled from heterogeneous sources ("200k from web, 50k
+    from code, 10k from math") with reproducible membership.
+
+    Rows in groups not named in ``targets`` keep ``default_n`` rows.
+    Selection within a group is by (md5(key), key) rank — the same total
+    order as :func:`stratified_sample`, so membership is stable across
+    partitionings and re-runs.
+
+    Scale: the per-group quota is a literal CASE expression (codegen; no
+    join against a quota table needed at these cardinalities — mixtures
+    name dozens of sources, not millions); the only shuffle is the
+    per-group window rank, partitioned on the group key.
+    """
+    g = F.col(group) if isinstance(group, str) else group
+    k = F.col(key) if isinstance(key, str) else key
+    quota = F.lit(int(default_n))
+    for value, n in sorted(targets.items()):
+        quota = F.when(g == F.lit(value), F.lit(int(n))).otherwise(quota)
+    w = Window.partitionBy(g).orderBy(_hash_hex(k, 8), k)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

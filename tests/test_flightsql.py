@@ -245,3 +245,46 @@ def test_do_put_prepared_update_exactly_once(client, ctx, tmp_path_factory):
         assert n == 1  # exactly one execution, at prepare time
     finally:
         ctx.spark.sql("DROP TABLE IF EXISTS fsql_pupd")
+
+
+# -- protobuf wire codec properties (no server needed) ----------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip(n):
+    buf = flightsql._varint(n)
+    val, pos = flightsql._read_varint(buf, 0)
+    assert val == n and pos == len(buf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_signed_varint_field_roundtrip(n):
+    buf = flightsql._vi(3, n)
+    fields = flightsql._parse(buf)
+    assert flightsql._signed64(fields[3][0]) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=15), st.binary(max_size=64)),
+        max_size=8,
+    )
+)
+def test_length_delimited_fields_roundtrip(pairs):
+    buf = b"".join(flightsql._ld(f, payload) for f, payload in pairs)
+    fields = flightsql._parse(buf)
+    for f, payload in pairs:
+        assert payload in [bytes(v) for v in fields.get(f, [])]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80), st.binary(max_size=256))
+def test_any_pack_unpack_roundtrip(name, payload):
+    got_name, got_payload = flightsql.unpack_any(flightsql.pack_any(name, payload))
+    assert got_name == name.rsplit("/", 1)[-1]
+    assert got_payload == payload

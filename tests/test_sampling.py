@@ -86,3 +86,23 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["k", "w"])
     out = [r["k"] for r in weighted_sample(df, "w", "k", 10).collect()]
     assert out == [3]
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from datafusion_ballista_python_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = mixture_sample(df, "grp", {"g0": 5, "g1": 2}, "id", default_n=1)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"g0": 5, "g1": 2, "g2": 1}
+    # quota above group size keeps the whole group
+    out2 = mixture_sample(df, "grp", {"g0": 10_000}, "id", default_n=0)
+    assert out2.count() == 20
+    # deterministic across partitionings
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, mixture_sample(
+        df.repartition(7), "grp", {"g0": 5, "g1": 2}, "id", default_n=1).collect()))
+    assert a == b
