@@ -163,6 +163,95 @@ _GET_DB_SCHEMAS_SCHEMA = pa.schema(
     ]
 )
 _GET_TABLE_TYPES_SCHEMA = pa.schema([pa.field("table_type", pa.utf8(), nullable=False)])
+_SQL_INFO_VALUE_TYPE = pa.dense_union(
+    [
+        pa.field("string_value", pa.utf8()),
+        pa.field("bool_value", pa.bool_()),
+        pa.field("bigint_value", pa.int64()),
+        pa.field("int32_bitmask", pa.int32()),
+        pa.field("string_list", pa.list_(pa.utf8())),
+        pa.field("int32_to_int32_list_map", pa.map_(pa.int32(), pa.list_(pa.int32()))),
+    ]
+)
+_GET_SQL_INFO_SCHEMA = pa.schema(
+    [
+        pa.field("info_name", pa.uint32(), nullable=False),
+        pa.field("value", _SQL_INFO_VALUE_TYPE),
+    ]
+)
+_GET_PRIMARY_KEYS_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.utf8()),
+        pa.field("db_schema_name", pa.utf8()),
+        pa.field("table_name", pa.utf8(), nullable=False),
+        pa.field("column_name", pa.utf8(), nullable=False),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+        pa.field("key_name", pa.utf8()),
+    ]
+)
+
+# FlightSQL SqlInfo ids (arrow.flight.protocol.sql.SqlInfo)
+_SQL_INFO_VALUES: "OrderedDict[int, object]" = OrderedDict(
+    [
+        (0, "datafusion-ballista-python-spark"),  # FLIGHT_SQL_SERVER_NAME
+        (1, "1.0"),  # FLIGHT_SQL_SERVER_VERSION
+        (2, pa.__version__),  # FLIGHT_SQL_SERVER_ARROW_VERSION
+        (3, False),  # FLIGHT_SQL_SERVER_READ_ONLY
+        (4, True),  # FLIGHT_SQL_SERVER_SQL
+    ]
+)
+
+
+def _sql_info_table(requested: list[int]) -> pa.Table:
+    """GetSqlInfo result: the spec's uint32 -> dense-union rows for the
+    requested info ids (all known ids when the request names none)."""
+    ids = [i for i in (requested or list(_SQL_INFO_VALUES)) if i in _SQL_INFO_VALUES]
+    types: list[int] = []
+    offsets: list[int] = []
+    strings: list[str] = []
+    bools: list[bool] = []
+    for i in ids:
+        v = _SQL_INFO_VALUES[i]
+        if isinstance(v, bool):
+            types.append(1)
+            offsets.append(len(bools))
+            bools.append(v)
+        else:
+            types.append(0)
+            offsets.append(len(strings))
+            strings.append(str(v))
+    union = pa.UnionArray.from_dense(
+        pa.array(types, pa.int8()),
+        pa.array(offsets, pa.int32()),
+        [
+            pa.array(strings, pa.utf8()),
+            pa.array(bools, pa.bool_()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.list_(pa.utf8())),
+            pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+        ],
+        field_names=[f.name for f in _SQL_INFO_VALUE_TYPE],
+    )
+    return pa.table(
+        {"info_name": pa.array(ids, pa.uint32()), "value": union}
+    ).cast(_GET_SQL_INFO_SCHEMA)
+
+
+def _requested_info_ids(fields: dict[int, list]) -> list[int]:
+    """CommandGetSqlInfo.info is repeated uint32: either packed (one
+    length-delimited blob of varints) or unpacked (one varint per tag)."""
+    out: list[int] = []
+    for v in fields.get(1, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:  # packed
+            pos = 0
+            data = bytes(v)
+            while pos < len(data):
+                val, pos = _read_varint(data, pos)
+                out.append(val)
+    return out
 
 
 def _get_tables_schema(include_schema: bool) -> pa.Schema:
@@ -365,6 +454,10 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             return self._metadata_info(descriptor, _get_tables_schema(include_schema))
         if type_name == _SQL_NS + "CommandGetTableTypes":
             return self._metadata_info(descriptor, _GET_TABLE_TYPES_SCHEMA)
+        if type_name == _SQL_NS + "CommandGetSqlInfo":
+            return self._metadata_info(descriptor, _GET_SQL_INFO_SCHEMA)
+        if type_name == _SQL_NS + "CommandGetPrimaryKeys":
+            return self._metadata_info(descriptor, _GET_PRIMARY_KEYS_SCHEMA)
         raise BallistaError(f"unsupported FlightSQL command: {type_name or 'empty'}")
 
     def get_schema(self, context, descriptor):
@@ -410,6 +503,14 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
                     _GET_TABLE_TYPES_SCHEMA
                 )
             )
+        if type_name == _SQL_NS + "CommandGetSqlInfo":
+            return flight.RecordBatchStream(
+                _sql_info_table(_requested_info_ids(fields))
+            )
+        if type_name == _SQL_NS + "CommandGetPrimaryKeys":
+            # Spark temp views / parquet tables carry no PK metadata;
+            # the spec-shaped empty result tells clients exactly that
+            return flight.RecordBatchStream(_GET_PRIMARY_KEYS_SCHEMA.empty_table())
         raise BallistaError(f"unsupported FlightSQL ticket: {type_name or 'empty'}")
 
     def do_put(self, context, descriptor, reader, writer):
@@ -507,6 +608,11 @@ def metadata_descriptor(command: str, **kwargs) -> "flight.FlightDescriptor":
             payload += _vi(5, 1)
     elif command == "CommandGetDbSchemas" and kwargs.get("db_schema_filter_pattern"):
         payload += _ld(2, kwargs["db_schema_filter_pattern"].encode())
+    elif command == "CommandGetSqlInfo":
+        for info_id in kwargs.get("info", []):
+            payload += _vi(1, info_id)
+    elif command == "CommandGetPrimaryKeys" and kwargs.get("table"):
+        payload += _ld(3, kwargs["table"].encode())
     return flight.FlightDescriptor.for_command(pack_any(_SQL_NS + command, payload))
 
 

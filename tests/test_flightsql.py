@@ -288,3 +288,34 @@ def test_any_pack_unpack_roundtrip(name, payload):
     got_name, got_payload = flightsql.unpack_any(flightsql.pack_any(name, payload))
     assert got_name == name.rsplit("/", 1)[-1]
     assert got_payload == payload
+
+
+def test_get_sql_info(client):
+    """ADBC connection bootstrap: GetSqlInfo returns the dense-union
+    metadata rows, honoring the requested-id filter (packed or not)."""
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor("CommandGetSqlInfo")
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.schema.field("info_name").type == pa.uint32()
+    assert pa.types.is_union(table.schema.field("value").type)
+    rows = dict(zip(table.column("info_name").to_pylist(),
+                    table.column("value").to_pylist()))
+    assert rows[0] == "datafusion-ballista-python-spark"
+    assert rows[3] is False  # not read-only
+
+    filtered = client.do_get(
+        client.get_flight_info(
+            flightsql.metadata_descriptor("CommandGetSqlInfo", info=[1, 2])
+        ).endpoints[0].ticket
+    ).read_all()
+    assert filtered.column("info_name").to_pylist() == [1, 2]
+
+
+def test_get_primary_keys_empty_with_spec_schema(client):
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor("CommandGetPrimaryKeys", table="fs_nation")
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.num_rows == 0
+    assert table.schema.equals(flightsql._GET_PRIMARY_KEYS_SCHEMA)
