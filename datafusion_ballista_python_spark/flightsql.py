@@ -375,9 +375,13 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         )
 
     def _db_schemas_table(self, fields: dict[int, list]) -> pa.Table:
+        catalog_filter = _str_field(fields, 1)
         pattern = _str_field(fields, 2)
         current = self.spark.catalog.currentCatalog()
-        names = [d.name for d in self.spark.catalog.listDatabases()]
+        if catalog_filter is not None and catalog_filter not in ("", current):
+            names: list[str] = []
+        else:
+            names = [d.name for d in self.spark.catalog.listDatabases()]
         if pattern is not None:
             rx = _like_to_regex(pattern)
             names = [n for n in names if rx.match(n)]

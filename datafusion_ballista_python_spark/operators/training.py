@@ -113,6 +113,11 @@ def pack_sequences(
     where ``[seq_begin, seq_end)`` is the document's token span within
     the sequence.
 
+    Precondition: ``id_col`` values must be UNIQUE — the layout is the
+    cumulative sum over the total order by id, and duplicate ids would
+    make tie ordering (hence every downstream offset) partition-order
+    dependent.  Dedup first (operators/dedup) if ids can repeat.
+
     Scale: the global prefix sum is NOT a one-partition window (that
     serializes the corpus through one task).  Documents are grouped into
     ``id DIV bucket_size`` buckets: a tiny per-bucket roll-up (one row
