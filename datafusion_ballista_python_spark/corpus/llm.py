@@ -116,32 +116,60 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_against_reference",
     oracle="""
-    WITH fp AS (
+    WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        UNION ALL
+        -- re-idified copies of reference docs: cross-corpus duplicates
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        -- re-idified copies of batch docs: within-batch duplicates
+        SELECT doc_id + 200000, text FROM documents
+        WHERE doc_id >= 250 AND doc_id < 270
+    ),
+    fp AS (
         SELECT doc_id,
                MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
-        FROM documents
+        FROM batch
     ),
-    ref AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
-    batch AS (
+    ref AS (
+        SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents WHERE doc_id < 250
+    ),
+    ranked AS (
         SELECT doc_id, f,
                ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-        FROM fp WHERE doc_id >= 250
+        FROM fp
     )
     SELECT b.doc_id
-    FROM batch b LEFT JOIN ref r ON b.f = r.f
+    FROM ranked b LEFT JOIN ref r ON b.f = r.f
     WHERE b.rn = 1 AND r.f IS NULL
     ORDER BY b.doc_id
     """,
 )
 def dedup_against_reference(spark, sf_dir):
-    """Cross-corpus dedup: documents with doc_id >= 250 (the 'new crawl')
-    deduped within themselves AND against the doc_id < 250 reference
-    corpus via a left-anti join on the skinny 128-bit fingerprint
-    column — the batch arm of the incremental streaming dedup sink."""
+    """Cross-corpus dedup with a NON-VACUOUS oracle: the 'new crawl' is
+    docs >= 250 plus re-idified copies of 40 reference docs (must be
+    dropped by the anti-join) and of 20 batch docs (must be dropped by
+    the within-batch rank) — both dedup paths change the answer, so a
+    wrong join type or normalization fails the hash."""
+    from pyspark.sql import functions as F
+
     docs = load(spark, sf_dir, "documents")["documents"]
-    out = dedup.dedup_against_reference(
-        docs.where("doc_id >= 250"), docs.where("doc_id < 250")
+    batch = (
+        docs.where("doc_id >= 250")
+        .select("doc_id", "text")
+        .unionAll(
+            docs.where("doc_id < 40").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where("doc_id >= 250 AND doc_id < 270").select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
     )
+    out = dedup.dedup_against_reference(batch, docs.where("doc_id < 250"))
     return out.select("doc_id").orderBy("doc_id")
 
 

@@ -374,20 +374,37 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             _GET_CATALOGS_SCHEMA
         )
 
+    def _schemas_for_catalog(self, catalog_filter: Optional[str]) -> tuple[str, list[str]]:
+        """(catalog label, schema names) for a FlightSQL catalog filter:
+        None -> current catalog; "" -> empty per spec (every Spark schema
+        lives in a catalog); another advertised catalog -> SHOW NAMESPACES
+        IN it; unknown -> empty."""
+        current = self.spark.catalog.currentCatalog()
+        if catalog_filter is None or catalog_filter == current:
+            return current, [d.name for d in self.spark.catalog.listDatabases()]
+        if catalog_filter == "":
+            return current, []
+        known = {c.name for c in self.spark.catalog.listCatalogs()}
+        if catalog_filter in known:
+            try:
+                rows = self.spark.sql(
+                    f"SHOW NAMESPACES IN `{catalog_filter}`"
+                ).collect()
+                return catalog_filter, [r[0] for r in rows]
+            except Exception:
+                return catalog_filter, []
+        return catalog_filter, []
+
     def _db_schemas_table(self, fields: dict[int, list]) -> pa.Table:
         catalog_filter = _str_field(fields, 1)
         pattern = _str_field(fields, 2)
-        current = self.spark.catalog.currentCatalog()
-        if catalog_filter is not None and catalog_filter not in ("", current):
-            names: list[str] = []
-        else:
-            names = [d.name for d in self.spark.catalog.listDatabases()]
+        label, names = self._schemas_for_catalog(catalog_filter)
         if pattern is not None:
             rx = _like_to_regex(pattern)
             names = [n for n in names if rx.match(n)]
         return pa.table(
             {
-                "catalog_name": pa.array([current] * len(names), pa.utf8()),
+                "catalog_name": pa.array([label] * len(names), pa.utf8()),
                 "db_schema_name": pa.array(names, pa.utf8()),
             }
         ).cast(_GET_DB_SCHEMAS_SCHEMA)
@@ -403,7 +420,9 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         for t in self.spark.catalog.listTables():
             ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
             ns = t.namespace[0] if t.namespace else None
-            if catalog_filter is not None and catalog_filter not in ("", current):
+            if catalog_filter is not None and catalog_filter != current:
+                # "" means 'tables without a catalog' per spec — none in
+                # Spark; other catalogs aren't browsed by this session
                 continue
             if schema_pattern is not None and not _like_to_regex(
                 schema_pattern

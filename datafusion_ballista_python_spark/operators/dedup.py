@@ -46,12 +46,13 @@ def exact_clusters(
     )
 
 
-def drop_exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _first_per_fingerprint(
+    df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """Keep exactly one representative row (min id) per exact-duplicate
-    cluster.  row_number over the fingerprint (one shuffle) rather than a
-    semi-join on ids — correct even when id values repeat."""
+    """Rows with a ``__fp`` normalized-text fingerprint column, keeping
+    only the min-id row per fingerprint (one skew-free shuffle).  The
+    shared within-corpus dedup core of :func:`drop_exact_duplicates` and
+    :func:`dedup_against_reference`."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("__fp").orderBy(F.col(id_col))
@@ -59,8 +60,17 @@ def drop_exact_duplicates(
         df.withColumn("__fp", F.md5(normalized_text(text_col)))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .drop("__rn")
     )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one representative row (min id) per exact-duplicate
+    cluster.  row_number over the fingerprint (one shuffle) rather than a
+    semi-join on ids — correct even when id values repeat."""
+    return _first_per_fingerprint(df, text_col, id_col).drop("__fp")
 
 
 def dedup_against_reference(
@@ -84,18 +94,13 @@ def dedup_against_reference(
     (store it materialized, as the incremental sink does); both the
     anti-join and the within-batch row_number shuffle on the skew-free
     fingerprint."""
-    from pyspark.sql import Window
-
     ref_fp = reference.select(
         F.md5(normalized_text(ref_text_col or text_col)).alias("__fp")
     ).distinct()
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
     return (
-        df.withColumn("__fp", F.md5(normalized_text(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        _first_per_fingerprint(df, text_col, id_col)
         .join(ref_fp, "__fp", "left_anti")
-        .drop("__fp", "__rn")
+        .drop("__fp")
     )
 
 

@@ -670,3 +670,26 @@ def test_connected_components_self_loops_agree(spark):
         for r in graph.connected_components(pairs, algorithm="star").collect()
     }
     assert a == b == {1: 1, 2: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_dedup_against_reference_both_paths(spark):
+    """Cross-corpus dedup drops reference collisions via the anti-join
+    AND internal dups via the fingerprint rank — whitespace/case
+    variants fingerprint identically."""
+    ref = spark.createDataFrame(
+        [(1, "shared   document text"), (2, "reference only text")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Shared document TEXT"),   # normalized dup of ref 1 -> dropped
+            (11, "fresh text one"),
+            (12, "fresh text one"),          # internal dup of 11 -> dropped
+            (13, "fresh text two"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_against_reference(batch, ref).collect()
+    )
+    assert kept == [11, 13]

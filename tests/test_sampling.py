@@ -95,7 +95,7 @@ def test_mixture_sample_quotas_and_determinism(spark):
     df = spark.createDataFrame(rows, ["id", "grp"])
     out = mixture_sample(df, "grp", {"g0": 5, "g1": 2}, "id", default_n=1)
     counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
-        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        F.count("*").alias("n")
     ).collect()}
     assert counts == {"g0": 5, "g1": 2, "g2": 1}
     # quota above group size keeps the whole group
