@@ -25,7 +25,7 @@ from .udaf import udaf  # noqa: F401
 from .udtf import register_udtf, udtf  # noqa: F401
 from .udf import Accumulator, ScalarUDF, udf  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "BallistaContext",

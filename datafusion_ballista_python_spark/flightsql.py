@@ -190,11 +190,17 @@ _GET_PRIMARY_KEYS_SCHEMA = pa.schema(
     ]
 )
 
+def _package_version() -> str:
+    from . import __version__
+
+    return __version__
+
+
 # FlightSQL SqlInfo ids (arrow.flight.protocol.sql.SqlInfo)
 _SQL_INFO_VALUES: "OrderedDict[int, object]" = OrderedDict(
     [
         (0, "datafusion-ballista-python-spark"),  # FLIGHT_SQL_SERVER_NAME
-        (1, "1.0"),  # FLIGHT_SQL_SERVER_VERSION
+        (1, _package_version()),  # FLIGHT_SQL_SERVER_VERSION
         (2, pa.__version__),  # FLIGHT_SQL_SERVER_ARROW_VERSION
         (3, False),  # FLIGHT_SQL_SERVER_READ_ONLY
         (4, True),  # FLIGHT_SQL_SERVER_SQL
