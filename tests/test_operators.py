@@ -693,3 +693,46 @@ def test_dedup_against_reference_both_paths(spark):
         r["doc_id"] for r in dedup.dedup_against_reference(batch, ref).collect()
     )
     assert kept == [11, 13]
+
+
+from datafusion_ballista_python_spark.operators import semdedup  # noqa: E402
+
+
+def test_kmeans_fit_sse_monotone_and_shape(emb):
+    """Distributed Lloyd: SSE over the full table never increases as
+    rounds are added (same deterministic init), centroids keep k x dim."""
+    sses = []
+    for iters in (0, 1, 3):
+        cent = semdedup.kmeans_fit(emb, k=4, iters=iters)
+        assert len(cent) == 4 and len(cent[0]) == 64
+        sses.append(semdedup.kmeans_sse(emb, cent))
+    assert sses[1] <= sses[0] + 1e-6
+    assert sses[2] <= sses[1] + 1e-6
+
+
+def test_kmeans_fit_deterministic(emb):
+    a = semdedup.kmeans_fit(emb, k=3, iters=2)
+    b = semdedup.kmeans_fit(emb, k=3, iters=2)
+    assert a == b
+
+
+def test_semantic_dedup_invariants(emb):
+    """Every vector appears exactly once; the lowest id in each cell is
+    always kept (it can have no lower-id neighbor); dropped vectors have
+    a kept-or-dropped lower-id near-neighbor in the same cell by
+    construction of the pair join."""
+    cent = similarity._hyperplanes(64, 8, seed=11)
+    out = semdedup.semantic_dedup(emb, cent, threshold=0.3).toPandas()
+    assert len(out) == emb.count()
+    assert out["vec_id"].is_unique
+    min_per_cell = out.groupby("cell")["vec_id"].min()
+    kept = out[out["keep"]]
+    for cell, vid in min_per_cell.items():
+        assert bool(out[out["vec_id"] == vid]["keep"].iloc[0]), (cell, vid)
+
+
+def test_semantic_dedup_trained_path_runs(emb):
+    """Trained centroids (kmeans_fit) feed semantic_dedup end to end."""
+    cent = semdedup.kmeans_fit(emb.limit(200), k=4, iters=1)
+    out = semdedup.semantic_dedup(emb.limit(200), cent, threshold=0.3)
+    assert out.count() == 200
