@@ -206,3 +206,62 @@ def train_mixture_sample(spark, sf_dir):
         docs, "source", {"src0": 20, "src1": 12, "src2": 7}, "doc_id", default_n=3
     )
     return out.select("source", "doc_id", "lang").orderBy("source", "doc_id")
+
+
+@query(
+    "train_build_vocab",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(t) AS token
+        FROM (SELECT {_TOKS} AS t FROM documents)
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS count
+        FROM toks GROUP BY token HAVING COUNT(*) >= 3
+    ),
+    ranked AS (
+        SELECT token, count,
+               CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1
+                    AS BIGINT) AS token_id
+        FROM counts
+    )
+    SELECT token, count, token_id FROM ranked
+    WHERE token_id < 200
+    ORDER BY token_id
+    """,
+)
+def train_build_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary: top-200 tokens with count >= 3, dense
+    ids in (count DESC, token) order.  Spark side: one token shuffle with
+    map-side partials, TakeOrderedAndProject for the top-k (no global
+    sort of the distinct-token table), id window bounded by top_k."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return training.build_vocab(docs, top_k=200, min_count=3).orderBy("token_id")
+
+
+@query(
+    "train_epoch_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST('0x' || SUBSTRING(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 8 AS BIGINT) AS shard,
+           SUBSTRING(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 16, 16) AS sort_key
+    FROM documents
+    ORDER BY shard, sort_key, doc_id
+    """,
+)
+def train_epoch_shards(spark, sf_dir):
+    """Deterministic epoch shuffle: md5('epoch1:'||id) assigns each doc a
+    shard in [0,8) and a within-shard sort key — reading shards in order
+    yields a reproducible pseudo-random permutation that changes per
+    epoch.  Map-only codegen; the physical shuffle is the caller's
+    one partitioned write."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = training.epoch_shards(docs, "doc_id", n_shards=8, epoch=1)
+    return out.select("doc_id", "shard", "sort_key").orderBy(
+        "shard", "sort_key", "doc_id"
+    )

@@ -227,3 +227,68 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_k: int = 50_000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary construction: tokenize the corpus,
+    count global token frequencies, keep the ``top_k`` tokens with at
+    least ``min_count`` occurrences, and assign dense ids in
+    (count DESC, token ASC) order — the deterministic word-level vocab
+    step that precedes BPE training / id-mapping in a data pipeline.
+
+    Returns ``(token, count, token_id)`` with ids 0..V-1.
+
+    Scale: token counting is one hash shuffle with map-side partial
+    aggregation (billions of tokens collapse to one partial row per
+    (partition, token) before shipping).  Selection is
+    ``orderBy(...).limit(top_k)`` — Spark fuses it to
+    TakeOrderedAndProject (per-partition top-k + driver k-way merge, no
+    global sort of the distinct-token table).  Only AFTER the corpus is
+    cut to top_k rows does the id-assignment window run, so its single
+    ordered partition is bounded by top_k, not by vocabulary size.
+    """
+    toks = docs.select(F.explode(_token_array(text_col)).alias("token"))
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def epoch_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle for training-run data ordering: every
+    row gets a ``shard`` in [0, n_shards) and a ``sort_key`` such that
+    reading shards in order, each sorted by ``sort_key``, yields a
+    uniform pseudo-random permutation of the corpus that (a) changes
+    with ``epoch`` and (b) is identical across cluster layouts and
+    re-runs — the reproducible global-shuffle step before writing
+    training shards.
+
+    Scale: assignment is pure map-side codegen (md5 of the salted key);
+    the physical shuffle happens only when the caller writes
+    ``.repartition(n_shards, "shard")`` + ``sortWithinPartitions("sort_key")``
+    or ``partitionBy("shard")`` — one exchange, no global sort (each
+    shard sorts independently).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    salted = F.concat(F.lit(f"epoch{epoch}:"), F.col(key).cast("string"))
+    h = F.md5(salted)
+    shard = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_shards
+    return df.withColumn("shard", shard).withColumn("sort_key", F.substring(h, 16, 16))

@@ -163,3 +163,57 @@ def test_repetition_metrics_known_values(spark):
     assert r2["n_ngrams"] == 3
     assert r2["dup_ngram_frac"] == 0.0
     assert r2["top_ngram_frac"] == pytest.approx(1 / 3)
+
+
+def test_build_vocab_known_counts(spark, docs):
+    out = {r["token"]: (r["count"], r["token_id"]) for r in
+           training.build_vocab(docs, top_k=5, min_count=2).collect()}
+    # "the" x3, "quick"/"brown"/"fox"/"again" x2 -> alphabetical after count
+    assert out["the"] == (3, 0)
+    assert out["again"][0] == 2 and out["again"][1] == 1
+    assert len(out) == 5
+
+
+def test_build_vocab_min_count_and_topk_bounds(spark, docs):
+    out = training.build_vocab(docs, top_k=3, min_count=2).collect()
+    assert len(out) == 3
+    assert all(r["count"] >= 2 for r in out)
+    ids = sorted(r["token_id"] for r in out)
+    assert ids == [0, 1, 2]
+
+
+def test_build_vocab_plan_takeordered(spark, docs):
+    """Top-k must fuse to TakeOrderedAndProject — a global Sort over the
+    distinct-token table would not survive a 100 TB corpus."""
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    plan = explain_formatted(training.build_vocab(docs, top_k=10, min_count=1))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_shards_deterministic_and_complete(spark, docs):
+    a = training.epoch_shards(docs, "doc_id", n_shards=4, epoch=2).collect()
+    b = training.epoch_shards(docs, "doc_id", n_shards=4, epoch=2).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert len(a) == docs.count()
+    assert all(0 <= r["shard"] < 4 for r in a)
+
+
+def test_epoch_shards_change_with_epoch(spark, docs):
+    e0 = {r["doc_id"]: r["sort_key"] for r in
+          training.epoch_shards(docs, "doc_id", 4, epoch=0).collect()}
+    e1 = {r["doc_id"]: r["sort_key"] for r in
+          training.epoch_shards(docs, "doc_id", 4, epoch=1).collect()}
+    assert any(e0[k] != e1[k] for k in e0)
+
+
+def test_epoch_shards_map_only(spark, docs):
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    plan = explain_formatted(training.epoch_shards(docs, "doc_id", 8))
+    assert "Exchange" not in plan, "shard assignment must be map-only"
+
+
+def test_epoch_shards_validates_n(spark, docs):
+    with pytest.raises(ValueError):
+        training.epoch_shards(docs, "doc_id", 0)
