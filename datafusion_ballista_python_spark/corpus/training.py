@@ -4,6 +4,8 @@ oracle that re-derives the same answer in pure SQL."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from . import query
 from .util import load
 
@@ -265,3 +267,50 @@ def train_epoch_shards(spark, sf_dir):
     return out.select("doc_id", "shard", "sort_key").orderBy(
         "shard", "sort_key", "doc_id"
     )
+
+
+@query(
+    "train_encode_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    counts AS (
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY tok HAVING COUNT(*) >= 3
+    ),
+    vocab AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+                    AS BIGINT) AS token_id
+        FROM counts
+        QUALIFY token_id < 200
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(LIST(COALESCE(v.token_id, -1) ORDER BY t.pos), ',')
+             AS token_ids_s
+    FROM toks t LEFT JOIN vocab v ON v.token = t.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def train_encode_documents(spark, sf_dir):
+    """Tokenize -> vocab -> id-encode, end to end: documents encoded
+    against the top-200/min-count-3 vocabulary, OOV -> -1, order
+    restored by (pos,id) struct sort (collect_list alone is
+    partition-order dependent).  Array serialized to CSV on both sides
+    for the hash compare."""
+    from ..operators import training
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    vocab = training.build_vocab(docs, top_k=200, min_count=3)
+    enc = training.encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",").alias(
+            "token_ids_s"
+        ),
+    ).orderBy("doc_id")

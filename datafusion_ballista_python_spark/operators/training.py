@@ -292,3 +292,47 @@ def epoch_shards(
     h = F.md5(salted)
     shard = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_shards
     return df.withColumn("shard", shard).withColumn("sort_key", F.substring(h, 16, 16))
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Map each document's token stream to vocabulary ids:
+    ``(id_col, n_tokens, token_ids)`` with out-of-vocabulary tokens
+    encoded as ``oov_id`` — the id-mapping step between
+    :func:`build_vocab` and writing model-ready shards.
+
+    Scale: tokens explode map-side, the vocab (top_k rows — KBs to MBs)
+    broadcasts into the id join, and documents reassemble with ONE
+    groupBy(id) shuffle; order inside the array is restored by sorting
+    (pos, id) structs — ``collect_list`` alone is partition-order
+    dependent and would be wrong, not just nondeterministic.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_token_array(text_col)).alias("__pos", "__tok"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select(F.col("token").alias("__tok"), "token_id")),
+        "__tok",
+        "left",
+    ).select(
+        F.col(id_col),
+        F.struct(
+            F.col("__pos"),
+            F.coalesce(F.col("token_id"), F.lit(int(oov_id)).cast("long")).alias("__id"),
+        ).alias("__pi"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__pi")).alias("__sorted"))
+        .select(
+            F.col(id_col),
+            F.size("__sorted").cast("long").alias("n_tokens"),
+            F.transform(F.col("__sorted"), lambda s: s["__id"]).alias("token_ids"),
+        )
+    )

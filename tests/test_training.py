@@ -217,3 +217,24 @@ def test_epoch_shards_map_only(spark, docs):
 def test_epoch_shards_validates_n(spark, docs):
     with pytest.raises(ValueError):
         training.epoch_shards(docs, "doc_id", 0)
+
+
+def test_encode_documents_known_ids_and_oov(spark, docs):
+    vocab = training.build_vocab(docs, top_k=3, min_count=2)
+    vmap = {r["token"]: r["token_id"] for r in vocab.collect()}
+    enc = {r["doc_id"]: r for r in
+           training.encode_documents(docs, vocab).collect()}
+    # doc 1 tokens in order; ids match vocab, absent tokens -> -1
+    toks1 = "the quick brown fox jumps over the lazy dog".split()
+    assert enc[1]["token_ids"] == [vmap.get(t, -1) for t in toks1]
+    assert enc[1]["n_tokens"] == 9
+    # whitespace-only doc 5 produces no row on either engine
+    assert 5 not in enc
+
+
+def test_encode_documents_vocab_broadcasts(spark, docs):
+    from datafusion_ballista_python_spark.plans import explain_formatted
+
+    vocab = training.build_vocab(docs, top_k=10, min_count=1)
+    plan = explain_formatted(training.encode_documents(docs, vocab))
+    assert "BroadcastHashJoin" in plan, "vocab id join must broadcast"
