@@ -127,9 +127,6 @@ def kmeans_fit(
             .collect()
         )  # exactly k x dim rows
         new = cent.copy()
-        counts = np.zeros(k)
-        for row in sums:
-            counts[row["__cell"]] = row["__n"]
         for row in sums:
             new[row["__cell"], row["__dim"]] = row["__s"] / row["__n"]
         cent = new

@@ -30,3 +30,13 @@ print("chunks:", chunks.count())
 packed = training.pack_sequences(clean, 512)
 n_seqs = packed.agg({"seq_id": "max"}).collect()[0][0] + 1
 print("sequences:", n_seqs)
+
+# 4. build a frequency-ranked vocabulary and id-encode the clean corpus
+vocab = training.build_vocab(clean, top_k=1000, min_count=2)
+encoded = training.encode_documents(clean, vocab)
+print("vocab:", vocab.count(), "encoded docs:", encoded.count())
+
+# 5. deterministic epoch shuffle: shard + in-shard order for epoch 0
+shards = training.epoch_shards(encoded, "doc_id", n_shards=4, epoch=0)
+print("shard sizes:", sorted((r[0], r[1]) for r in
+                             shards.groupBy("shard").count().collect()))
