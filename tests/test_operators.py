@@ -718,17 +718,43 @@ def test_kmeans_fit_deterministic(emb):
 
 def test_semantic_dedup_invariants(emb):
     """Every vector appears exactly once; the lowest id in each cell is
-    always kept (it can have no lower-id neighbor); dropped vectors have
-    a kept-or-dropped lower-id near-neighbor in the same cell by
-    construction of the pair join."""
+    always kept; and the FULL keep column matches an independent numpy
+    recomputation of the algorithm (argmax-dot cells on the unit-norm
+    pinned centroids, half-away-from-zero-rounded cosines, drop iff a
+    lower-id cluster-mate is within threshold)."""
+    import numpy as np
+
     cent = similarity._hyperplanes(64, 8, seed=11)
-    out = semdedup.semantic_dedup(emb, cent, threshold=0.3).toPandas()
+    out = (
+        semdedup.semantic_dedup(emb, cent, threshold=0.3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     assert len(out) == emb.count()
     assert out["vec_id"].is_unique
     min_per_cell = out.groupby("cell")["vec_id"].min()
-    kept = out[out["keep"]]
     for cell, vid in min_per_cell.items():
         assert bool(out[out["vec_id"] == vid]["keep"].iloc[0]), (cell, vid)
+
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    C = np.array(cent, dtype=np.float64)
+    cells = np.argmax(E @ C.T, axis=1)  # unit-norm: dot order == Euclidean
+    n = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = n @ n.T
+    # Spark F.round is HALF_UP (away from zero); numpy rounds half-even
+    rsims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+    keep_np = np.ones(len(ids), dtype=bool)
+    for j in range(len(ids)):
+        lower = (cells == cells[j]) & (ids < ids[j])
+        if np.any(rsims[j, lower] >= 0.3):
+            keep_np[j] = False
+    assert (out["cell"].to_numpy() == cells).all()
+    assert (out["keep"].to_numpy() == keep_np).all()
 
 
 def test_semantic_dedup_trained_path_runs(emb):
