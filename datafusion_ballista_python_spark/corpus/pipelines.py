@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_sample, stratified_sample
+from ..operators.similarity import _hyperplanes
 from . import query
 from .util import SQL_DSUM, SQL_ISUM, dsum, load
 
@@ -634,3 +635,79 @@ def dq_constraints_orders(spark, sf_dir):
         unique=["o_orderkey"],
         fk=(["o_custkey"], t["customer"], ["c_custkey"]),
     ).orderBy("rule")
+
+
+@query(
+    "pipeline_semantic_curation",
+    oracle="""
+    WITH cent(cell, cv) AS (VALUES {centroid_values}),
+    q AS (
+        SELECT d.doc_id, d.lang, d.n_chars, CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.n_chars >= 180 AND d.lang IN ('en','de','fr')
+    ),
+    ca AS (
+        SELECT doc_id, lang, n_chars, emb, cell FROM (
+            SELECT q.*, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                       ORDER BY LIST_DOT_PRODUCT(q.emb, cent.cv) DESC, cent.cell) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT b.doc_id AS dropped
+        FROM ca a JOIN ca b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        WHERE ROUND(LIST_DOT_PRODUCT(a.emb, b.emb) /
+                    (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
+                     SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))), 4) >= 0.3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ca
+    WHERE doc_id NOT IN (SELECT dropped FROM pairs)
+    GROUP BY lang ORDER BY lang
+    """.format(centroid_values=", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}])"
+        for i, v in enumerate(_hyperplanes(64, 8, seed=11))
+    )),
+)
+def pipeline_semantic_curation(spark, sf_dir):
+    """Composed semantic-curation pipeline in one plan: quality gate
+    (n_chars >= 180, lang allowlist) -> join the embedding table ->
+    SemDeDup on the SURVIVORS ONLY (cluster pair-blocking runs on the
+    filtered subset, so drops differ from dedup_semantic alone — the
+    composition, not just the stages, is what the oracle hash-checks) ->
+    per-language corpus stats.  Scale: the quality filter rides the
+    documents scan, doc->embedding is one equi-join on the id, semantic
+    dedup is the cell-blocked pair join, final agg is map-side partial.
+    """
+    from ..operators.semdedup import semantic_dedup
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    q = (
+        t["documents"]
+        .filter((F.col("n_chars") >= 180) & F.col("lang").isin("en", "de", "fr"))
+        .join(
+            t["embeddings"].select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+    )
+    keep = semantic_dedup(
+        q.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        _hyperplanes(64, 8, seed=11),
+        threshold=0.3,
+    )
+    kept = q.join(
+        keep.where(F.col("keep")).select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
