@@ -17,7 +17,13 @@ command set an ADBC / flight-sql-jdbc client issues —
   DoPut with a ``DoPutUpdateResult`` record count (the ADBC
   ExecuteUpdate DML path);
 - ``CommandGetCatalogs`` / ``CommandGetDbSchemas`` / ``CommandGetTables`` /
-  ``CommandGetTableTypes`` — catalog metadata with the spec-fixed schemas.
+  ``CommandGetTableTypes`` / ``CommandGetSqlInfo`` /
+  ``CommandGetPrimaryKeys`` / ``CommandGetImportedKeys`` /
+  ``CommandGetExportedKeys`` / ``CommandGetCrossReference`` /
+  ``CommandGetXdbcTypeInfo`` — the complete metadata command set with the
+  spec-fixed schemas (PK/FK streams are spec-shaped empties — the Spark
+  catalog carries no constraint metadata; XdbcTypeInfo advertises Spark
+  SQL's type surface with java.sql.Types codes).
 
 The FlightSQL messages are protobufs wrapped in ``google.protobuf.Any``;
 the codec below speaks the protobuf wire format directly (varint +
@@ -189,6 +195,104 @@ _GET_PRIMARY_KEYS_SCHEMA = pa.schema(
         pa.field("key_name", pa.utf8()),
     ]
 )
+# shared by GetImportedKeys / GetExportedKeys / GetCrossReference
+# (FlightSql.proto spec schema; Spark tables carry no FK constraints, so
+# these always answer with the spec-shaped empty stream)
+_GET_KEYS_SCHEMA = pa.schema(
+    [
+        pa.field("pk_catalog_name", pa.utf8()),
+        pa.field("pk_db_schema_name", pa.utf8()),
+        pa.field("pk_table_name", pa.utf8(), nullable=False),
+        pa.field("pk_column_name", pa.utf8(), nullable=False),
+        pa.field("fk_catalog_name", pa.utf8()),
+        pa.field("fk_db_schema_name", pa.utf8()),
+        pa.field("fk_table_name", pa.utf8(), nullable=False),
+        pa.field("fk_column_name", pa.utf8(), nullable=False),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+        pa.field("fk_key_name", pa.utf8()),
+        pa.field("pk_key_name", pa.utf8()),
+        pa.field("update_rule", pa.uint8(), nullable=False),
+        pa.field("delete_rule", pa.uint8(), nullable=False),
+    ]
+)
+_GET_XDBC_TYPE_INFO_SCHEMA = pa.schema(
+    [
+        pa.field("type_name", pa.utf8(), nullable=False),
+        pa.field("data_type", pa.int32(), nullable=False),
+        pa.field("column_size", pa.int32()),
+        pa.field("literal_prefix", pa.utf8()),
+        pa.field("literal_suffix", pa.utf8()),
+        pa.field("create_params", pa.list_(pa.field("item", pa.utf8(), nullable=False))),
+        pa.field("nullable", pa.int32(), nullable=False),
+        pa.field("case_sensitive", pa.bool_(), nullable=False),
+        pa.field("searchable", pa.int32(), nullable=False),
+        pa.field("unsigned_attribute", pa.bool_()),
+        pa.field("fixed_prec_scale", pa.bool_(), nullable=False),
+        pa.field("auto_increment", pa.bool_()),
+        pa.field("local_type_name", pa.utf8()),
+        pa.field("minimum_scale", pa.int32()),
+        pa.field("maximum_scale", pa.int32()),
+        pa.field("sql_data_type", pa.int32(), nullable=False),
+        pa.field("datetime_subcode", pa.int32()),
+        pa.field("num_prec_radix", pa.int32()),
+        pa.field("interval_precision", pa.int32()),
+    ]
+)
+
+# Spark SQL's queryable type surface as XDBC type descriptors:
+# (name, xdbc data_type code, column_size, prefix/suffix, create_params,
+#  case_sensitive, fixed_prec_scale, num_prec_radix).  data_type codes are
+# the standard SQL/XDBC ones (java.sql.Types values).
+_XDBC_TYPES = [
+    ("BOOLEAN", 16, 1, None, None, None, False, False, None),
+    ("TINYINT", -6, 3, None, None, None, False, False, 10),
+    ("SMALLINT", 5, 5, None, None, None, False, False, 10),
+    ("INT", 4, 10, None, None, None, False, False, 10),
+    ("BIGINT", -5, 19, None, None, None, False, False, 10),
+    ("FLOAT", 6, 7, None, None, None, False, False, 2),
+    ("DOUBLE", 8, 15, None, None, None, False, False, 2),
+    ("DECIMAL", 3, 38, None, None, ["precision", "scale"], False, True, 10),
+    ("STRING", 12, None, "'", "'", None, True, False, None),
+    ("BINARY", -2, None, "X'", "'", None, False, False, None),
+    ("DATE", 91, 10, "DATE '", "'", None, False, False, None),
+    ("TIMESTAMP", 93, 29, "TIMESTAMP '", "'", None, False, False, None),
+    ("ARRAY", 2003, None, None, None, ["element_type"], False, False, None),
+    ("MAP", 2000, None, None, None, ["key_type", "value_type"], False, False, None),
+    ("STRUCT", 2002, None, None, None, ["fields"], False, False, None),
+]
+
+
+def _xdbc_type_info_table(data_type_filter: int | None = None) -> pa.Table:
+    rows = [t for t in _XDBC_TYPES if data_type_filter is None or t[1] == data_type_filter]
+    return pa.table(
+        {
+            "type_name": pa.array([t[0] for t in rows], pa.utf8()),
+            "data_type": pa.array([t[1] for t in rows], pa.int32()),
+            "column_size": pa.array([t[2] for t in rows], pa.int32()),
+            "literal_prefix": pa.array([t[3] for t in rows], pa.utf8()),
+            "literal_suffix": pa.array([t[4] for t in rows], pa.utf8()),
+            "create_params": pa.array(
+                [t[5] for t in rows],
+                pa.list_(pa.field("item", pa.utf8(), nullable=False)),
+            ),
+            # searchable=3 (WHERE-searchable), nullable=1 (nullable) for all
+            "nullable": pa.array([1] * len(rows), pa.int32()),
+            "case_sensitive": pa.array([t[6] for t in rows], pa.bool_()),
+            "searchable": pa.array([3] * len(rows), pa.int32()),
+            "unsigned_attribute": pa.array([None] * len(rows), pa.bool_()),
+            "fixed_prec_scale": pa.array([t[7] for t in rows], pa.bool_()),
+            "auto_increment": pa.array([False] * len(rows), pa.bool_()),
+            "local_type_name": pa.array([t[0] for t in rows], pa.utf8()),
+            "minimum_scale": pa.array([None] * len(rows), pa.int32()),
+            "maximum_scale": pa.array(
+                [38 if t[0] == "DECIMAL" else None for t in rows], pa.int32()
+            ),
+            "sql_data_type": pa.array([t[1] for t in rows], pa.int32()),
+            "datetime_subcode": pa.array([None] * len(rows), pa.int32()),
+            "num_prec_radix": pa.array([t[8] for t in rows], pa.int32()),
+            "interval_precision": pa.array([None] * len(rows), pa.int32()),
+        }
+    ).cast(_GET_XDBC_TYPE_INFO_SCHEMA)
 
 def _package_version() -> str:
     from . import __version__
@@ -487,6 +591,14 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             return self._metadata_info(descriptor, _GET_SQL_INFO_SCHEMA)
         if type_name == _SQL_NS + "CommandGetPrimaryKeys":
             return self._metadata_info(descriptor, _GET_PRIMARY_KEYS_SCHEMA)
+        if type_name in (
+            _SQL_NS + "CommandGetImportedKeys",
+            _SQL_NS + "CommandGetExportedKeys",
+            _SQL_NS + "CommandGetCrossReference",
+        ):
+            return self._metadata_info(descriptor, _GET_KEYS_SCHEMA)
+        if type_name == _SQL_NS + "CommandGetXdbcTypeInfo":
+            return self._metadata_info(descriptor, _GET_XDBC_TYPE_INFO_SCHEMA)
         raise BallistaError(f"unsupported FlightSQL command: {type_name or 'empty'}")
 
     def get_schema(self, context, descriptor):
@@ -540,6 +652,19 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             # Spark temp views / parquet tables carry no PK metadata;
             # the spec-shaped empty result tells clients exactly that
             return flight.RecordBatchStream(_GET_PRIMARY_KEYS_SCHEMA.empty_table())
+        if type_name in (
+            _SQL_NS + "CommandGetImportedKeys",
+            _SQL_NS + "CommandGetExportedKeys",
+            _SQL_NS + "CommandGetCrossReference",
+        ):
+            # no FK constraint metadata in the Spark catalog either
+            return flight.RecordBatchStream(_GET_KEYS_SCHEMA.empty_table())
+        if type_name == _SQL_NS + "CommandGetXdbcTypeInfo":
+            # optional int32 data_type filter at proto field 1
+            dt = fields.get(1)
+            return flight.RecordBatchStream(
+                _xdbc_type_info_table(int(dt[0]) if dt else None)
+            )
         raise BallistaError(f"unsupported FlightSQL ticket: {type_name or 'empty'}")
 
     def do_put(self, context, descriptor, reader, writer):
@@ -642,6 +767,18 @@ def metadata_descriptor(command: str, **kwargs) -> "flight.FlightDescriptor":
             payload += _vi(1, info_id)
     elif command == "CommandGetPrimaryKeys" and kwargs.get("table"):
         payload += _ld(3, kwargs["table"].encode())
+    elif command in (
+        "CommandGetImportedKeys",
+        "CommandGetExportedKeys",
+    ) and kwargs.get("table"):
+        payload += _ld(3, kwargs["table"].encode())
+    elif command == "CommandGetCrossReference":
+        if kwargs.get("pk_table"):
+            payload += _ld(3, kwargs["pk_table"].encode())
+        if kwargs.get("fk_table"):
+            payload += _ld(6, kwargs["fk_table"].encode())
+    elif command == "CommandGetXdbcTypeInfo" and kwargs.get("data_type") is not None:
+        payload += _vi(1, kwargs["data_type"])
     return flight.FlightDescriptor.for_command(pack_any(_SQL_NS + command, payload))
 
 

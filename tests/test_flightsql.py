@@ -319,3 +319,36 @@ def test_get_primary_keys_empty_with_spec_schema(client):
     table = client.do_get(info.endpoints[0].ticket).read_all()
     assert table.num_rows == 0
     assert table.schema.equals(flightsql._GET_PRIMARY_KEYS_SCHEMA)
+
+
+def test_get_fk_commands_empty_with_spec_schema(client):
+    for cmd, kw in (
+        ("CommandGetImportedKeys", {"table": "fs_nation"}),
+        ("CommandGetExportedKeys", {"table": "fs_nation"}),
+        ("CommandGetCrossReference", {"pk_table": "fs_nation", "fk_table": "fs_nation"}),
+    ):
+        info = client.get_flight_info(flightsql.metadata_descriptor(cmd, **kw))
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        assert table.num_rows == 0, cmd
+        assert table.schema.equals(flightsql._GET_KEYS_SCHEMA), cmd
+
+
+def test_get_xdbc_type_info_full_and_filtered(client):
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor("CommandGetXdbcTypeInfo")
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.schema.equals(flightsql._GET_XDBC_TYPE_INFO_SCHEMA)
+    names = table.column("type_name").to_pylist()
+    assert {"BIGINT", "DOUBLE", "STRING", "TIMESTAMP", "DECIMAL"} <= set(names)
+    # DECIMAL advertises its create params and fixed precision/scale
+    i = names.index("DECIMAL")
+    assert table.column("create_params").to_pylist()[i] == ["precision", "scale"]
+    assert table.column("fixed_prec_scale").to_pylist()[i] is True
+
+    # filtered by data_type code (93 = TIMESTAMP)
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor("CommandGetXdbcTypeInfo", data_type=93)
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("type_name").to_pylist() == ["TIMESTAMP"]
