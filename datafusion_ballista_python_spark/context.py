@@ -69,6 +69,11 @@ class BallistaContext:
         """Extension (reference lacks JSON, OLDREADME.md:37)."""
         return DataFrame(sources.read_json(self.spark, path))
 
+    def read_orc(self, path: str) -> DataFrame:
+        """Extension (ORC is outside the reference's csv/parquet/avro
+        surface; native Spark scan with pushdown + pruning)."""
+        return DataFrame(sources.read_orc(self.spark, path))
+
     # -- named registration (src/context.rs:100-163) -----------------------
 
     def register_csv(
@@ -102,6 +107,9 @@ class BallistaContext:
 
     def register_json(self, name: str, path: str) -> None:
         sources.read_json(self.spark, path).createOrReplaceTempView(name)
+
+    def register_orc(self, name: str, path: str) -> None:
+        sources.read_orc(self.spark, path).createOrReplaceTempView(name)
 
     def register_table(self, name: str, df: DataFrame) -> None:
         df.df.createOrReplaceTempView(name)
@@ -159,6 +167,8 @@ class BallistaContext:
                 self.register_avro(name, path)
             elif fmt == "json":
                 self.register_json(name, path)
+            elif fmt == "orc":
+                self.register_orc(name, path)
             else:
                 raise BallistaError(f"unsupported STORED AS format {fmt!r}")
             return DataFrame(self.spark.sql(f"SELECT * FROM {name} LIMIT 0"))

@@ -638,6 +638,41 @@ def dq_constraints_orders(spark, sf_dir):
 
 
 @query(
+    "dq_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               ROUND(QUANTILE_CONT(n_rows, 0.5), 6) AS p50_per_key,
+               ROUND(QUANTILE_CONT(n_rows, 0.99), 6) AS p99_per_key
+        FROM counts
+    )
+    SELECT c.user_id, c.n_rows, s.n_keys, s.total_rows,
+           s.p50_per_key, s.p99_per_key,
+           ROUND(c.n_rows / CAST(s.total_rows AS DOUBLE), 6) AS share,
+           ROUND(c.n_rows * s.n_keys / CAST(s.total_rows AS DOUBLE), 6) AS skew_ratio
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.n_rows DESC, c.user_id
+    LIMIT 10
+    """,
+)
+def dq_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis: the top-10 heaviest event user_ids with
+    share / skew_ratio / per-key count percentiles — the report that
+    decides between plain shuffle, AQE skew-join, and explicit salting
+    (operators/skew.salted_agg).  Scale: one count shuffle with map-side
+    partials, global stats over the key-count frame only, top-k fused to
+    TakeOrderedAndProject, stats attached via 1-row broadcast."""
+    from ..operators.skew import key_skew_report
+
+    ev = load(spark, sf_dir, "events")["events"]
+    return key_skew_report(ev, ["user_id"], top_k=10)
+
+
+@query(
     "pipeline_semantic_curation",
     oracle="""
     WITH cent(cell, cv) AS (VALUES {centroid_values}),

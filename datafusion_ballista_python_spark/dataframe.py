@@ -242,6 +242,9 @@ class DataFrame:
     def write_json(self, path: str, mode: str = "error") -> None:
         self.df.write.mode(mode).json(path)
 
+    def write_orc(self, path: str, mode: str = "error") -> None:
+        self.df.write.mode(mode).orc(path)
+
     def cache(self) -> "DataFrame":
         return DataFrame(self.df.cache())
 

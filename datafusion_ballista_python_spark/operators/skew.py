@@ -57,6 +57,60 @@ def salted_agg(
     )
 
 
+def key_skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter / skew diagnosis for a prospective shuffle key: the
+    report you run BEFORE deciding whether a 100 TB join or aggregation
+    needs :func:`salted_join` / :func:`salted_agg` (or AQE alone will do).
+
+    Returns the ``top_k`` heaviest key values, each annotated with global
+    distribution stats so one frame answers "how bad is it":
+
+    - ``n_rows`` — rows carrying this key (the prospective partition mass);
+    - ``share`` — fraction of the table this key alone would shuffle;
+    - ``skew_ratio`` — ``n_rows / (total_rows / n_keys)``: how many times
+      the average key's mass this key carries (1.0 = perfectly uniform;
+      a key above ~16 is a salting candidate because one task inherits
+      that multiple of the mean partition);
+    - ``n_keys`` / ``total_rows`` / ``p50_per_key`` / ``p99_per_key`` —
+      the global shape of the key-frequency distribution.
+
+    Scale: ONE hash shuffle on the key with map-side partial counts (the
+    same cost as the aggregation being diagnosed, but over counts only);
+    the global stats are a second aggregate over the much smaller
+    key-count frame (exact percentile there buffers per-key counts, which
+    is O(n_keys) — swap approx_percentile when key cardinality itself is
+    huge); the top-k fuses to TakeOrderedAndProject (per-partition top-k,
+    driver k-way merge — never a full sort); stats attach via a 1-row
+    broadcast.  Ties on n_rows break by key value, so the report is
+    deterministic.
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.round(F.expr("percentile(n_rows, 0.5)"), 6).alias("p50_per_key"),
+        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_per_key"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), *[F.col(k) for k in keys]).limit(top_k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        *keys,
+        "n_rows",
+        "n_keys",
+        "total_rows",
+        "p50_per_key",
+        "p99_per_key",
+        F.round(F.col("n_rows") / F.col("total_rows").cast("double"), 6).alias("share"),
+        F.round(
+            F.col("n_rows") * F.col("n_keys") / F.col("total_rows").cast("double"), 6
+        ).alias("skew_ratio"),
+    )
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

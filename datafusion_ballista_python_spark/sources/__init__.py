@@ -97,6 +97,15 @@ def read_json(spark: SparkSession, path: str) -> SparkDataFrame:
     return spark.read.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> SparkDataFrame:
+    """ORC scan — extension beyond the reference surface (which binds
+    csv/parquet/avro, src/context.rs:66-98).  ORC is the other columnar
+    warehouse format a migrating user holds data in; Spark's native reader
+    gives predicate pushdown + column pruning + vectorized decode, the
+    same scan properties as parquet."""
+    return spark.read.orc(path)
+
+
 def from_arrow(spark: SparkSession, data) -> SparkDataFrame:
     """In-memory source: pyarrow RecordBatch(es)/Table -> DataFrame
     (``ctx.create_dataframe`` docs parity, python.md:116-120)."""
