@@ -192,6 +192,88 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running stats as :func:`stateful_user_stats`, on
+    Spark 4's ``transformWithStateInPandas`` (StatefulProcessor) API — the
+    successor to ``applyInPandasWithState`` with typed state handles
+    (value/list/map), timers, and state-schema evolution.  Both paths are
+    kept: applyInPandasWithState for 3.x-compatible deployments, this for
+    4.x (and for operators that need timers or multiple state variables).
+
+    Scale: identical to the applyInPandasWithState path — one shuffle on
+    the group key, state is four scalars per key in the RocksDB state
+    store (``require_rocksdb_state`` sets the provider; transformWithState
+    only runs on RocksDB), so memory is O(distinct keys) with spill to
+    disk handled by the store itself.
+
+    Runtime dependency note: Spark's transform_with_state_driver_worker
+    speaks its state-server protocol via google.protobuf
+    (StateMessage_pb2), so starting this operator requires the protobuf
+    package on driver and executors; environments without it should use
+    :func:`stateful_user_stats` (applyInPandasWithState), which carries
+    no such dependency.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            prior = self._state.get()
+            n, total_us6, mx, last_us = (
+                prior if prior is not None else (0, 0, float("-inf"), 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # half-away-from-zero rounding, matching the batch oracle's
+                # CAST(value AS DECIMAL(25,6)) — see _update_user_stats
+                scaled = pdf["value"].values * 1e6
+                total_us6 += int(
+                    np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
+                )
+                mx = max(mx, float(pdf["value"].max()))
+                batch_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(batch_us.max()))
+            self._state.update((n, total_us6, mx, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_us6 / 1e6],
+                    "max_value": [mx],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserStatsProcessor(),
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def require_rocksdb_state(spark: SparkSession) -> None:
+    """Point the streaming state store at RocksDB — required by
+    transformWithState, and the provider you want for ANY large stateful
+    stream: state lives off-heap/on-disk with changelog checkpointing
+    instead of in executor-heap HDFSBackedStateStore maps."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,
