@@ -380,6 +380,99 @@ def run_available_now(
     return sdf.sparkSession.table(name)
 
 
+def incremental_rollup_sink(
+    events_stream: DataFrame,
+    store_path: str,
+    window: str = "1 hour",
+    checkpoint_path: str | None = None,
+):
+    """Continuously maintain a materialized windowed rollup of an event
+    stream (the hypertable-continuous-aggregate pattern): each micro-batch
+    writes its own PARTIAL aggregate as a ``__batch_id``-partitioned
+    parquet slice; :func:`read_rollup` merges partials at query time and
+    :func:`compact_rollup_store` folds them back to one slice.
+
+    Idempotence: the batch writes with dynamic partition overwrite on its
+    own ``__batch_id`` partition, so a replayed batch (crash between
+    parquet commit and checkpoint offset commit) overwrites exactly its
+    previous output instead of double-counting — the write is a put, not
+    an append.  Merging stored aggregates in-place per batch would break
+    under replay; per-batch partials make replay naturally idempotent.
+
+    Scale: partials are (window, event_type) counts/sums — mergeable
+    algebraic aggregates, so the micro-batch shuffle is map-side-partial
+    and the store grows by one tiny slice per batch regardless of event
+    volume; query-time merge cost grows with batch count, which is what
+    periodic :func:`compact_rollup_store` bounds.  The same shape holds
+    for any mergeable rollup (sum/count/min/max/HLL partials).
+
+    Returns the StreamingQuery.
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = windowed_counts(batch, window=window, watermark=None)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                partial.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = events_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """Query-time merge of the rollup store's per-batch partials: one
+    aggregation over (window_start, event_type).  Sums go through
+    DECIMAL(25,6) so the merged total is exact and identical to a direct
+    batch aggregate over the raw events (the equivalence the tests
+    assert)."""
+    partials = spark.read.parquet(store_path)
+    return (
+        partials.groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def compact_rollup_store(spark: SparkSession, store_path: str) -> None:
+    """Fold all per-batch partials into a single ``__batch_id=0`` slice so
+    query-time merge cost stops growing with stream age.  The merged frame
+    is localCheckpointed (materialized on executors) before the overwrite
+    because Spark cannot safely overwrite a path it is still lazily
+    reading.  Run this from the maintenance schedule, not concurrently
+    with the sink (the sink's next batch id may collide with a compaction
+    in flight — same single-writer rule as any parquet-store maintenance)."""
+    merged = read_rollup(spark, store_path).localCheckpoint()
+    (
+        merged.withColumn("__batch_id", F.lit(0))
+        .write.mode("overwrite")
+        # static overwrite on purpose: replace the WHOLE store with slice 0
+        # even if the session default is dynamic partition overwrite
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__batch_id")
+        .parquet(store_path)
+    )
+
+
 def incremental_dedup_sink(
     docs_stream: DataFrame,
     store_path: str,

@@ -215,3 +215,88 @@ def test_stateful_user_stats_tws_match_batch(spark, sf_dir, events):
         assert abs(r["total_value"] - w["tot"]) < 1e-4
         assert r["max_value"] == w["mx"]
         assert r["last_ts"] == w["last"]
+
+
+class TestIncrementalRollup:
+    @pytest.fixture(scope="class")
+    def two_file_events(self, spark, sf_dir, tmp_path_factory):
+        """events split into two parquet files so maxFilesPerTrigger=1
+        yields two micro-batches (multi-batch partial merge is the point)."""
+        src = str(tmp_path_factory.mktemp("roll") / "events_in")
+        load(spark, sf_dir, "events")["events"].repartition(2).write.parquet(src)
+        return src
+
+    def _stream(self, spark, src):
+        schema = spark.read.parquet(src).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def _expected(self, spark, src):
+        return {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming.windowed_counts(
+                spark.read.parquet(src), window="1 hour"
+            ).collect()
+        }
+
+    def test_multi_batch_rollup_equals_batch(self, spark, two_file_events, tmp_path):
+        store = str(tmp_path / "store")
+        q = streaming.incremental_rollup_sink(
+            self._stream(spark, two_file_events),
+            store,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        batch_ids = {
+            r["__batch_id"]
+            for r in spark.read.parquet(store).select("__batch_id").distinct().collect()
+        }
+        assert len(batch_ids) == 2  # two files -> two partial slices
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming.read_rollup(spark, store).collect()
+        }
+        assert got == self._expected(spark, two_file_events) and len(got) > 0
+
+    def test_replay_is_idempotent(self, spark, two_file_events, tmp_path):
+        store = str(tmp_path / "store")
+        for ckpt in ("c1", "c2"):  # second run = full replay, fresh offsets
+            q = streaming.incremental_rollup_sink(
+                self._stream(spark, two_file_events),
+                store,
+                checkpoint_path=str(tmp_path / ckpt),
+            )
+            q.awaitTermination()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming.read_rollup(spark, store).collect()
+        }
+        # replayed batches overwrote their own slices: no double counting
+        assert got == self._expected(spark, two_file_events)
+
+    def test_compaction_preserves_rollup(self, spark, two_file_events, tmp_path):
+        store = str(tmp_path / "store")
+        q = streaming.incremental_rollup_sink(
+            self._stream(spark, two_file_events),
+            store,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        before = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming.read_rollup(spark, store).collect()
+        }
+        streaming.compact_rollup_store(spark, store)
+        batch_ids = {
+            r["__batch_id"]
+            for r in spark.read.parquet(store).select("__batch_id").distinct().collect()
+        }
+        assert batch_ids == {0}
+        after = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in streaming.read_rollup(spark, store).collect()
+        }
+        assert after == before
