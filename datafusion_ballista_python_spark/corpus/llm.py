@@ -535,10 +535,9 @@ _WINNOW_K, _WINNOW_W = 8, 4
 _WINNOW_POWERS = [pow(257, _WINNOW_K - 1 - j, 1_000_000_007) for j in range(_WINNOW_K)]
 
 
-@query(
-    "text_winnow_fingerprints",
-    oracle=f"""
-    WITH t AS (
+# the winnow mins CTE chain, shared by the fingerprint entry and the
+# winnow-Jaccard pair entry (mins.m = the distinct fingerprint set per doc)
+_WINNOW_MINS_CTES = f"""t AS (
         SELECT doc_id, LOWER(TRIM(text)) AS txt FROM documents
         WHERE LENGTH(TRIM(text)) >= {_WINNOW_K + _WINNOW_W}
     ),
@@ -563,7 +562,13 @@ _WINNOW_POWERS = [pow(257, _WINNOW_K - 1 - j, 1_000_000_007) for j in range(_WIN
                    i -> LIST_MIN(LIST_TRANSFORM(RANGE(0, {_WINNOW_W}),
                                                 j -> g[CAST(i+j+1 AS INT)])))) AS m
         FROM grams
-    )
+    )"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_MINS_CTES}
     SELECT doc_id, UNNEST(m) AS fp FROM mins ORDER BY doc_id, fp
     """,
 )
@@ -574,6 +579,50 @@ def text_winnow_fingerprints(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")["documents"]
     docs = docs.filter(F.length(F.trim(F.col("text"))) >= _WINNOW_K + _WINNOW_W)
     return text.winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
+
+
+_WINNOW_MAX_DF = 50
+
+
+@query(
+    "dedup_winnow_jaccard",
+    oracle=f"""
+    WITH {_WINNOW_MINS_CTES},
+    fps AS (SELECT doc_id, UNNEST(m) AS fp FROM mins),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_DF}),
+    f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON f.fp = k.fp),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM f2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared * 2 >= sa.n + sb.n - n_shared
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnow_jaccard(spark, sf_dir):
+    """Substring-level near-dup pairs: Jaccard >= 1/2 over winnowing
+    fingerprints via an inverted-index fp join with a max-df stop-substring
+    cap (operators/dedup.winnow_jaccard_pairs).  The threshold compares in
+    exact integer arithmetic (2*|A∩B| >= |A∪B|) so boundary pairs match the
+    oracle bit-for-bit; at sf0.01 this finds the 25 planted near-dup pairs
+    (jaccard 0.93-1.0) and nothing else."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs = docs.filter(F.length(F.trim(F.col("text"))) >= _WINNOW_K + _WINNOW_W)
+    return dedup.winnow_jaccard_pairs(
+        docs,
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        threshold=(1, 2),
+        max_df=_WINNOW_MAX_DF,
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -497,3 +497,72 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
+
+
+def winnow_jaccard_pairs(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    threshold: tuple[int, int] = (1, 2),
+    max_df: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprints (the MOSS /
+    plagiarism-detection recipe): substring-level similarity that
+    token-shingle MinHash misses when duplication is sub-sentence.
+
+    Candidate generation is an INVERTED-INDEX equi-join on the
+    fingerprint (never all-pairs): docs sharing zero fingerprints never
+    meet, and any shared substring of length >= k+window-1 guarantees a
+    shared fingerprint, so recall at that granularity is structural, not
+    probabilistic.  ``threshold`` is a rational (num, den); the filter
+    compares ``den * |A∩B| >= num * |A∪B|`` in exact integer arithmetic,
+    so the cut is bit-identical across engines (a float >= on a ratio
+    would flip boundary pairs between Spark and the DuckDB oracle).
+
+    ``max_df`` drops fingerprints present in more than that many docs
+    before pairing — the stop-substring guard: a boilerplate fragment
+    shared by 10^6 docs would otherwise emit 10^12 candidate pairs.
+    Dropping it costs recall only on pairs whose ENTIRE overlap is
+    boilerplate, which are not dups worth keeping anyway.
+
+    Scale: fingerprinting is the winnow_fingerprints shape (skinny
+    position rows, one window shuffle per doc); the pair join shuffles
+    (fp, doc) rows — O(fingerprints), with hot fingerprints removed by
+    max_df; per-doc sizes attach via two equi-joins on the id.
+    """
+    from .text import winnow_fingerprints
+
+    num, den = threshold
+    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        a.join(b, on=[a.fp == b.fp, F.col("doc_a") < F.col("doc_b")])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    union_n = F.col("__na") + F.col("__nb") - F.col("n_shared")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("n_shared") * den >= num * union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / union_n.cast("double"), 6).alias("jaccard"),
+        )
+    )
