@@ -993,3 +993,85 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         emb, _SEMDEDUP_CENTROIDS, threshold=_SEMDEDUP_TAU
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained unigram LM perplexity / cross-document repeated spans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents
+        ) WHERE LENGTH(t) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    scored AS (
+        SELECT tf.doc_id, tf.tf,
+               tf.tf * CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / LN(2.0), 6) AS DECIMAL(25,6)) AS bits
+        FROM tf JOIN counts USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS DOUBLE) AS sum_bits,
+           ROUND(CAST(SUM(bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_perplexity(spark, sf_dir):
+    """Bits-per-token under a corpus-trained unigram LM (CCNet-style
+    perplexity quality signal, operators/text.unigram_perplexity).  The
+    per-token surprisal is rounded to 6 decimals before an exact
+    tf-scaled DECIMAL accumulation, so Spark and DuckDB agree
+    bit-for-bit despite libm ln differences."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.unigram_perplexity(docs).orderBy("doc_id")
+
+
+@query(
+    "text_repeated_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           t -> LENGTH(t) > 0) AS tok
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(tok[i:i+7], ' ') AS span
+        FROM toks, UNNEST(RANGE(1, LEN(tok) - 6)) AS r(i)
+        WHERE LEN(tok) >= 8
+    ),
+    per_doc AS (
+        SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM spans GROUP BY doc_id, span
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM per_doc GROUP BY span HAVING COUNT(*) >= 2
+    ORDER BY span
+    """,
+)
+def text_repeated_spans(spark, sf_dir):
+    """Word 8-gram spans recurring across >= 2 documents — the scalable
+    exact-substring-dup signal (operators/text.repeated_spans).  The
+    oracle rebuilds the same sliding 8-grams with DuckDB list slicing;
+    at sf0.01 the planted near-duplicate documents surface as shared
+    spans."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.repeated_spans(docs, n=8, min_docs=2).orderBy("span")

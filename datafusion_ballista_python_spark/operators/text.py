@@ -337,6 +337,124 @@ def bm25_top_terms(
     )
 
 
+# -- corpus-trained unigram LM perplexity (CCNet-style) --------------------
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bits-per-token under a corpus-trained unigram language
+    model — the cheap end of CCNet-style perplexity filtering (docs whose
+    token distribution diverges from the corpus score high; gibberish and
+    boilerplate-heavy pages are the usual outliers).
+
+    ``lm``, if given, is a pre-trained ``(term, c)`` count table (e.g.
+    from a clean reference corpus); by default the model is trained on
+    ``df`` itself, so every scored token has ``c >= 1`` and no smoothing
+    is needed.  ``p(t) = c / N``; per-token surprisal ``-log2 p`` is
+    rounded to 6 decimals BEFORE aggregation (libm ``ln`` may differ in
+    the last ulp across engines), then accumulated exactly in
+    DECIMAL(25,6) scaled by the per-doc term frequency, so the result is
+    bit-identical regardless of partition order or engine.
+
+    Returns ``(id_col, n_tokens, sum_bits, bits_per_token)`` for every
+    document with at least one token.
+
+    Scale shape: tokenize + per-(doc,term) tf collapse map-side before
+    any shuffle (the Zipf head never ships one row per occurrence); the
+    global term-count table is one partial-agg shuffle on term; N is a
+    1-row broadcast; the tf<->model join shuffles on term (vocabulary is
+    unbounded at corpus scale — AQE broadcasts it when small); the final
+    per-doc aggregate is map-side-partial.  Zero Python, zero collect.
+    """
+    terms = _terms(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    counts = (
+        lm.select("term", F.col("c").cast("long").alias("c"))
+        if lm is not None
+        else terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("n"))
+    bits = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        / F.log(F.lit(2.0)),
+        6,
+    )
+    scored = (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        # tf * decimal(bits) stays exact integer-scaled arithmetic
+        .withColumn("__bits", F.col("tf") * bits.cast("decimal(25,6)"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("__bits").cast("double").alias("sum_bits"),
+        )
+        .withColumn(
+            "bits_per_token", F.round(F.col("sum_bits") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+# -- cross-document repeated spans (memorization / substring-dup signal) ---
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word ``n``-gram spans that recur across at least ``min_docs``
+    distinct documents — the scalable proxy for exact-substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): long verbatim spans shared across documents
+    are what models memorize.  A full suffix-array dedup is not
+    expressible as a bounded dataflow; distinct-``n``-gram document
+    frequency over a long ``n`` finds the same repeated material with one
+    partial-agg shuffle.
+
+    Returns ``(span, n_docs, n_occurrences)`` for qualifying spans:
+    ``n_docs`` counts documents containing the span, ``n_occurrences``
+    total occurrences corpus-wide (> n_docs means it also repeats
+    within documents).
+
+    Scale shape: n-gram assembly is whole-stage codegen
+    (sequence/transform/slice, no Python); per-doc occurrence counting
+    collapses in the SAME map-side partial as the document count (one
+    count + one sum over a per-(doc,span) pre-aggregate), so exactly one
+    wide shuffle on the span key ships one row per (doc, distinct span).
+    The ``min_docs`` filter prunes the Zipf tail immediately after the
+    aggregate, before anything downstream.
+    """
+    from .training import _ngrams, _token_array
+
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(_ngrams(_token_array(text_col), n)).alias("span"),
+        )
+        .groupBy(id_col, "span")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 # -- corpus-level boilerplate line removal (C4-style) ----------------------
 
 
