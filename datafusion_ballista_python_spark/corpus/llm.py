@@ -1075,3 +1075,34 @@ def text_repeated_spans(spark, sf_dir):
     spans."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return text.repeated_spans(docs, n=8, min_docs=2).orderBy("span")
+
+
+_SURVIVOR_ORACLE = f"""
+WITH comp AS (
+  {_CLUSTER_ORACLE}
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       d.n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("dedup_survivor_selection", oracle=_SURVIVOR_ORACLE)
+def dedup_survivor_selection(spark, sf_dir):
+    """Keep-best survivor selection over minhash-LSH duplicate clusters
+    (operators/dedup.survivor_selection): transitive closure of the
+    near-dup pairs, then keep the LONGEST document per cluster (ties to
+    the lowest id); singletons always survive.  The oracle replays the
+    same closure as a recursive CTE and the same argmax window, so the
+    full pairs -> clusters -> policy pipeline is hash-checked."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return dedup.survivor_selection(docs, pairs, score_col="n_chars").orderBy(
+        "doc_id"
+    )

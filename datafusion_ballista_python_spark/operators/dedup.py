@@ -566,3 +566,51 @@ def winnow_jaccard_pairs(
             F.round(F.col("n_shared") / union_n.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+def survivor_selection(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """Policy-based survivor selection over duplicate clusters: close the
+    near-dup ``pairs`` into connected components, then keep exactly one
+    document per cluster — the HIGHEST ``score_col`` (ties to the lowest
+    id), instead of the naive keep-lowest-id rule.  This is how production
+    dedup keeps the longest / best-quality copy of each duplicate family
+    rather than an arbitrary one.
+
+    Returns every input document with ``(id_col, component, score_col,
+    keep)``; docs in no pair form their own singleton component and are
+    always kept, so ``filter(keep)`` is the deduplicated corpus.
+
+    Scale shape: the transitive closure is the iterative join/agg of
+    operators/graph.py (O(diameter) or O(log d) rounds — never a driver
+    collect); the label attach is one left join on the doc id; the
+    argmax-per-cluster is a single window shuffle keyed by component.
+    Near-dup components are small and singletons dominate, so the window
+    partitioning is near-diagonal — skew is bounded by the largest
+    duplicate family, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, algorithm=algorithm)
+    labeled = docs.join(
+        cc, docs[id_col] == cc["node"], "left"
+    ).select(
+        docs["*"],
+        F.coalesce(cc["component"], docs[id_col]).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc(id_col))
+    return labeled.select(
+        F.col(id_col),
+        F.col("component"),
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
