@@ -328,3 +328,92 @@ def window_time_range_features(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics: sequential funnel + cohort retention (operators/events.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND CAST(e.ts AS TIMESTAMP) >= t_1
+          AND CAST(e.ts AS TIMESTAMP) <= t_1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= t_2
+          AND CAST(e.ts AS TIMESTAMP) <= t_2 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, t_1, t_2, t_3,
+           CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+                AS BIGINT) AS steps_completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY s1.user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential view -> click -> purchase funnel, each step within 7
+    days of the previous one (operators/events.funnel): per-user ordered
+    step timestamps + steps_completed.  The oracle replays the same
+    k-1 filtered join/min cascade, so the sequencing semantics (step k
+    only counts events AFTER the user's step-(k-1) time) are
+    hash-checked."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return ev.funnel(
+        events, steps=("view", "click", "purchase"), within="7 days"
+    ).orderBy("user_id")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_start
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS active_start
+        FROM events
+    )
+    SELECT cohort_start,
+           CAST(DATEDIFF('day', cohort_start, active_start) AS BIGINT)
+               AS periods_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY cohort_start, periods_since
+    ORDER BY cohort_start, periods_since
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Daily cohort retention triangle (operators/events.cohort_retention):
+    cohort = day of first event, cells = distinct active cohort users per
+    day offset (the testdata spans one month, so daily cohorts give a
+    dense triangle where weekly collapses to a single cohort).
+    periods_since is an exact day difference, sidestepping engine
+    week-counting semantics."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return ev.cohort_retention(events, period="day").orderBy(
+        "cohort_start", "periods_since"
+    )

@@ -1,0 +1,119 @@
+"""Event-analytics operators over the ``events`` table: sequential funnel
+conversion and cohort retention — the two workhorse product-analytics
+queries a warehouse engine is expected to answer (extension beyond the
+reference, which has no event tooling; SURVEY §2.13).
+
+Both are pure DataFrame compositions keyed on ``user_id``: every join and
+aggregate shuffles on the user key (or on the tiny (cohort, period) key),
+so they scale linearly with users and never materialize per-event state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: Optional[str] = None,
+) -> DataFrame:
+    """Sequential funnel: for each user, the earliest time each step was
+    reached IN ORDER — step k counts only events at or after the user's
+    step-(k-1) time (and, with ``within``, no later than that time plus
+    the window, e.g. ``"7 days"``).
+
+    Returns one row per user who completed step 1:
+    ``(user_col, t_1..t_k, steps_completed)``; uncompleted steps are
+    null.  Funnel drop-off per step is ``groupBy(steps_completed)`` on
+    this frame.
+
+    Scale shape: step 1 is a filtered partial-agg min per user; each later
+    step is one filtered join on the user key + a min re-aggregate — k-1
+    user-keyed shuffles total for a k-step funnel, each shipping at most
+    one row per user per side after map-side partials.  No window over
+    the raw event stream, no per-user event arrays, so a power user with
+    millions of events costs the same as anyone else past the first
+    partial aggregate.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        cond = F.col(ts_col) >= F.col(prev)
+        if within is not None:
+            cond = cond & (
+                F.col(ts_col) <= F.col(prev) + F.expr(f"INTERVAL {within}")
+            )
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(cur.select(user_col, prev), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return cur.withColumn("steps_completed", reached.cast("long"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the ``period`` ("week" or
+    "day") of their first event; for every (cohort start, periods since)
+    cell, the number of cohort users active in that period.
+
+    Returns ``(cohort_start date, periods_since, n_users)``; the classic
+    retention triangle is a pivot of this frame.
+
+    Scale shape: the first-event aggregate is one user-keyed shuffle with
+    map-side partials; activity collapses to distinct (user, period) rows
+    map-side before the user-keyed cohort join; the final aggregate is on
+    the tiny (cohort, periods_since) key.  ``periods_since`` is an exact
+    day-difference division (both bounds are truncated to the period
+    start, so the difference is always a multiple of the period length) —
+    no engine-specific week-counting semantics.
+    """
+    if period not in ("week", "day"):
+        raise ValueError("period must be 'week' or 'day'")
+    days = 7 if period == "week" else 1
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("cohort_start")
+    )
+    active = (
+        events.select(
+            F.col(user_col),
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("active_start"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, user_col)
+        .select(
+            "cohort_start",
+            (F.datediff("active_start", "cohort_start") / days)
+            .cast("long")
+            .alias("periods_since"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_start", "periods_since")
+        .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_users"))
+    )
