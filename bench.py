@@ -52,6 +52,9 @@ HEADLINE = [
     "window_time_range_features",
     "sample_weighted",
     "dq_profile_orders",
+    "text_unigram_perplexity",
+    "dedup_survivor_selection",
+    "events_funnel",
 ]
 
 

@@ -200,3 +200,50 @@ def test_tfidf_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _physical(text.tfidf_top_terms(docs, k=3))
     assert "partial_count" in plan, "term counts must combine map-side"
     assert "Python" not in plan
+
+
+def test_unigram_perplexity_partial_agg_no_python(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(text.unigram_perplexity(docs))
+    # per-(doc,term) tf and the global term counts both combine map-side
+    assert "partial_count" in plan, "tf/term counts must combine map-side"
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan, "the 1-row total must broadcast"
+
+
+def test_repeated_spans_single_wide_shuffle(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(text.repeated_spans(docs, n=8, min_docs=2))
+    assert "partial_count" in plan, "per-doc span counts must combine map-side"
+    assert "Python" not in plan
+    # exactly one exchange: the (doc,span) pre-aggregate reshuffles once on
+    # span; the per-doc partial must NOT ship raw exploded n-grams
+    assert plan.count("Exchange hashpartitioning") == 2  # (doc,span) + span
+
+
+def test_funnel_no_window_over_raw_events(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import events as ev
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _physical(ev.funnel(raw, steps=("view", "click", "purchase")))
+    # the k-step funnel is join/min cascades on the user key — never a
+    # sort-window over the raw event stream and never Python
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "partial_min" in plan, "step mins must combine map-side"
+
+
+def test_survivor_selection_singleton_window_on_component(spark, sf_dir):
+    from datafusion_ballista_python_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    plan = _physical(dedup.survivor_selection(docs, pairs))
+    assert "Python" not in plan
+    assert "row_number" in plan, "argmax-per-cluster is one window pass"
