@@ -1106,3 +1106,107 @@ def dedup_survivor_selection(spark, sf_dir):
     return dedup.survivor_selection(docs, pairs, score_col="n_chars").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline: perplexity gate -> minhash dedup -> keep-best -> stats
+# ---------------------------------------------------------------------------
+
+_QD_TAU = 5.0
+
+# the minhash pair SQL restricted to the perplexity-gated subset: same CTE
+# text as _MINHASH_ORACLE with its one `FROM documents` scan re-pointed at
+# the gated frame, so the pair semantics stay bit-identical to the
+# standalone dedup_minhash_lsh oracle
+_QD_PAIRS_SQL = _MINHASH_ORACLE.replace("FROM documents", "FROM gated", 1)
+
+_QUALITY_DEDUP_ORACLE = f"""
+WITH gated AS (
+    WITH terms AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents
+        ) WHERE LENGTH(t) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    ppl AS (
+        SELECT tf.doc_id,
+               ROUND(CAST(SUM(tf.tf * CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                                 / LN(2.0), 6) AS DECIMAL(25,6))) AS DOUBLE)
+                     / SUM(tf.tf), 6) AS bits_per_token
+        FROM tf JOIN counts USING (term) CROSS JOIN total
+        GROUP BY tf.doc_id
+    )
+    SELECT d.* FROM documents d JOIN ppl USING (doc_id)
+    WHERE ppl.bits_per_token <= {_QD_TAU}
+),
+comp AS (
+    WITH RECURSIVE pairs AS (
+      {_QD_PAIRS_SQL}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT g.lang, g.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY COALESCE(c.component, g.doc_id)
+                ORDER BY g.n_chars DESC, g.doc_id) AS rn
+    FROM gated g LEFT JOIN comp c ON c.node = g.doc_id
+)
+WHERE rn = 1
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("pipeline_quality_dedup", oracle=_QUALITY_DEDUP_ORACLE)
+def pipeline_quality_dedup(spark, sf_dir):
+    """Composed quality-then-dedup pipeline in one plan: score every doc
+    under the FULL-corpus unigram LM -> gate at bits_per_token <= 5.0
+    (the near-dup MUTATED copies score high — rare-token mutations raise
+    surprisal — so the gate itself removes some duplicates) -> minhash-LSH pairs over the SURVIVORS ONLY -> keep-best
+    survivor selection (longest per duplicate cluster) -> per-language
+    corpus stats.  Pair blocking on the gated subset drops differently
+    than dedup_survivor_selection alone (a gate can remove one member of
+    a near-dup pair), so the oracle hash-checks the composition, not
+    just the stages.  Scale: the LM is one term shuffle; the gate is a
+    semi-join riding the documents scan; everything downstream runs on
+    the reduced survivor set."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ppl = text.unigram_perplexity(docs)
+    gated = docs.join(
+        ppl.where(F.col("bits_per_token") <= _QD_TAU).select("doc_id"), "doc_id"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        gated, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    surv = dedup.survivor_selection(gated, pairs, score_col="n_chars")
+    kept = gated.join(surv.where(F.col("keep")).select("doc_id"), "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
