@@ -354,7 +354,11 @@ def unigram_perplexity(
     ``lm``, if given, is a pre-trained ``(term, c)`` count table (e.g.
     from a clean reference corpus); by default the model is trained on
     ``df`` itself, so every scored token has ``c >= 1`` and no smoothing
-    is needed.  ``p(t) = c / N``; per-token surprisal ``-log2 p`` is
+    is needed.  With an external ``lm``, out-of-vocabulary tokens are
+    EXCLUDED from both ``n_tokens`` and ``sum_bits`` (the inner join on
+    term drops them) — the score is in-vocab bits per in-vocab token;
+    callers who want OOV mass to count should smooth the table first
+    (add a sentinel row and coalesce the join).  ``p(t) = c / N``; per-token surprisal ``-log2 p`` is
     rounded to 6 decimals BEFORE aggregation (libm ``ln`` may differ in
     the last ulp across engines), then accumulated exactly in
     DECIMAL(25,6) scaled by the per-doc term frequency, so the result is

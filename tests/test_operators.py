@@ -762,3 +762,93 @@ def test_semantic_dedup_trained_path_runs(emb):
     cent = semdedup.kmeans_fit(emb.limit(200), k=4, iters=1)
     out = semdedup.semantic_dedup(emb.limit(200), cent, threshold=0.3)
     assert out.count() == 200
+
+
+# -- round-4: perplexity / repeated spans / survivor selection / events ----
+
+
+def test_unigram_perplexity_external_lm_in_vocab_only(spark):
+    """Cross-corpus scoring: OOV tokens are excluded from both n_tokens
+    and sum_bits (documented in-vocab semantics)."""
+    from datafusion_ballista_python_spark.operators import text
+
+    ref = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa aa aa aa")], ["doc_id", "text"]
+    )
+    lm = (
+        text._terms(ref, "text", "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    target = spark.createDataFrame([(10, "aa zz zz")], ["doc_id", "text"])
+    row = text.unigram_perplexity(target, lm=lm).collect()[0]
+    assert row["n_tokens"] == 1  # zz is OOV, only aa scores
+    # p(aa) = 6/8 -> -log2(0.75) ~ 0.415037
+    assert abs(row["bits_per_token"] - 0.415037) < 1e-6
+
+
+def test_unigram_perplexity_uniform_corpus_is_flat(spark):
+    """Every doc sees the same token distribution -> identical scores."""
+    from datafusion_ballista_python_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "x y") for i in range(4)], ["doc_id", "text"]
+    )
+    out = text.unigram_perplexity(df).select("bits_per_token").distinct().collect()
+    assert len(out) == 1 and abs(out[0][0] - 1.0) < 1e-9  # p=1/2 -> 1 bit
+
+
+def test_repeated_spans_counts_within_doc_repeats(spark):
+    from datafusion_ballista_python_spark.operators import text
+
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, base + " " + base), (2, base), (3, "unrelated words here")],
+        ["doc_id", "text"],
+    )
+    out = {r["span"]: r for r in text.repeated_spans(df, n=8, min_docs=2).collect()}
+    assert base in out
+    assert out[base]["n_docs"] == 2  # docs 1 and 2
+    assert out[base]["n_occurrences"] == 3  # positions 1 and 9 in doc 1, once in doc 2
+
+
+def test_funnel_requires_two_steps_and_orders_steps(spark):
+    from datafusion_ballista_python_spark.operators import events as ev
+    import datetime as dt
+
+    with pytest.raises(ValueError):
+        ev.funnel(spark.range(1), steps=("view",))
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click BEFORE view -> click must not count; later click does
+        (1, t0, "click"),
+        (1, t0 + dt.timedelta(hours=1), "view"),
+        (1, t0 + dt.timedelta(hours=2), "click"),
+        # user 2: view only
+        (2, t0, "view"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in ev.funnel(events, steps=("view", "click")).collect()}
+    assert out[1]["steps_completed"] == 2
+    assert out[1]["t_2"] == t0 + dt.timedelta(hours=2)
+    assert out[2]["steps_completed"] == 1 and out[2]["t_2"] is None
+
+
+def test_cohort_retention_rejects_bad_period(spark):
+    from datafusion_ballista_python_spark.operators import events as ev
+
+    with pytest.raises(ValueError):
+        ev.cohort_retention(spark.range(1), period="month")
+
+
+def test_survivor_selection_keeps_best_and_singletons(spark):
+    from datafusion_ballista_python_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (9, 50)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r["doc_id"]: r for r in dedup.survivor_selection(docs, pairs).collect()}
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[9]["keep"] and out[9]["component"] == 9  # singleton survives
