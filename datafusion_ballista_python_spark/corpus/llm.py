@@ -629,9 +629,12 @@ def dedup_winnow_jaccard(spark, sf_dir):
 # connected components: near-dup pairs -> duplicate clusters
 # ---------------------------------------------------------------------------
 
-_CLUSTER_ORACLE = f"""
-WITH RECURSIVE pairs AS (
-  {_MINHASH_ORACLE}
+def _closure_sql(pairs_sql: str) -> str:
+    """Recursive-CTE transitive closure of an undirected pair list into
+    (node, component = min reachable id).  Shared by every cluster oracle
+    (standalone AND composed) so closure semantics cannot diverge."""
+    return f"""WITH RECURSIVE pairs AS (
+  {pairs_sql}
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -644,8 +647,10 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
 )
 SELECT a AS node, LEAST(a, MIN(b)) AS component
-FROM reach GROUP BY a ORDER BY node
-"""
+FROM reach GROUP BY a"""
+
+
+_CLUSTER_ORACLE = _closure_sql(_MINHASH_ORACLE) + " ORDER BY node"
 
 
 @query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
@@ -1000,10 +1005,10 @@ def dedup_semantic(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_unigram_perplexity",
-    oracle="""
-    WITH terms AS (
+# the perplexity CTE chain (ends in `ppl`: doc_id, n_tokens, sum_bits,
+# bits_per_token) — used verbatim by the standalone oracle below AND the
+# composed pipeline oracle, so tokenization/accumulation can never diverge
+_PPL_CTES = """terms AS (
         SELECT doc_id, t AS term FROM (
             SELECT doc_id,
                    UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
@@ -1018,17 +1023,27 @@ def dedup_semantic(spark, sf_dir):
         SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY term
     ),
     total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
-    scored AS (
+    ppl_scored AS (
         SELECT tf.doc_id, tf.tf,
                tf.tf * CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                                   / LN(2.0), 6) AS DECIMAL(25,6)) AS bits
         FROM tf JOIN counts USING (term) CROSS JOIN total
-    )
-    SELECT doc_id,
-           CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           CAST(SUM(bits) AS DOUBLE) AS sum_bits,
-           ROUND(CAST(SUM(bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    ),
+    ppl AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(bits) AS DOUBLE) AS sum_bits,
+               ROUND(CAST(SUM(bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
+        FROM ppl_scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle=f"""
+    WITH {_PPL_CTES}
+    SELECT doc_id, n_tokens, sum_bits, bits_per_token
+    FROM ppl ORDER BY doc_id
     """,
 )
 def text_unigram_perplexity(spark, sf_dir):
@@ -1081,9 +1096,8 @@ _SURVIVOR_ORACLE = f"""
 WITH comp AS (
   {_CLUSTER_ORACLE}
 )
-SELECT d.doc_id,
+SELECT d.*,
        COALESCE(c.component, d.doc_id) AS component,
-       d.n_chars,
        (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
              ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -1118,52 +1132,19 @@ _QD_TAU = 5.0
 # text as _MINHASH_ORACLE with its one `FROM documents` scan re-pointed at
 # the gated frame, so the pair semantics stay bit-identical to the
 # standalone dedup_minhash_lsh oracle
+assert _MINHASH_ORACLE.count("FROM documents") == 1, (
+    "minhash oracle must scan documents exactly once for the subset rewrite"
+)
 _QD_PAIRS_SQL = _MINHASH_ORACLE.replace("FROM documents", "FROM gated", 1)
 
 _QUALITY_DEDUP_ORACLE = f"""
 WITH gated AS (
-    WITH terms AS (
-        SELECT doc_id, t AS term FROM (
-            SELECT doc_id,
-                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
-            FROM documents
-        ) WHERE LENGTH(t) > 0
-    ),
-    tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM terms GROUP BY doc_id, term
-    ),
-    counts AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY term
-    ),
-    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
-    ppl AS (
-        SELECT tf.doc_id,
-               ROUND(CAST(SUM(tf.tf * CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                                                 / LN(2.0), 6) AS DECIMAL(25,6))) AS DOUBLE)
-                     / SUM(tf.tf), 6) AS bits_per_token
-        FROM tf JOIN counts USING (term) CROSS JOIN total
-        GROUP BY tf.doc_id
-    )
+    WITH {_PPL_CTES}
     SELECT d.* FROM documents d JOIN ppl USING (doc_id)
     WHERE ppl.bits_per_token <= {_QD_TAU}
 ),
 comp AS (
-    WITH RECURSIVE pairs AS (
-      {_QD_PAIRS_SQL}
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
-    )
-    SELECT a AS node, LEAST(a, MIN(b)) AS component
-    FROM reach GROUP BY a
+    {_closure_sql(_QD_PAIRS_SQL)}
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1184,26 +1165,34 @@ def pipeline_quality_dedup(spark, sf_dir):
     """Composed quality-then-dedup pipeline in one plan: score every doc
     under the FULL-corpus unigram LM -> gate at bits_per_token <= 5.0
     (the near-dup MUTATED copies score high — rare-token mutations raise
-    surprisal — so the gate itself removes some duplicates) -> minhash-LSH pairs over the SURVIVORS ONLY -> keep-best
-    survivor selection (longest per duplicate cluster) -> per-language
-    corpus stats.  Pair blocking on the gated subset drops differently
-    than dedup_survivor_selection alone (a gate can remove one member of
-    a near-dup pair), so the oracle hash-checks the composition, not
-    just the stages.  Scale: the LM is one term shuffle; the gate is a
-    semi-join riding the documents scan; everything downstream runs on
-    the reduced survivor set."""
+    surprisal — so the gate itself removes some duplicates) -> minhash-LSH
+    pairs over the SURVIVORS ONLY -> keep-best survivor selection (longest
+    per duplicate cluster) -> per-language corpus stats.  Pair blocking on
+    the gated subset drops differently than dedup_survivor_selection alone
+    (a gate can remove one member of a near-dup pair), so the oracle
+    hash-checks the composition, not just the stages — and it is assembled
+    from the SAME _PPL_CTES / _MINHASH_ORACLE / _closure_sql constants the
+    standalone oracles use, so the stages cannot silently diverge.
+
+    Scale: the LM is one term shuffle; the gate is a semi-join riding the
+    documents scan; everything downstream runs on the reduced survivor
+    set.  ``gated`` feeds three plan branches (pair generation, the
+    survivor window, the final stats) plus the iterative closure's round
+    actions, so it is persisted — Spark only reuses identical exchange
+    subtrees, not arbitrary shared lineage, and without the persist the
+    tokenize + two term shuffles of the LM re-run per branch."""
     docs = load(spark, sf_dir, "documents")["documents"]
     ppl = text.unigram_perplexity(docs)
     gated = docs.join(
         ppl.where(F.col("bits_per_token") <= _QD_TAU).select("doc_id"), "doc_id"
-    )
+    ).persist()
     pairs = dedup.minhash_lsh_pairs(
         gated, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )
     surv = dedup.survivor_selection(gated, pairs, score_col="n_chars")
-    kept = gated.join(surv.where(F.col("keep")).select("doc_id"), "doc_id")
     return (
-        kept.groupBy("lang")
+        surv.where(F.col("keep"))
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),

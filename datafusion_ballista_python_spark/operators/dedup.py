@@ -584,9 +584,11 @@ def survivor_selection(
     dedup keeps the longest / best-quality copy of each duplicate family
     rather than an arbitrary one.
 
-    Returns every input document with ``(id_col, component, score_col,
-    keep)``; docs in no pair form their own singleton component and are
-    always kept, so ``filter(keep)`` is the deduplicated corpus.
+    Returns every input document with ALL its original columns plus
+    ``(component, keep)``; docs in no pair form their own singleton
+    component and are always kept, so ``filter(keep)`` is the
+    deduplicated corpus — no re-join needed to recover document
+    attributes downstream.
 
     Scale shape: the transitive closure is the iterative join/agg of
     operators/graph.py (O(diameter) or O(log d) rounds — never a driver
@@ -608,9 +610,4 @@ def survivor_selection(
         F.coalesce(cc["component"], docs[id_col]).alias("component"),
     )
     w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc(id_col))
-    return labeled.select(
-        F.col(id_col),
-        F.col("component"),
-        F.col(score_col),
-        (F.row_number().over(w) == 1).alias("keep"),
-    )
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)

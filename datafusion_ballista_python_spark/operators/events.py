@@ -34,13 +34,17 @@ def funnel(
     null.  Funnel drop-off per step is ``groupBy(steps_completed)`` on
     this frame.
 
-    Scale shape: step 1 is a filtered partial-agg min per user; each later
-    step is one filtered join on the user key + a min re-aggregate — k-1
-    user-keyed shuffles total for a k-step funnel, each shipping at most
-    one row per user per side after map-side partials.  No window over
-    the raw event stream, no per-user event arrays, so a power user with
-    millions of events costs the same as anyone else past the first
-    partial aggregate.
+    Scale shape: step 1 is a filtered partial-agg min per user (map-side
+    combine, ≤1 row per user ships).  Each later step is one filtered
+    join on the user key + a min re-aggregate; the step-k candidate
+    events themselves shuffle UN-reduced into that join (the ``ts >=
+    t_{k-1}`` predicate depends on the join, so the min can only collapse
+    after it) — per-step shuffle volume is the type-filtered event count,
+    like any fact-side shuffle join, and a hot user's step-k events all
+    ship to one reducer (AQE skew-join splits them).  What stays bounded:
+    no window or per-user array over the raw stream, the funnel frame
+    itself is ≤1 row per user after each step, and each step only moves
+    events of ONE type.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")

@@ -355,10 +355,13 @@ def unigram_perplexity(
     from a clean reference corpus); by default the model is trained on
     ``df`` itself, so every scored token has ``c >= 1`` and no smoothing
     is needed.  With an external ``lm``, out-of-vocabulary tokens are
-    EXCLUDED from both ``n_tokens`` and ``sum_bits`` (the inner join on
-    term drops them) — the score is in-vocab bits per in-vocab token;
-    callers who want OOV mass to count should smooth the table first
-    (add a sentinel row and coalesce the join).  ``p(t) = c / N``; per-token surprisal ``-log2 p`` is
+    EXCLUDED from both ``n_tokens`` and ``sum_bits`` (left join + null
+    filter on the model count) — the score is in-vocab bits per in-vocab
+    token — but every document still gets a row: a fully-OOV document
+    comes back with ``n_tokens = 0`` and NULL ``bits_per_token``, so a
+    ``bits_per_token > tau`` quality gate can route it explicitly instead
+    of never seeing it.  Callers who want OOV mass to count should smooth
+    the table first (add a sentinel row and coalesce the join).  ``p(t) = c / N``; per-token surprisal ``-log2 p`` is
     rounded to 6 decimals BEFORE aggregation (libm ``ln`` may differ in
     the last ulp across engines), then accumulated exactly in
     DECIMAL(25,6) scaled by the per-doc term frequency, so the result is
@@ -389,20 +392,32 @@ def unigram_perplexity(
         / F.log(F.lit(2.0)),
         6,
     )
+    in_vocab = F.col("c").isNotNull()
+    zero = F.lit(0).cast("decimal(25,6)")
     scored = (
-        tf.join(counts, "term")
+        # left join: OOV terms keep their doc row (c null) so fully-OOV
+        # documents still surface in the result instead of vanishing
+        tf.join(counts, "term", "left")
         .crossJoin(F.broadcast(total))
         # tf * decimal(bits) stays exact integer-scaled arithmetic
-        .withColumn("__bits", F.col("tf") * bits.cast("decimal(25,6)"))
+        .withColumn(
+            "__bits",
+            F.when(in_vocab, F.col("tf") * bits.cast("decimal(25,6)")).otherwise(zero),
+        )
+        .withColumn("__tf", F.when(in_vocab, F.col("tf")).otherwise(F.lit(0)))
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("__tf").cast("long").alias("n_tokens"),
             F.sum("__bits").cast("double").alias("sum_bits"),
         )
         .withColumn(
-            "bits_per_token", F.round(F.col("sum_bits") / F.col("n_tokens"), 6)
+            "bits_per_token",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("sum_bits") / F.col("n_tokens"), 6),
+            ),
         )
     )
 

@@ -780,11 +780,17 @@ def test_unigram_perplexity_external_lm_in_vocab_only(spark):
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    target = spark.createDataFrame([(10, "aa zz zz")], ["doc_id", "text"])
-    row = text.unigram_perplexity(target, lm=lm).collect()[0]
-    assert row["n_tokens"] == 1  # zz is OOV, only aa scores
+    target = spark.createDataFrame(
+        [(10, "aa zz zz"), (11, "qq ww")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_perplexity(target, lm=lm).collect()}
+    assert rows[10]["n_tokens"] == 1  # zz is OOV, only aa scores
     # p(aa) = 6/8 -> -log2(0.75) ~ 0.415037
-    assert abs(row["bits_per_token"] - 0.415037) < 1e-6
+    assert abs(rows[10]["bits_per_token"] - 0.415037) < 1e-6
+    # a fully-OOV doc still gets a row (n_tokens 0, NULL score) so a
+    # perplexity gate can route it explicitly instead of never seeing it
+    assert rows[11]["n_tokens"] == 0
+    assert rows[11]["bits_per_token"] is None
 
 
 def test_unigram_perplexity_uniform_corpus_is_flat(spark):
