@@ -93,3 +93,145 @@ def partition_filters(df: SparkDataFrame) -> str:
         if "PartitionFilters" in line:
             return line.strip()
     return ""
+
+
+# -- scale-pattern audit ----------------------------------------------------
+
+#: (code, severity, plan fragment, human explanation)
+_AUDIT_RULES = [
+    (
+        "cartesian-product",
+        "error",
+        "CartesianProduct",
+        "cartesian product: O(n*m) pairs — add an equi-join key, block the "
+        "pair space, or broadcast a genuinely tiny side",
+    ),
+    (
+        "nested-loop-join",
+        "warn",
+        "BroadcastNestedLoopJoin",
+        "nested-loop join: fine when the build side is a broadcast 1-row "
+        "stats frame (this repo's pattern); anything larger — rewrite as an "
+        "equi-join (binning/bucketing)",
+    ),
+    (
+        "row-python-udf",
+        "error",
+        "BatchEvalPython",
+        "row-at-a-time Python UDF in the plan: 10-100x slower than Arrow — "
+        "use pyspark.sql.functions or a pandas_udf",
+    ),
+
+    (
+        "arrow-python-crossing",
+        "info",
+        "ArrowEvalPython",
+        "Arrow-batched Python crossing: fine when the logic needs Python, "
+        "but JVM builtins are faster if one exists",
+    ),
+    (
+        "pandas-crossing",
+        "info",
+        "MapInPandas",
+        "mapInPandas crossing: data leaves the JVM — keep it off the hot "
+        "path unless the semantics require Python",
+    ),
+]
+
+
+def audit(df: SparkDataFrame) -> list[dict]:
+    """Audit a DataFrame's physical plan for patterns that break at scale.
+
+    Returns a list of ``{"code", "severity", "detail"}`` findings — the
+    scale checklist (SCALE.md) as tooling: cartesian products, nested-loop
+    joins, row-at-a-time Python, single-partition exchanges, Python
+    crossings, and filters sitting on a scan without reaching
+    ``PushedFilters``.  An empty list means the plan shows none of the
+    red flags (it does NOT prove the plan optimal — skew and broadcast
+    sizing need runtime stats).
+
+    Cheap enough to call in CI for every production query; pair with
+    ``assert not [f for f in audit(df) if f['severity'] == 'error']``.
+    """
+    plan = _physical_plan(df)
+    findings: list[dict] = []
+    for code, severity, fragment, detail in _AUDIT_RULES:
+        n = plan.count(fragment)
+        if n:
+            findings.append(
+                {"code": code, "severity": severity, "detail": f"{detail} (x{n})"}
+            )
+    findings.extend(_single_partition_stages(plan))
+    findings.extend(_unpushed_scan_filters(df))
+    return findings
+
+
+def _single_partition_stages(plan: str) -> list[dict]:
+    """Exchange SinglePartition whose consumer is NOT a final global
+    aggregate / limit (those see only pre-reduced partials — fine); a
+    global window or sort feeding real data through one task is not."""
+    benign = ("HashAggregate(keys=[]", "SortAggregate(key=[]",
+              "ObjectHashAggregate(keys=[]", "TakeOrderedAndProject",
+              "CollectLimit")
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        consumer = lines[i - 1] if i else ""
+        if not any(b in consumer for b in benign):
+            bad += 1
+    if not bad:
+        return []
+    return [
+        {
+            "code": "single-partition-exchange",
+            "severity": "warn",
+            "detail": (
+                f"{bad} stage(s) collapse to ONE partition for a non-final-"
+                "aggregate consumer (global window/sort/coalesce?) — at "
+                "100 TB this serializes real data through a single task"
+            ),
+        }
+    ]
+
+
+def _physical_plan(df: SparkDataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _unpushed_scan_filters(df: SparkDataFrame) -> list[dict]:
+    """Scans whose PushedFilters list is empty while a Filter node sits in
+    the plan: a predicate Catalyst could not push (opaque UDF, computed
+    column) — the scan reads everything and filters late."""
+    plan = explain_formatted(df)
+    if "Filter" not in plan:
+        return []
+    # a scan with pushed predicates prints a PushedFilters: [...] line; a
+    # scan that pushed NOTHING prints no PushedFilters line at all, so
+    # "Filter node present + a scan without the line" is the smell
+    import re
+
+    # count only the detail-section headers ("(1) Scan parquet"): the tree
+    # rendering repeats each scan as a "+- Scan parquet (1)" branch line
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    pushed = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("PushedFilters: [")
+        and line.strip() != "PushedFilters: []"
+    )
+    if not scans or pushed >= scans:
+        return []
+    return [
+        {
+            "code": "unpushed-filter",
+            "severity": "warn",
+            "detail": (
+                f"{scans - pushed} of {scans} parquet scan(s) push no "
+                "filters while a Filter node sits in the plan: the predicate "
+                "does not reach the reader (opaque expression?) — those "
+                "scans read all row groups"
+            ),
+        }
+    ]

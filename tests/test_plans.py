@@ -247,3 +247,53 @@ def test_survivor_selection_singleton_window_on_component(spark, sf_dir):
     plan = _physical(dedup.survivor_selection(docs, pairs))
     assert "Python" not in plan
     assert "row_number" in plan, "argmax-per-cluster is one window pass"
+
+
+# -- plans.audit: the scale checklist as tooling ----------------------------
+
+
+def test_audit_flags_cartesian_and_row_python(spark):
+    from datafusion_ballista_python_spark.plans import audit
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    # Spark plans a small crossJoin as BroadcastNestedLoopJoin; with the
+    # broadcast path off it degrades to CartesianProduct — flag either
+    codes = {f["code"] for f in audit(a.crossJoin(b))}
+    assert codes & {"cartesian-product", "nested-loop-join"}
+
+    slow = F.udf(lambda x: x + 1, "bigint")
+    codes = {f["code"] for f in audit(a.select(slow("id")))}
+    assert "row-python-udf" in codes
+
+
+def test_audit_flags_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from datafusion_ballista_python_spark.plans import audit
+
+    df = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    codes = {f["code"] for f in audit(df)}
+    assert "single-partition-exchange" in codes
+
+
+def test_audit_flags_unpushed_filter(spark, sf_dir):
+    from datafusion_ballista_python_spark.plans import audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    opaque = F.udf(lambda s: len(s) > 100, "boolean")
+    codes = {f["code"] for f in audit(docs.where(opaque("text")))}
+    assert "unpushed-filter" in codes
+
+
+def test_audit_clean_on_headline_queries(spark, sf_dir, registry):
+    """The flagship plans show none of the error-severity red flags."""
+    from datafusion_ballista_python_spark.plans import audit
+
+    for name in ("q1_pricing_summary", "q6_revenue_pushdown", "text_tfidf_topk",
+                  "dedup_minhash_lsh", "events_funnel"):
+        findings = [f for f in audit(registry[name].fn(spark, sf_dir))
+                    if f["severity"] == "error"]
+        assert not findings, f"{name}: {findings}"

@@ -183,3 +183,105 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+# -- round-4 operators vs brute-force Python references ---------------------
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),       # user
+        st.integers(min_value=0, max_value=50),      # ts offset (seconds)
+        st.sampled_from(["view", "click", "buy"]),   # step
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_ev)
+def test_funnel_matches_bruteforce(spark, rows):
+    """funnel() == per-user brute-force sequential scan for any event set."""
+    import datetime as dt
+
+    from datafusion_ballista_python_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, t0 + dt.timedelta(seconds=s), typ) for u, s, typ in rows]
+    df = spark.createDataFrame(data, ["user_id", "ts", "event_type"])
+    steps = ("view", "click", "buy")
+    got = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"], r["steps_completed"])
+        for r in ev.funnel(df, steps=steps).collect()
+    }
+
+    # brute force: earliest time of each step at-or-after the previous step
+    expect = {}
+    for u in {u for u, _, _ in rows}:
+        mine = sorted((t, typ) for uu, s, typ in rows
+                      if uu == u for t in [t0 + dt.timedelta(seconds=s)])
+        ts = []
+        floor = None
+        for step in steps:
+            cand = [t for t, typ in mine if typ == step
+                    and (floor is None or t >= floor)]
+            if floor is None and step != steps[0]:
+                cand = []
+            hit = min(cand) if cand else None
+            ts.append(hit)
+            if hit is None:
+                ts.extend([None] * (len(steps) - len(ts)))
+                break
+            floor = hit
+        if ts[0] is not None:
+            done = sum(1 for t in ts if t is not None)
+            expect[u] = (ts[0], ts[1], ts[2], done)
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(lambda p: p[0] != p[1]),
+        max_size=10,
+    ),
+    scores=st.lists(st.integers(0, 100), min_size=8, max_size=8),
+)
+def test_survivor_selection_matches_union_find(spark, pairs, scores):
+    """survivor_selection == union-find + per-component argmax."""
+    from datafusion_ballista_python_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, scores[i - 1]) for i in range(1, 9)], ["doc_id", "n_chars"]
+    )
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)],
+        "doc_a long, doc_b long",
+    ).dropna()
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup.survivor_selection(docs, pdf).collect()}
+
+    parent = {i: i for i in range(1, 9)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(1, 9):
+        comp.setdefault(find(i), []).append(i)
+    expect = {}
+    for members in comp.values():
+        label = min(members)  # component id = min reachable node
+        best = max(members, key=lambda i: (scores[i - 1], -i))
+        for i in members:
+            expect[i] = (label if len(members) > 1 else i, i == best)
+    assert out == expect
