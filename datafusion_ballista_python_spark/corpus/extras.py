@@ -417,3 +417,26 @@ def events_cohort_retention(spark, sf_dir):
     return ev.cohort_retention(events, period="day").orderBy(
         "cohort_start", "periods_since"
     )
+
+
+@query(
+    "sketch_frequent_items",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(COUNT(*) AS BIGINT) AS est_min,
+           CAST(COUNT(*) AS BIGINT) AS est_max
+    FROM events GROUP BY event_type
+    ORDER BY est_min DESC, item
+    """,
+)
+def sketch_frequent_items(spark, sf_dir):
+    """Distributed Misra-Gries heavy hitters (operators/sketch.py) over
+    event_type with capacity 64 >> 5 distinct values: no decrement ever
+    fires, the error term is provably 0, and the sketch degrades to
+    EXACT counts — hash-checked against a plain DuckDB GROUP BY.  The
+    approximate regime (capacity << distinct) is covered by contract
+    tests asserting the Misra-Gries bounds on skewed synthetic data."""
+    from ..operators.sketch import frequent_items
+
+    events = load(spark, sf_dir, "events")["events"]
+    return frequent_items(events, "event_type", capacity=64)

@@ -1,0 +1,128 @@
+"""Mergeable sketch operators: distributed Misra-Gries frequent items.
+
+Why a sketch when ``groupBy(col).count()`` exists: heavy hitters over a
+column whose DISTINCT key space explodes (URLs, n-grams, user agents at
+100 TB) make the exact count shuffle itself the bottleneck — the shuffle
+ships one row per distinct key.  Misra-Gries keeps a BOUNDED summary
+(``capacity`` counters) per partition, ships only ``partitions x
+capacity`` rows, and still guarantees every sufficiently-frequent item
+surfaces with provable count bounds (Misra & Gries 1982; merge bounds per
+Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+Guarantees (n = total rows, D = sum of per-partition decrement totals,
+D <= n/(capacity+1)):
+
+- every item with true count > n/(capacity+1) appears in the output
+  (pigeonhole: it beats the decrement budget in at least one partition);
+- for every reported item: est_min <= true count <= est_min + D, and the
+  output carries both bounds.
+
+The Python crossing (mapInPandas) is justified under the UDF ladder:
+bounded-memory decrement semantics are not expressible with built-in
+aggregates; the crossing ships each partition ONCE and emits ``capacity``
+rows — the cheapest possible summary.  When ``capacity >=`` the true
+distinct count no decrement ever fires, D = 0, and the sketch degrades
+gracefully to EXACT counts (the corpus oracle pins that path bit-for-bit
+against DuckDB).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUMMARY_SCHEMA = "item string, cnt long, dp long"
+
+
+def _partition_mg(capacity: int, item_col: str):
+    """Per-partition Misra-Gries over an iterator of Arrow-sized pandas
+    batches; state is at most ``capacity`` counters regardless of
+    partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        decremented = 0
+        for pdf in batches:
+            # value_counts collapses the batch before the Python loop, so
+            # the per-row work is over distinct-in-batch items only
+            for item, k in pdf[item_col].dropna().value_counts().items():
+                k = int(k)
+                if item in counters:
+                    counters[item] += k
+                    continue
+                if len(counters) < capacity:
+                    counters[item] = k
+                    continue
+                # decrement-all by the largest step that keeps semantics:
+                # min(incoming k, smallest counter)
+                step = min(k, min(counters.values()))
+                decremented += step
+                k -= step
+                dead = [i for i, c in counters.items() if c == step]
+                for i in dead:
+                    del counters[i]
+                for i in list(counters):
+                    counters[i] -= step
+                if k > 0:
+                    counters[item] = k
+        out = pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "cnt": list(counters.values()) + [0],
+                # sentinel row carries this partition's decrement total so
+                # the merge can compute the global error bound
+                "dp": [0] * len(counters) + [decremented],
+            }
+        )
+        yield out
+
+    return run
+
+
+def frequent_items(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 256,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Approximate heavy hitters of ``item_col``: ``(item, est_min,
+    est_max)`` with est_min <= true count <= est_max, every item with
+    true count > n/(capacity+1) guaranteed present.
+
+    Scale shape: one pass over each partition (mapInPandas, state =
+    ``capacity`` counters), then a shuffle of only ``partitions x
+    capacity`` summary rows to merge (sum of per-item lower bounds); the
+    global error D is the sum of the per-partition sentinel rows,
+    attached via a 1-row broadcast.  ``top_k`` trims the merged summary
+    with TakeOrderedAndProject semantics; ties broken by item for
+    determinism.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    summaries = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        _partition_mg(capacity, item_col), schema=_SUMMARY_SCHEMA
+    )
+    items = (
+        summaries.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").cast("long").alias("est_min"))
+    )
+    err = summaries.where(F.col("item").isNull()).agg(
+        F.sum("dp").cast("long").alias("__err")
+    )
+    out = (
+        items.crossJoin(F.broadcast(err))
+        .select(
+            "item",
+            "est_min",
+            (F.col("est_min") + F.col("__err")).cast("long").alias("est_max"),
+        )
+        .orderBy(F.desc("est_min"), "item")
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out

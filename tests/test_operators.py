@@ -858,3 +858,50 @@ def test_survivor_selection_keeps_best_and_singletons(spark):
     out = {r["doc_id"]: r for r in dedup.survivor_selection(docs, pairs).collect()}
     assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
     assert out[9]["keep"] and out[9]["component"] == 9  # singleton survives
+
+
+def test_frequent_items_exact_when_capacity_suffices(spark):
+    from datafusion_ballista_python_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], ["v"]
+    ).repartition(4)
+    rows = frequent_items(df, "v", capacity=10).collect()
+    assert [(r["item"], r["est_min"], r["est_max"]) for r in rows] == [
+        ("a", 5, 5), ("b", 3, 3), ("c", 2, 2)
+    ]
+
+
+def test_frequent_items_mg_bounds_under_pressure(spark):
+    """capacity << distinct: every heavy hitter present, bounds bracket
+    the true counts, error within the Misra-Gries guarantee."""
+    import random
+
+    from datafusion_ballista_python_spark.operators.sketch import frequent_items
+
+    rng = random.Random(7)
+    heavy = [f"h{i}" for i in range(5)]
+    data = [(h,) for h in heavy for _ in range(300)]            # 1500 heavy rows
+    data += [(f"t{rng.randrange(2000)}",) for _ in range(3000)]  # long tail
+    rng.shuffle(data)
+    n = len(data)
+    truth = {}
+    for (v,) in data:
+        truth[v] = truth.get(v, 0) + 1
+
+    cap = 50
+    df = spark.createDataFrame(data, ["v"]).repartition(8)
+    out = {r["item"]: (r["est_min"], r["est_max"])
+           for r in frequent_items(df, "v", capacity=cap).collect()}
+
+    for h in heavy:  # true count 300 > n/(cap+1) ~ 88 -> guaranteed present
+        assert h in out, f"heavy hitter {h} missing"
+    for item, (lo, hi) in out.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+
+
+def test_frequent_items_rejects_bad_capacity(spark):
+    from datafusion_ballista_python_spark.operators.sketch import frequent_items
+
+    with pytest.raises(ValueError):
+        frequent_items(spark.range(1), "id", capacity=0)
