@@ -289,11 +289,14 @@ def test_audit_flags_unpushed_filter(spark, sf_dir):
 
 
 def test_audit_clean_on_headline_queries(spark, sf_dir, registry):
-    """The flagship plans show none of the error-severity red flags."""
+    """EVERY bench headline plan shows none of the error-severity red
+    flags (cartesian product, row-at-a-time Python) — the scale checklist
+    runs as a gate, not just documentation."""
+    import bench
+
     from datafusion_ballista_python_spark.plans import audit
 
-    for name in ("q1_pricing_summary", "q6_revenue_pushdown", "text_tfidf_topk",
-                  "dedup_minhash_lsh", "events_funnel"):
+    for name in bench.HEADLINE:
         findings = [f for f in audit(registry[name].fn(spark, sf_dir))
                     if f["severity"] == "error"]
         assert not findings, f"{name}: {findings}"
