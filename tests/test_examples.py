@@ -39,3 +39,9 @@ def test_flight_sql_example():
 def test_training_pipeline_example():
     out = _run("training-pipeline.py")
     assert "docs: " in out and "chunks: " in out and "sequences: " in out
+
+
+def test_analytics_pipeline_example():
+    out = _run("analytics-pipeline.py")
+    assert "curated corpus:" in out
+    assert "plan audit: clean" in out
