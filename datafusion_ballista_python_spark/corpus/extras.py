@@ -440,3 +440,64 @@ def sketch_frequent_items(spark, sf_dir):
 
     events = load(spark, sf_dir, "events")["events"]
     return frequent_items(events, "event_type", capacity=64)
+
+
+@query(
+    "merge_upsert_documents",
+    oracle="""
+    WITH upd AS (
+        SELECT doc_id, 'UPDATED ' || text AS text, lang, source,
+               CAST(LENGTH('UPDATED ' || text) AS BIGINT) AS n_chars,
+               FALSE AS is_delete
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars, FALSE
+        FROM documents WHERE doc_id >= 480
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars, TRUE
+        FROM documents WHERE doc_id >= 20 AND doc_id < 25
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM upd WHERE NOT is_delete
+    ORDER BY doc_id
+    """,
+)
+def merge_upsert_documents(spark, sf_dir):
+    """MERGE semantics (sources/merge.merge_frames) with all three arms
+    non-vacuous: 20 in-place updates ('UPDATED ' prefix), 20 inserts
+    (re-idified +100000), 5 deletes (takedown flag) against the documents
+    table; the oracle replays the same anti-join + union in SQL.  One
+    key-anti-join is the only shuffle; a small update batch broadcasts."""
+    from ..sources.merge import merge_frames
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    new_text = F.concat(F.lit("UPDATED "), F.col("text"))
+    updates = (
+        docs.where("doc_id < 20")
+        .select(
+            "doc_id",
+            new_text.alias("text"),
+            "lang",
+            "source",
+            F.length(new_text).cast("long").alias("n_chars"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            docs.where("doc_id >= 480").select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+                F.lit(False).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            docs.where("doc_id >= 20 AND doc_id < 25").select(
+                "doc_id", "text", "lang", "source", "n_chars",
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    return merge_frames(docs, updates, "doc_id", delete_col="is_delete").orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,93 @@
+"""MERGE / upsert semantics for parquet corpora — the incremental-update
+path a living training corpus needs (new crawl batches, takedown deletes,
+re-scored documents) without rewriting 100 TB.
+
+Two layers:
+
+- :func:`merge_frames` — pure DataFrame MERGE semantics (upsert + delete),
+  usable inside any plan and oracle-checkable;
+- :func:`merge_into_path` — copy-on-write against a hive-partitioned
+  parquet table, rewriting ONLY the partitions the update batch touches
+  (Spark's dynamic partition overwrite); untouched partition files are
+  left byte-identical on disk.
+
+Scale: the merge itself is one anti-join on the key (hash shuffle both
+sides, AQE broadcasts a small update batch); the copy-on-write cost is
+O(touched partitions), not O(table) — the update batch's partition list
+is collected once (bounded by the partition count, thousands not
+billions) and pushed down as a partition-pruning filter on the target
+scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_frames(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    delete_col: Optional[str] = None,
+) -> DataFrame:
+    """SQL ``MERGE`` on DataFrames: every target row whose ``key`` appears
+    in ``updates`` is replaced by the update row (upsert); update rows
+    with ``delete_col`` true delete the key instead of inserting.
+
+    Column contract: ``updates`` must carry the target's columns (plus
+    the optional ``delete_col``); output has exactly the target schema.
+
+    Shuffle shape: ONE left-anti join on the key (update batches are
+    usually MBs against a TB table — AQE broadcasts them and the anti
+    join ships no table bytes) plus a union with the surviving updates.
+    """
+    if delete_col is not None:
+        deletes = updates.where(F.col(delete_col))
+        upserts = updates.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+        gone = deletes.select(key).union(upserts.select(key))
+    else:
+        upserts = updates
+        gone = updates.select(key)
+    kept = target.join(gone, key, "left_anti")
+    return kept.unionByName(upserts.select(*target.columns))
+
+
+def merge_into_path(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+    delete_col: Optional[str] = None,
+) -> list:
+    """Copy-on-write MERGE into a hive-partitioned parquet table: only the
+    partitions present in ``updates[partition_col]`` are read, merged and
+    rewritten (dynamic partition overwrite); every other partition's
+    files stay untouched on disk.  Returns the touched partition values.
+
+    The touched-partition list is collected to the driver — bounded by
+    the table's partition count (thousands), never by rows — and becomes
+    a partition-pruning ``isin`` filter on the target scan, so the read
+    side of the merge is O(touched partitions) too.
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
+    merged = merge_frames(target, updates, key, delete_col=delete_col)
+    # Spark refuses to overwrite a path it is still lazily reading
+    # (read-before-write hazard); localCheckpoint materializes the merged
+    # partitions — bounded by the TOUCHED partitions, not the table — and
+    # severs the lineage so the overwrite is safe.  (A production variant
+    # with huge single partitions would stage to a sibling dir + rename.)
+    merged = merged.localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return touched

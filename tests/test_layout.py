@@ -157,3 +157,80 @@ def test_write_zordered_preserves_rows(spark, sf_dir, tmp_path):
     assert back.count() == li.count()
     assert "__z" not in back.columns
     assert sorted(back.columns) == sorted(li.columns)
+
+
+# -- copy-on-write MERGE (sources/merge.py) ---------------------------------
+
+
+def _partition_files(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                part = os.path.relpath(root, path)
+                out.setdefault(part, {})[f] = os.path.getmtime(full)
+    return out
+
+
+def test_merge_into_path_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    import time
+
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    before = _partition_files(path)
+
+    updates = (
+        docs.where("lang = 'en' AND doc_id < 10")
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED "), F.col("text")).alias("text"),
+            F.col("n_chars"),
+            "source",
+            "lang",
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    time.sleep(1.1)  # make mtime changes observable
+    touched = merge_into_path(
+        spark, path, updates, key="doc_id", partition_col="lang",
+        delete_col="is_delete",
+    )
+    assert touched == ["en"]
+    after = _partition_files(path)
+
+    # untouched partitions: identical file sets AND mtimes
+    for part in before:
+        if part == "lang=en":
+            continue
+        assert after[part] == before[part], f"{part} was rewritten"
+    assert after["lang=en"] != before["lang=en"]
+
+    # merged content: updated rows replaced, everything else intact
+    merged = spark.read.parquet(path)
+    assert merged.count() == docs.count()
+    upd = merged.where("doc_id < 10 AND lang = 'en'").select("text").collect()
+    assert upd and all(r["text"].startswith("UPDATED ") for r in upd)
+    n_changed = docs.where("lang = 'en' AND doc_id < 10").count()
+    assert merged.where(F.col("text").startswith("UPDATED ")).count() == n_changed
+
+
+def test_merge_into_path_deletes(spark, sf_dir, tmp_path):
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang_del")
+    docs.write.partitionBy("lang").parquet(path)
+    victims = docs.where("lang = 'de'").limit(3).withColumn(
+        "is_delete", F.lit(True)
+    )
+    n_victims = victims.count()
+    merge_into_path(
+        spark, path, victims, key="doc_id", partition_col="lang",
+        delete_col="is_delete",
+    )
+    merged = spark.read.parquet(path)
+    assert merged.count() == docs.count() - n_victims
