@@ -1178,14 +1178,17 @@ def pipeline_quality_dedup(spark, sf_dir):
     documents scan; everything downstream runs on the reduced survivor
     set.  ``gated`` feeds three plan branches (pair generation, the
     survivor window, the final stats) plus the iterative closure's round
-    actions, so it is persisted — Spark only reuses identical exchange
-    subtrees, not arbitrary shared lineage, and without the persist the
-    tokenize + two term shuffles of the LM re-run per branch."""
+    actions, so it is localCheckpoint'd — Spark only reuses identical
+    exchange subtrees, not arbitrary shared lineage, and without the
+    materialization the tokenize + two term shuffles of the LM re-run per
+    branch.  localCheckpoint over persist: the checkpoint RDD is released
+    by the ContextCleaner once the result frame is garbage-collected,
+    where a CacheManager persist entry would leak per invocation."""
     docs = load(spark, sf_dir, "documents")["documents"]
     ppl = text.unigram_perplexity(docs)
     gated = docs.join(
         ppl.where(F.col("bits_per_token") <= _QD_TAU).select("doc_id"), "doc_id"
-    ).persist()
+    ).localCheckpoint()
     pairs = dedup.minhash_lsh_pairs(
         gated, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )

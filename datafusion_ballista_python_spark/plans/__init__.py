@@ -153,6 +153,8 @@ def audit(df: SparkDataFrame) -> list[dict]:
     Cheap enough to call in CI for every production query; pair with
     ``assert not [f for f in audit(df) if f['severity'] == 'error']``.
     """
+    # ONE QueryExecution: every detector reads the same physical toString
+    # (re-calling df.explain would run analysis/optimization a second time)
     plan = _physical_plan(df)
     findings: list[dict] = []
     for code, severity, fragment, detail in _AUDIT_RULES:
@@ -162,7 +164,7 @@ def audit(df: SparkDataFrame) -> list[dict]:
                 {"code": code, "severity": severity, "detail": f"{detail} (x{n})"}
             )
     findings.extend(_single_partition_stages(plan))
-    findings.extend(_unpushed_scan_filters(df))
+    findings.extend(_unpushed_scan_filters(plan))
     return findings
 
 
@@ -200,38 +202,71 @@ def _physical_plan(df: SparkDataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _unpushed_scan_filters(df: SparkDataFrame) -> list[dict]:
-    """Scans whose PushedFilters list is empty while a Filter node sits in
-    the plan: a predicate Catalyst could not push (opaque UDF, computed
-    column) — the scan reads everything and filters late."""
-    plan = explain_formatted(df)
-    if "Filter" not in plan:
-        return []
-    # a scan with pushed predicates prints a PushedFilters: [...] line; a
-    # scan that pushed NOTHING prints no PushedFilters line at all, so
-    # "Filter node present + a scan without the line" is the smell
+def _unpushed_scan_filters(plan: str) -> list[dict]:
+    """FileScans with an empty PushedFilters list that have a Filter in
+    their OWN pushable ancestor chain (Filter/Project/ColumnarToRow/
+    codegen wrappers only — an Exchange/Aggregate/Join above the scan
+    breaks pushability, so a HAVING-style filter or a filter on the other
+    join side never counts): the predicate could have reached the reader
+    but did not (opaque UDF, computed column) — that scan reads all row
+    groups.
+
+    Works on the physical ``toString`` tree, where each FileScan line
+    carries its PushedFilters inline and ancestry is encoded by the
+    3-chars-per-level indentation."""
     import re
 
-    # count only the detail-section headers ("(1) Scan parquet"): the tree
-    # rendering repeats each scan as a "+- Scan parquet (1)" branch line
-    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
-    pushed = sum(
-        1
-        for line in plan.splitlines()
-        if line.strip().startswith("PushedFilters: [")
-        and line.strip() != "PushedFilters: []"
-    )
-    if not scans or pushed >= scans:
+    def depth(line: str) -> int:
+        return (len(line) - len(line.lstrip(" :+-"))) // 3
+
+    def op(line: str) -> str:
+        # strip tree prefix and codegen markers: "+- *(2) Filter ..." -> "Filter ..."
+        body = line.lstrip(" :+-")
+        return re.sub(r"^\*?\(\d+\)\s*", "", body)
+
+    pushable = ("Filter", "Project", "ColumnarToRow", "InputAdapter",
+                "WholeStageCodegen", "Subquery", "AdaptiveSparkPlan",
+                "ResultQueryStage", "ShuffleQueryStage",
+                # projection-like Python evals: a Filter above them applies
+                # to the same scan rows, it just could not be pushed
+                "BatchEvalPython", "ArrowEvalPython")
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        if "FileScan parquet" not in line:
+            continue
+        if "PushedFilters: []" not in line:
+            continue  # pushed something (or the source has no filter API)
+        # walk the ancestor chain: nearest lines above with strictly
+        # decreasing depth, stopping at the first non-pushable operator
+        d = depth(line)
+        saw_filter = False
+        for j in range(i - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj >= d:
+                continue  # sibling subtree, not an ancestor
+            d = dj
+            name = op(lines[j])
+            if name.startswith("Filter"):
+                saw_filter = True
+                break
+            if not any(name.startswith(p) for p in pushable):
+                break  # pushability boundary (Exchange/Aggregate/Join/...)
+            if dj == 0:
+                break
+        if saw_filter:
+            bad += 1
+    if not bad:
         return []
     return [
         {
             "code": "unpushed-filter",
             "severity": "warn",
             "detail": (
-                f"{scans - pushed} of {scans} parquet scan(s) push no "
-                "filters while a Filter node sits in the plan: the predicate "
-                "does not reach the reader (opaque expression?) — those "
-                "scans read all row groups"
+                f"{bad} parquet scan(s) push no filters despite a Filter in "
+                "their own pushable ancestor chain: the predicate does not "
+                "reach the reader (opaque expression?) — those scans read "
+                "all row groups"
             ),
         }
     ]

@@ -39,6 +39,9 @@ def merge_frames(
 
     Column contract: ``updates`` must carry the target's columns (plus
     the optional ``delete_col``); output has exactly the target schema.
+    Precondition: at most ONE update row per key — SQL MERGE rejects
+    multiple source matches, and this lazy composition would otherwise
+    union both copies; :func:`merge_into_path` validates this eagerly.
 
     Shuffle shape: ONE left-anti join on the key (update batches are
     usually MBs against a TB table — AQE broadcasts them and the anti
@@ -66,16 +69,49 @@ def merge_into_path(
     delete_col: Optional[str] = None,
 ) -> list:
     """Copy-on-write MERGE into a hive-partitioned parquet table: only the
-    partitions present in ``updates[partition_col]`` are read, merged and
-    rewritten (dynamic partition overwrite); every other partition's
-    files stay untouched on disk.  Returns the touched partition values.
+    touched partitions are read, merged and rewritten (dynamic partition
+    overwrite); every other partition's files stay untouched on disk.
+    Returns the touched partition values (sorted).
 
-    The touched-partition list is collected to the driver — bounded by
-    the table's partition count (thousands), never by rows — and becomes
-    a partition-pruning ``isin`` filter on the target scan, so the read
-    side of the merge is O(touched partitions) too.
+    Touched = the update batch's partition values UNION the partitions
+    where the updated/deleted keys CURRENTLY live — without the second
+    set, an update that moves a row across partitions would leave the
+    stale copy behind (duplicate key), and a delete would never find its
+    row.  The current-location lookup is a column-pruned
+    (key, partition) scan semi-joined to the broadcast update keys; at
+    real scale keep a key->partition index to skip it.
+
+    Rejects update batches with duplicate keys (SQL MERGE's "multiple
+    source rows match" error) — silently unioning both copies would break
+    the key invariant the operation exists to maintain.
+
+    Partitions whose merged output is EMPTY (a takedown that deletes a
+    whole partition) are removed explicitly: dynamic overwrite only
+    rewrites partitions present in the output, so an empty partition
+    would otherwise silently keep its old files.
     """
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain multiple rows for {key}={dup[0][0]!r}: "
+            "SQL MERGE forbids multiple source matches per key"
+        )
+    upd_parts = {r[0] for r in updates.select(partition_col).distinct().collect()}
+    current = (
+        spark.read.parquet(path)
+        .select(key, partition_col)
+        .join(F.broadcast(updates.select(key).distinct()), key, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+    touched = sorted(upd_parts | {r[0] for r in current})
     target = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
     merged = merge_frames(target, updates, key, delete_col=delete_col)
     # Spark refuses to overwrite a path it is still lazily reading
@@ -90,4 +126,25 @@ def merge_into_path(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    # dynamic overwrite only rewrites partitions PRESENT in the output;
+    # a touched partition with zero surviving rows must be deleted here
+    # or its old files silently survive the "delete"
+    surviving = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    _delete_partition_dirs(spark, path, partition_col, sorted(set(touched) - surviving))
     return touched
+
+
+def _delete_partition_dirs(spark, path: str, partition_col: str, values: list) -> None:
+    """Remove hive partition directories via the Hadoop FS API (works for
+    local paths and hdfs/s3a alike)."""
+    if not values:
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)

@@ -3,6 +3,8 @@ compaction bounds file counts, file counts stay controlled on write."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datafusion_ballista_python_spark.plans import partition_filters
@@ -234,3 +236,62 @@ def test_merge_into_path_deletes(spark, sf_dir, tmp_path):
     )
     merged = spark.read.parquet(path)
     assert merged.count() == docs.count() - n_victims
+
+
+def test_merge_into_path_partition_moving_update_keeps_key_unique(
+    spark, sf_dir, tmp_path
+):
+    """An update that moves a row to a different partition must remove the
+    stale copy from the OLD partition (the touched set includes where the
+    key currently lives, not just where it is going)."""
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_move")
+    docs.write.partitionBy("lang").parquet(path)
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    new_lang = "fr" if victim["lang"] != "fr" else "de"
+    updates = spark.createDataFrame(
+        [(victim["doc_id"], victim["text"], new_lang, victim["source"],
+          victim["n_chars"])],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    touched = merge_into_path(spark, path, updates, key="doc_id",
+                              partition_col="lang")
+    assert set(touched) == {victim["lang"], new_lang}
+    merged = spark.read.parquet(path)
+    rows = merged.where(F.col("doc_id") == victim["doc_id"]).collect()
+    assert len(rows) == 1 and rows[0]["lang"] == new_lang
+    assert merged.count() == docs.count()
+
+
+def test_merge_into_path_delete_empties_whole_partition(spark, sf_dir, tmp_path):
+    """A takedown that deletes every row of a partition must remove the
+    partition's files (dynamic overwrite alone would leave them)."""
+    import os as _os
+
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_wipe")
+    docs.write.partitionBy("lang").parquet(path)
+    victims = docs.where("lang = 'de'").withColumn("is_delete", F.lit(True))
+    n_de = victims.count()
+    merge_into_path(spark, path, victims, key="doc_id", partition_col="lang",
+                    delete_col="is_delete")
+    merged = spark.read.parquet(path)
+    assert merged.where("lang = 'de'").count() == 0
+    assert merged.count() == docs.count() - n_de
+    assert not _os.path.exists(_os.path.join(path, "lang=de"))
+
+
+def test_merge_into_path_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_dup")
+    docs.write.partitionBy("lang").parquet(path)
+    first = docs.orderBy("doc_id").limit(1)
+    dup = first.union(first)
+    with pytest.raises(ValueError, match="multiple source matches"):
+        merge_into_path(spark, path, dup, key="doc_id", partition_col="lang")
