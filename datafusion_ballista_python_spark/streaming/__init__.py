@@ -504,39 +504,6 @@ def incremental_dedup_sink(
 
     spark = docs_stream.sparkSession
 
-    def store_fingerprints():
-        """Read the store's fingerprint column, or None on the first batch.
-
-        Probed via spark.read itself (not driver-local os.path calls,
-        which are always false for hdfs:// or s3a:// stores and would
-        silently disable cross-batch dedup — the sink's core guarantee).
-        Only the two expected first-batch conditions (no store yet /
-        empty store) map to None; any other AnalysisException (corrupt
-        footer, permissions, schema) re-raises instead of silently
-        disabling cross-batch dedup.
-        """
-        try:
-            return spark.read.parquet(store_path).select("__fp")
-        except AnalysisException as e:
-            cond = None
-            for probe in ("getCondition", "getErrorClass"):
-                fn = getattr(e, probe, None)
-                if callable(fn):
-                    try:
-                        cond = fn()
-                    except Exception:
-                        cond = None
-                    if cond:
-                        break
-            if cond is not None:
-                if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                    return None
-                raise
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
-                return None
-            raise
-
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
@@ -545,12 +512,111 @@ def incremental_dedup_sink(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        seen = store_fingerprints()
+        seen = _read_store_or_none(spark, store_path, "__fp")
         if seen is not None:
             fresh = fresh.join(seen, "__fp", "left_anti")
         fresh.write.mode("append").parquet(store_path)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def _read_store_or_none(spark: SparkSession, store_path: str, *cols: str):
+    """Read selected columns of a parquet store, or None when the store
+    does not exist yet (first batch).  Probed via spark.read itself —
+    driver-local path checks are always false for hdfs:///s3a:// stores.
+    Only the two expected first-batch conditions map to None; any other
+    AnalysisException (corrupt footer, permissions, schema) re-raises."""
+    try:
+        df = spark.read.parquet(store_path)
+        return df.select(*cols) if cols else df
+    except AnalysisException as e:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond is not None:
+            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
+def cdc_upsert_sink(
+    stream: DataFrame,
+    store_path: str,
+    key: str,
+    order_col: str,
+    partition_col: str,
+    tiebreak_cols: tuple = (),
+    checkpoint_path: str | None = None,
+):
+    """Maintain a latest-row-per-key parquet table from a stream — the
+    CDC-apply pattern (user state, document re-scores, entity snapshots)
+    built on the copy-on-write MERGE (sources/merge.merge_into_path).
+
+    Per micro-batch (``foreachBatch``):
+    1. collapse the batch to its newest row per key (``order_col`` desc,
+       then ``tiebreak_cols`` desc for determinism under equal orders);
+    2. freshness gate against the store: read back ONLY (key, order) —
+       column-pruned — and drop batch rows older than what the table
+       already holds, so late/replayed data can never regress state
+       (the ``>=`` keeps replays idempotent: re-applying the same row
+       overwrites itself);
+    3. merge_into_path: rewrites only the touched partitions, moves a
+       key's row across partitions when its latest state changes the
+       partition value, and keeps keys unique.
+
+    Scale: per batch, shuffles are over the BATCH (latest-per-key window)
+    plus one broadcast-semi read of the store's two join columns; the
+    write cost is O(touched partitions).  Returns the StreamingQuery.
+    """
+    from ..sources.merge import merge_into_path
+
+    spark = stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+        w = Window.partitionBy(key).orderBy(*order)
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        stored = _read_store_or_none(spark, store_path, key, order_col)
+        if stored is None:
+            fresh = latest
+            if fresh.limit(1).count():
+                fresh.write.partitionBy(partition_col).parquet(store_path)
+            return
+        prev = stored.groupBy(key).agg(F.max(order_col).alias("__prev_order"))
+        fresh = (
+            latest.join(prev, key, "left")
+            .where(
+                F.col("__prev_order").isNull()
+                | (F.col(order_col) >= F.col("__prev_order"))
+            )
+            .drop("__prev_order")
+        )
+        if fresh.limit(1).count():
+            merge_into_path(
+                spark, store_path, fresh, key=key, partition_col=partition_col
+            )
+
+    writer = stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True
     )
     if checkpoint_path:
