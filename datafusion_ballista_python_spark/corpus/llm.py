@@ -1202,3 +1202,62 @@ def pipeline_quality_dedup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (iterative algorithm, full oracle)
+# ---------------------------------------------------------------------------
+
+def _pagerank_iteration_sql(prev: str, this: str) -> str:
+    """One power iteration as SQL, bit-identical to operators/graph.pagerank:
+    per-edge contribution rounded at 12 then EXACT decimal sum; damping
+    update as the same fixed double-op sequence, re-rounded at 12."""
+    return f"""{this} AS (
+  SELECT d.node, d.deg,
+         ROUND(ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n, 12)
+               + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s.s AS DOUBLE), 0.0),
+               12) AS pr
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.b AS node,
+           SUM(CAST(ROUND(p.pr / p.deg, 12) AS DECIMAL(28,12))) AS s
+    FROM edges e JOIN {prev} p ON p.node = e.a GROUP BY e.b
+  ) s ON s.node = d.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+it0 AS (
+  SELECT node, deg, ROUND(CAST(1 AS DOUBLE) / n.n, 12) AS pr
+  FROM deg CROSS JOIN n
+),
+{_pagerank_iteration_sql("it0", "it1")},
+{_pagerank_iteration_sql("it1", "it2")},
+{_pagerank_iteration_sql("it2", "it3")}
+SELECT node, pr FROM it3 ORDER BY node
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark, sf_dir):
+    """Three PageRank power iterations over the minhash near-dup graph
+    (operators/graph.pagerank) — an ITERATIVE algorithm with a full
+    value-hash oracle: the DuckDB side unrolls the same three iterations
+    with the identical round-then-exact-decimal accumulation, so every
+    intermediate rank matches bit-for-bit.  Within a duplicate cluster,
+    rank concentrates on the best-connected copies."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return graph.pagerank(pairs, iterations=3).orderBy("node")

@@ -238,3 +238,76 @@ def duplicate_clusters(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").alias("canonical_id"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected graph given by pair rows (each pair
+    contributes both directions), run for a FIXED number of power
+    iterations from the uniform start — rank within duplicate clusters /
+    citation-ish graphs.
+
+    Deterministic across engines and partition orders: per-edge
+    contributions ``pr/deg`` are computed in IEEE double then rounded to
+    12 decimals and accumulated EXACTLY as DECIMAL(28,12); the damping
+    update runs the identical fixed double-op sequence on both engines
+    and re-rounds — so a DuckDB oracle unrolling the same iterations
+    hash-matches bit-for-bit.
+
+    Scale shape: per iteration ONE join (edges x current ranks, shuffled
+    on the node key) + one partial-agg sum — the same bounded round shape
+    as connected_components; ranks/degrees are O(nodes) frames, never
+    driver-side except the node count (a 1-scalar action).
+    """
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = deg.select("src", "deg").localCheckpoint()
+    n = nodes.count()
+    # rounding must happen ENGINE-side (Spark round == DuckDB ROUND ==
+    # half-away-from-zero for positives); python round() is half-even and
+    # could diverge on exact midpoints
+    base = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 12)
+    pr = nodes.withColumn("pr", F.round(F.lit(1.0) / F.lit(float(n)), 12))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr.select(F.col("src"), "pr", "deg"), "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.round(F.col("pr") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("src").agg(F.sum("__c").alias("__s"))
+        pr = (
+            nodes.join(sums, "src", "left")
+            .select(
+                "src",
+                "deg",
+                F.round(
+                    base
+                    + F.lit(damping) * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return pr.select(F.col("src").alias("node"), "pr")

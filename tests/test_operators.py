@@ -905,3 +905,19 @@ def test_frequent_items_rejects_bad_capacity(spark):
 
     with pytest.raises(ValueError):
         frequent_items(spark.range(1), "id", capacity=0)
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from datafusion_ballista_python_spark.operators.graph import pagerank
+
+    # star: 1 connected to 2,3,4 (hub), plus isolated pair 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (8, 9)], ["doc_a", "doc_b"]
+    )
+    rows = {r["node"]: r["pr"] for r in pagerank(pairs, iterations=5).collect()}
+    assert set(rows) == {1, 2, 3, 4, 8, 9}
+    # undirected graph, no dangling nodes: total mass ~1 (rounding only)
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    # the hub out-ranks its leaves; the symmetric pair ties
+    assert rows[1] > rows[2] == rows[3] == rows[4]
+    assert rows[8] == rows[9]
