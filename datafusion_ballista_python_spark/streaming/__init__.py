@@ -571,46 +571,65 @@ def cdc_upsert_sink(
     Per micro-batch (``foreachBatch``):
     1. collapse the batch to its newest row per key (``order_col`` desc,
        then ``tiebreak_cols`` desc for determinism under equal orders);
-    2. freshness gate against the store: read back ONLY (key, order) —
-       column-pruned — and drop batch rows older than what the table
-       already holds, so late/replayed data can never regress state
-       (the ``>=`` keeps replays idempotent: re-applying the same row
-       overwrites itself);
+    2. freshness gate against the store: the store holds ONE row per key,
+       so its (key, order, tiebreaks) columns — column-pruned, semi-joined
+       down to the batch's keys before anything moves — give the incumbent
+       rank directly, and a batch row survives only when its
+       (order, tiebreaks) tuple is lexicographically >= the incumbent's.
+       Comparing the FULL ordering tuple (not just order_col) means an
+       equal-order row with a losing tiebreak arriving in a later batch
+       cannot overwrite the winner — final state is independent of how
+       rows split across batches, and ``>=`` keeps replays idempotent
+       (re-applying the same row overwrites itself);
     3. merge_into_path: rewrites only the touched partitions, moves a
        key's row across partitions when its latest state changes the
        partition value, and keeps keys unique.
 
     Scale: per batch, shuffles are over the BATCH (latest-per-key window)
-    plus one broadcast-semi read of the store's two join columns; the
+    plus one broadcast-semi read of the store's rank columns; the
     write cost is O(touched partitions).  Returns the StreamingQuery.
     """
     from ..sources.merge import merge_into_path
 
     spark = stream.sparkSession
+    rank_cols = [order_col, *tiebreak_cols]
+
+    def _rank(prefix: str = "") -> "F.Column":
+        return F.struct(*[F.col(prefix + c) for c in rank_cols])
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
-        w = Window.partitionBy(key).orderBy(*order)
+        w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in rank_cols])
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        stored = _read_store_or_none(spark, store_path, key, order_col)
+        stored = _read_store_or_none(spark, store_path, key, *rank_cols)
         if stored is None:
-            fresh = latest
-            if fresh.limit(1).count():
-                fresh.write.partitionBy(partition_col).parquet(store_path)
+            latest = latest.localCheckpoint()
+            if latest.limit(1).count():
+                # overwrite, not errorifexists: a first write that crashed
+                # mid-commit leaves an unreadable dir (_read_store_or_none
+                # -> None) that an append-style default could never replace
+                # — the stream would crash-loop on every recovery
+                latest.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    store_path
+                )
             return
-        prev = stored.groupBy(key).agg(F.max(order_col).alias("__prev_order"))
+        prev = stored.join(
+            F.broadcast(latest.select(key).distinct()), key, "left_semi"
+        ).select(F.col(key), *[F.col(c).alias(f"__prev_{c}") for c in rank_cols])
         fresh = (
             latest.join(prev, key, "left")
             .where(
-                F.col("__prev_order").isNull()
-                | (F.col(order_col) >= F.col("__prev_order"))
+                F.col(f"__prev_{order_col}").isNull()
+                | (_rank() >= _rank("__prev_"))
             )
-            .drop("__prev_order")
+            .drop(*[f"__prev_{c}" for c in rank_cols])
         )
+        # one materialization for the emptiness probe + merge_into_path's
+        # four internal actions (dup check, partition lookups, write)
+        fresh = fresh.localCheckpoint()
         if fresh.limit(1).count():
             merge_into_path(
                 spark, store_path, fresh, key=key, partition_col=partition_col

@@ -393,3 +393,59 @@ def test_cdc_upsert_sink_multi_batch_freshness(spark, sf_dir, tmp_path):
     a = sorted((r["user_id"], r["event_id"]) for r in got.collect())
     b = sorted((r["user_id"], r["event_id"]) for r in expect.collect())
     assert a == b
+
+
+def test_cdc_upsert_sink_tiebreak_across_batches(spark, tmp_path):
+    """An equal-order row with a LOSING tiebreak arriving in a later batch
+    must not overwrite the winner: final state is independent of how rows
+    split across batches."""
+    import pandas as pd
+
+    from datafusion_ballista_python_spark import streaming
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1: the winner (event_id 10); batch 2: same user+ts, losing id 3
+    b1 = pd.DataFrame({"event_id": [10], "ts": [t], "user_id": [1],
+                       "event_type": ["view"]})
+    b2 = pd.DataFrame({"event_id": [3], "ts": [t], "user_id": [1],
+                       "event_type": ["click"]})
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    store = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        q = streaming.cdc_upsert_sink(
+            stream, store, key="user_id", order_col="ts",
+            partition_col="event_type", tiebreak_cols=("event_id",),
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    run("c1")
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    run("c1")  # same checkpoint: only the new file is a new batch
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1
+    assert rows[0]["event_id"] == 10, "losing tiebreak overwrote the winner"
+
+
+def test_cdc_upsert_sink_recovers_from_crashed_first_write(spark, sf_dir, tmp_path):
+    """A store dir left unreadable by a crashed first write (only a
+    _temporary subdir) must not wedge the stream."""
+    import os as _os
+
+    from datafusion_ballista_python_spark import streaming
+
+    store = str(tmp_path / "state")
+    _os.makedirs(_os.path.join(store, "_temporary"))
+    q = streaming.cdc_upsert_sink(
+        streaming.events_stream(spark, sf_dir), store,
+        key="user_id", order_col="ts", partition_col="event_type",
+        tiebreak_cols=("event_id",),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(store).count() > 0
