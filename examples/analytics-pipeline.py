@@ -40,7 +40,21 @@ ev.cohort_retention(events, period="day").orderBy(
 # 4. bounded-memory heavy hitters (exact here: capacity >> distinct)
 frequent_items(events, "event_type", capacity=64).show()
 
-# 5. the scale checklist as a gate: no error-severity plan findings
+# 5. incremental maintenance: MERGE a re-scored batch into a partitioned
+#    copy of the corpus — only the touched partitions rewrite
+import tempfile
+
+from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+store = tempfile.mkdtemp() + "/corpus"
+docs.write.partitionBy("lang").parquet(store)
+rescored = docs.where("lang = 'en'").limit(5).withColumn(
+    "text", F.concat(F.lit("RESCORED "), F.col("text"))
+)
+touched = merge_into_path(spark, store, rescored, key="doc_id", partition_col="lang")
+print("merge touched partitions:", touched)
+
+# 6. the scale checklist as a gate: no error-severity plan findings
 for name, df in [("funnel", funnel), ("survivors", survivors)]:
     errors = [f for f in audit(df) if f["severity"] == "error"]
     assert not errors, (name, errors)
