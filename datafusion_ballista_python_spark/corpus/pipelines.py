@@ -746,3 +746,32 @@ def pipeline_semantic_curation(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "train_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 'cccd' THEN 'train'
+                WHEN h < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               SUBSTRING(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def train_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment
+    (operators/sampling.split_assign): membership is a pure function of
+    the salted key hash — identical on any engine/partitioning, stable
+    across reruns, disjoint splits.  Map-only, zero shuffle; the oracle
+    replays the same cumulative hash boundaries ('cccd' = round(0.8*16^4),
+    'e666' = round(0.9*16^4))."""
+    from ..operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split").orderBy("doc_id")

@@ -134,3 +134,48 @@ def mixture_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str | Column,
+    splits: "dict[str, float] | None" = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is decided
+    by where its salted-md5 4-hex-digit prefix falls in the cumulative
+    fraction ranges — membership is a pure function of the key, so it is
+    identical on any engine, partitioning or cluster size, stable across
+    reruns, and disjoint between splits.  ``splits`` maps name ->
+    fraction (must sum to 1 within rounding; remainder goes to the LAST
+    split in insertion order).  The salt decorrelates this hash from any
+    other md5-of-key decision (sampling, sharding) in the pipeline.
+
+    Map-only, zero shuffle: the assignment rides the scan at full speed.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits or any(f < 0 for f in splits.values()):
+        raise ValueError("splits must be non-negative fractions")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 4)
+    names = list(splits)
+    expr = F.lit(names[-1])  # remainder bucket: the last split
+    cum = 0.0
+    # build WHEN h < cutoff(name1) THEN name1 WHEN h < cutoff(1+2) ... walking
+    # the cumulative boundaries in order; evaluated first-match like SQL CASE
+    conds = []
+    for name in names[:-1]:
+        cum += splits[name]
+        conds.append((format(int(round(cum * 16**4)), "04x"), name))
+    out = None
+    for cutoff, name in reversed(conds):
+        out = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(
+            out if out is not None else expr
+        )
+    if out is None:
+        out = expr
+    return df.withColumn(split_col, out)

@@ -106,3 +106,32 @@ def test_mixture_sample_quotas_and_determinism(spark):
     b = sorted(map(tuple, mixture_sample(
         df.repartition(7), "grp", {"g0": 5, "g1": 2}, "id", default_n=1).collect()))
     assert a == b
+
+
+def test_split_assign_disjoint_stable_and_proportional(spark):
+    from datafusion_ballista_python_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000  # disjoint + exhaustive
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # stable: same assignment on re-run and under different partitioning
+    again = split_assign(df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.join(again.withColumnRenamed("split", "s2"), "k").where(
+        "split != s2"
+    ).count() == 0
+
+
+def test_split_assign_validates_fractions(spark):
+    import pytest as _pytest
+
+    from datafusion_ballista_python_spark.operators.sampling import split_assign
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        split_assign(df, "id", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError):
+        split_assign(df, "id", {"a": -0.1, "b": 1.1})
