@@ -55,6 +55,8 @@ HEADLINE = [
     "text_unigram_perplexity",
     "dedup_survivor_selection",
     "events_funnel",
+    "graph_pagerank",
+    "sketch_frequent_items",
 ]
 
 

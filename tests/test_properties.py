@@ -285,3 +285,29 @@ def test_survivor_selection_matches_union_find(spark, pairs, scores):
         for i in members:
             expect[i] = (label if len(members) > 1 else i, i == best)
     assert out == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=300),
+    capacity=st.integers(min_value=1, max_value=12),
+)
+def test_frequent_items_bounds_always_hold(spark, data, capacity):
+    """Misra-Gries invariants on arbitrary data/capacity: est_min <= true
+    <= est_max for every reported item, and every item with true count
+    > n/(capacity+1) is present."""
+    from collections import Counter
+
+    from datafusion_ballista_python_spark.operators.sketch import frequent_items
+
+    truth = Counter(str(x) for x in data)
+    df = spark.createDataFrame([(str(x),) for x in data], ["v"]).repartition(3)
+    out = {r["item"]: (r["est_min"], r["est_max"])
+           for r in frequent_items(df, "v", capacity=capacity).collect()}
+    n = len(data)
+    for item, (lo, hi) in out.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+    for item, c in truth.items():
+        if c > n / (capacity + 1):
+            assert item in out, f"guaranteed hitter {item} (count {c}) missing"
