@@ -148,34 +148,36 @@ def split_assign(
     fraction ranges — membership is a pure function of the key, so it is
     identical on any engine, partitioning or cluster size, stable across
     reruns, and disjoint between splits.  ``splits`` maps name ->
-    fraction (must sum to 1 within rounding; remainder goes to the LAST
-    split in insertion order).  The salt decorrelates this hash from any
+    fraction; every fraction must be STRICTLY positive (a zero-fraction
+    split is a caller bug: rounding could silently hand it real rows) and
+    they must sum to 1 within rounding; rounding remainder goes to the
+    LAST split in insertion order.  Rows with a NULL key also land in the
+    last split (the hash is NULL, no boundary matches) — clean keys
+    first if that matters.  The salt decorrelates this hash from any
     other md5-of-key decision (sampling, sharding) in the pipeline.
 
     Map-only, zero shuffle: the assignment rides the scan at full speed.
     """
-    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
-    if not splits or any(f < 0 for f in splits.values()):
-        raise ValueError("splits must be non-negative fractions")
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits or any(f <= 0 for f in splits.values()):
+        raise ValueError("splits must be a non-empty dict of positive fractions")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
     key = F.col(key) if isinstance(key, str) else key
-    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 4)
+    h = _hash_hex(F.concat(F.lit(salt + ":"), key.cast("string")), 4)
     names = list(splits)
-    expr = F.lit(names[-1])  # remainder bucket: the last split
-    cum = 0.0
-    # build WHEN h < cutoff(name1) THEN name1 WHEN h < cutoff(1+2) ... walking
-    # the cumulative boundaries in order; evaluated first-match like SQL CASE
+    out = F.lit(names[-1])  # remainder bucket: the last split
     conds = []
+    cum = 0.0
     for name in names[:-1]:
         cum += splits[name]
-        conds.append((format(int(round(cum * 16**4)), "04x"), name))
-    out = None
+        # clamp to 'ffff': a cumulative boundary rounding to 16^4 would
+        # format as the 5-char '10000', which sorts BELOW most 4-char
+        # hashes and silently inverts the assignment (same hazard
+        # hash_sample guards at its full-fraction edge)
+        conds.append((format(min(int(round(cum * 16**4)), 16**4 - 1), "04x"), name))
     for cutoff, name in reversed(conds):
-        out = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(
-            out if out is not None else expr
-        )
-    if out is None:
-        out = expr
+        out = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(out)
     return df.withColumn(split_col, out)

@@ -48,7 +48,7 @@ from datafusion_ballista_python_spark.sources.merge import merge_into_path
 
 store = tempfile.mkdtemp() + "/corpus"
 docs.write.partitionBy("lang").parquet(store)
-rescored = docs.where("lang = 'en'").limit(5).withColumn(
+rescored = docs.where("lang = 'en'").orderBy("doc_id").limit(5).withColumn(
     "text", F.concat(F.lit("RESCORED "), F.col("text"))
 )
 touched = merge_into_path(spark, store, rescored, key="doc_id", partition_col="lang")

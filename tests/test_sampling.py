@@ -135,3 +135,8 @@ def test_split_assign_validates_fractions(spark):
         split_assign(df, "id", {"a": 0.5, "b": 0.4})
     with _pytest.raises(ValueError):
         split_assign(df, "id", {"a": -0.1, "b": 1.1})
+    with _pytest.raises(ValueError):
+        split_assign(df, "id", {})  # explicit empty dict is a bug, not a default
+    with _pytest.raises(ValueError):
+        # zero-fraction split: rounding could silently hand it real rows
+        split_assign(df, "id", {"train": 0.9, "val": 0.1, "test": 0.0})
