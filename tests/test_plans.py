@@ -300,3 +300,34 @@ def test_audit_clean_on_headline_queries(spark, sf_dir, registry):
         findings = [f for f in audit(registry[name].fn(spark, sf_dir))
                     if f["severity"] == "error"]
         assert not findings, f"{name}: {findings}"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's runtime bloom filter: a selective dim-side predicate is
+    turned into a bloom `might_contain` probe on the FACT side before the
+    join shuffle — the runtime-filter pattern that saves a 100 TB scan
+    from shuffling rows the join will drop anyway.  Thresholds are
+    forced because test-scale tables sit under the defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _physical(j)
+        assert "might_contain" in plan, "runtime bloom probe missing on fact side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
