@@ -251,3 +251,44 @@ def range_join_sessions(spark, sf_dir):
     return out.select("event_id", "user_id", "iv_user", "ts", "win_start").orderBy(
         "event_id", "iv_user", "win_start"
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           value, props
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_upsert(spark, sf_dir):
+    """CDC-upsert sink executed AS A STREAM to end-of-input into a fresh
+    parquet store (streaming.cdc_upsert_sink over the copy-on-write
+    MERGE), then the store read back — full value oracle: the maintained
+    latest-row-per-user table must equal a batch row_number() pick over
+    all history (order ts desc, event_id desc tiebreak).  Exercises the
+    whole chain: per-batch latest-per-key window, lexicographic
+    freshness gate, partition-move-safe merge."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cdc_corpus_")
+    q = streaming.cdc_upsert_sink(
+        streaming.events_stream(spark, sf_dir),
+        f"{d}/state",
+        key="user_id",
+        order_col="ts",
+        partition_col="event_type",
+        tiebreak_cols=("event_id",),
+        checkpoint_path=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{d}/state")
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")
+        .orderBy("user_id")
+    )
