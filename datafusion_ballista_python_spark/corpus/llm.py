@@ -1261,3 +1261,45 @@ def graph_pagerank(spark, sf_dir):
         docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )
     return graph.pagerank(pairs, iterations=3).orderBy("node")
+
+
+@query(
+    "embed_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+        SELECT qid, qlabel, vec_id, label,
+               ROUND(LIST_DOT_PRODUCT(qe, embedding) /
+                     (SQRT(LIST_DOT_PRODUCT(qe, qe)) *
+                      SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE label <> qlabel
+    )
+    SELECT qid, qlabel, vec_id, label, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+)
+def embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.hard_negatives): per
+    query, the 10 most-cosine-similar candidates with a DIFFERENT label —
+    the label exclusion applies before ranking, so the head of the
+    ranking is all near-misses.  The oracle replays score + pre-rank
+    exclusion + window."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return similarity.hard_negatives(cands, queries, k=10).orderBy(
+        "qid", F.desc("cos_sim"), "vec_id"
+    )

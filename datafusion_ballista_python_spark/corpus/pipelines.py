@@ -775,3 +775,72 @@ def train_split_assign(spark, sf_dir):
     return split_assign(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split").orderBy("doc_id")
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH ref AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate < DATE '1998-01-01'
+    ),
+    cur AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate >= DATE '1998-01-01'
+    ),
+    stats AS (
+        SELECT CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx,
+               CAST(COUNT(v) AS BIGINT) AS tot_ref
+        FROM ref
+    ),
+    ncur AS (SELECT CAST(COUNT(v) AS BIGINT) AS tot_cur FROM cur),
+    rb AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((CAST(v AS DOUBLE) - mn)
+                   / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_ref
+        FROM ref CROSS JOIN stats WHERE v IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((CAST(v AS DOUBLE) - mn)
+                   / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_cur
+        FROM cur CROSS JOIN stats WHERE v IS NOT NULL GROUP BY 1
+    ),
+    bins AS (SELECT UNNEST(RANGE(10)) AS bin),
+    merged AS (
+        SELECT b.bin,
+               COALESCE(rb.n_ref, 0) AS n_ref,
+               COALESCE(cb.n_cur, 0) AS n_cur,
+               (COALESCE(rb.n_ref, 0) + 0.5) / (s.tot_ref + 5.0) AS p,
+               (COALESCE(cb.n_cur, 0) + 0.5) / (n.tot_cur + 5.0) AS q
+        FROM bins b
+        LEFT JOIN rb ON rb.bin = b.bin
+        LEFT JOIN cb ON cb.bin = b.bin
+        CROSS JOIN stats s CROSS JOIN ncur n
+    ),
+    scored AS (
+        SELECT bin, n_ref, n_cur,
+               ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+               ROUND((p - q) * LN(p / q), 6) AS psi_term
+        FROM merged
+    )
+    SELECT s.*, t.psi_total FROM scored s CROSS JOIN (
+        SELECT CAST(SUM(CAST(psi_term AS DECIMAL(25,6))) AS DOUBLE) AS psi_total
+        FROM scored
+    ) t
+    ORDER BY bin
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index of o_totalprice between pre-1998 orders
+    (reference) and 1998+ orders (current): fixed-width reference-range
+    bins, 0.5-smoothed shares, per-bin terms rounded then exactly
+    decimal-summed (operators/quality.psi_drift) — the drift gate a
+    continuously-ingested corpus runs before accepting a batch.  Full
+    oracle replays binning, smoothing and accumulation."""
+    from ..operators.quality import psi_drift
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    ref = o.where("o_orderdate < DATE '1998-01-01'").select("o_totalprice")
+    cur = o.where("o_orderdate >= DATE '1998-01-01'").select("o_totalprice")
+    return psi_drift(ref, cur, "o_totalprice", n_bins=10)

@@ -110,3 +110,77 @@ def check_constraints(
     for f2 in frames[1:]:
         out = out.union(f2)
     return out
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a reference corpus and a
+    new ingest batch (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major
+    drift).
+
+    Binning is fixed-width over the REFERENCE min/max (two exact
+    aggregates broadcast as one row); values outside the reference range
+    clamp into the edge bins, so novel out-of-range mass shows up as
+    edge-bin drift instead of being dropped.  Bin shares use additive
+    0.5 smoothing (an empty bin on either side would make the log term
+    infinite).  Per-bin terms are rounded to 6 decimals before an exact
+    DECIMAL sum — the totals are bit-identical across engines and
+    partition orders, so the whole report is hash-checkable.
+
+    Returns one row per bin: ``(bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term, psi_total)`` with ``psi_total`` repeated (1-row broadcast).
+
+    Scale shape: one (min,max,count) aggregate on each side, one
+    map-side-partial count per (side, bin), a 10-ish-row merge — nothing
+    shuffles more than ``n_bins`` rows after the partial aggregates.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    stats = reference.agg(
+        F.min(col).cast("double").alias("__mn"),
+        F.max(col).cast("double").alias("__mx"),
+        F.count(col).cast("long").alias("__n_ref"),
+    )
+    n_cur = current.agg(F.count(col).cast("long").alias("__n_cur"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+        b = F.floor((F.col(col).cast("double") - F.col("__mn")) / width)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            df.where(F.col(col).isNotNull())
+            .crossJoin(F.broadcast(stats.select("__mn", "__mx")))
+            .select(b.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    bins = reference.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(binned(reference, "n_ref"), "bin", "left")
+        .join(binned(current, "n_cur"), "bin", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+        .crossJoin(F.broadcast(stats.select("__n_ref")))
+        .crossJoin(F.broadcast(n_cur))
+    )
+    # additive 0.5 smoothing keeps every share strictly positive
+    p = (F.col("n_ref") + 0.5) / (F.col("__n_ref") + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("__n_cur") + 0.5 * n_bins)
+    term = F.round((p - q) * F.log(p / q), 6)
+    scored = counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        term.alias("psi_term"),
+    )
+    total = scored.agg(
+        F.sum(F.col("psi_term").cast("decimal(25,6)")).cast("double").alias("psi_total")
+    )
+    return scored.crossJoin(F.broadcast(total)).orderBy("bin")

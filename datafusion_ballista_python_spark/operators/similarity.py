@@ -500,3 +500,62 @@ def ivf_topk_from_index(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id: str = "qid",
+    query_vec: str = "qe",
+    query_label: str = "qlabel",
+    round_digits: int | None = 4,
+    max_query_rows: int | None = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the ``k`` candidates MOST similar by cosine whose label differs from
+    the query's — the near-misses a contrastive loss learns the most
+    from.  The label exclusion applies BEFORE ranking (a post-filtered
+    top-k would silently return fewer than k negatives whenever positives
+    crowd the head of the ranking).
+
+    Same scale shape and guard as :func:`cosine_topk` (broadcast query
+    side, per-partition score + rank, O(cands x queries) — the exact
+    baseline; swap the scorer for :func:`lsh_topk` buckets at corpus
+    scale)."""
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            from ..errors import BallistaError
+
+            raise BallistaError(
+                f"hard_negatives is brute-force exact; query side exceeds "
+                f"max_query_rows={max_query_rows}. Use the LSH/IVF path or "
+                f"pass max_query_rows=None to force."
+            )
+    extra = [c for c in candidates.columns if c != vec_col]
+    qn = _with_norm(queries, query_vec, "__qn")
+    cn = _with_norm(candidates, vec_col, "__cn")
+    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(qn)
+        .crossJoin(cn)
+        .where(F.col(label_col) != F.col(query_label))
+        .select(
+            F.col(query_id),
+            F.col(query_label),
+            *[F.col(c) for c in extra],
+            sim.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -921,3 +921,20 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # the hub out-ranks its leaves; the symmetric pair ties
     assert rows[1] > rows[2] == rows[3] == rows[4]
     assert rows[8] == rows[9]
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    from datafusion_ballista_python_spark.operators.quality import psi_drift
+
+    ref = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 1000).select(
+        ((F.col("id") % 100) * 0.3 + 70).cast("double").alias("v")
+    )
+    stable = psi_drift(ref, same, "v", n_bins=10).collect()
+    drifted = psi_drift(ref, shifted, "v", n_bins=10).collect()
+    assert len(stable) == 10 and len(drifted) == 10
+    assert stable[0]["psi_total"] < 0.01  # identical distributions
+    assert drifted[0]["psi_total"] > 0.25  # mass moved to the top bins
+    with pytest.raises(ValueError):
+        psi_drift(ref, same, "v", n_bins=1)
