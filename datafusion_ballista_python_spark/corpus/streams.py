@@ -274,21 +274,30 @@ def stream_cdc_upsert(spark, sf_dir):
     all history (order ts desc, event_id desc tiebreak).  Exercises the
     whole chain: per-batch latest-per-key window, lexicographic
     freshness gate, partition-move-safe merge."""
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix="cdc_corpus_")
-    q = streaming.cdc_upsert_sink(
-        streaming.events_stream(spark, sf_dir),
-        f"{d}/state",
-        key="user_id",
-        order_col="ts",
-        partition_col="event_type",
-        tiebreak_cols=("event_id",),
-        checkpoint_path=f"{d}/ckpt",
-    )
-    q.awaitTermination()
-    return (
-        spark.read.parquet(f"{d}/state")
-        .select("user_id", "event_id", "ts", "event_type", "value", "props")
-        .orderBy("user_id")
-    )
+    try:
+        q = streaming.cdc_upsert_sink(
+            streaming.events_stream(spark, sf_dir),
+            f"{d}/state",
+            key="user_id",
+            order_col="ts",
+            partition_col="event_type",
+            tiebreak_cols=("event_id",),
+            checkpoint_path=f"{d}/ckpt",
+        )
+        q.awaitTermination()
+        # materialize BEFORE deleting the store (the returned frame would
+        # otherwise lazily read a directory this entry just removed); the
+        # localCheckpoint also keeps repeated gate/bench runs from
+        # littering /tmp with store+checkpoint dirs
+        return (
+            spark.read.parquet(f"{d}/state")
+            .select("user_id", "event_id", "ts", "event_type", "value", "props")
+            .orderBy("user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -141,20 +141,30 @@ def psi_drift(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    stats = reference.agg(
-        F.min(col).cast("double").alias("__mn"),
-        F.max(col).cast("double").alias("__mx"),
-        F.count(col).cast("long").alias("__n_ref"),
-    )
-    n_cur = current.agg(F.count(col).cast("long").alias("__n_cur"))
+    mn, mx, n_ref_total = reference.agg(
+        F.min(col).cast("double"),
+        F.max(col).cast("double"),
+        F.count(col).cast("long"),
+    ).collect()[0]
+    # the three scalars are ONE row — collecting them once beats lazily
+    # re-deriving the stats subtree in every branch (the reference would
+    # otherwise be re-scanned+re-aggregated ~4x per call)
+    if n_ref_total == 0:
+        raise ValueError("reference has no non-null values to bin")
+    if mx == mn:
+        raise ValueError(
+            f"reference column {col!r} is constant ({mn!r}): fixed-width "
+            "binning is degenerate — PSI needs a spread reference; gate "
+            "constant features on exact value equality instead"
+        )
+    n_cur_total = current.agg(F.count(col).cast("long")).collect()[0][0]
+    width = (mx - mn) / float(n_bins)
 
     def binned(df: DataFrame, out: str) -> DataFrame:
-        width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
-        b = F.floor((F.col(col).cast("double") - F.col("__mn")) / width)
+        b = F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width))
         b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
         return (
             df.where(F.col(col).isNotNull())
-            .crossJoin(F.broadcast(stats.select("__mn", "__mx")))
             .select(b.cast("long").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias(out))
@@ -165,12 +175,10 @@ def psi_drift(
         bins.join(binned(reference, "n_ref"), "bin", "left")
         .join(binned(current, "n_cur"), "bin", "left")
         .na.fill({"n_ref": 0, "n_cur": 0})
-        .crossJoin(F.broadcast(stats.select("__n_ref")))
-        .crossJoin(F.broadcast(n_cur))
     )
     # additive 0.5 smoothing keeps every share strictly positive
-    p = (F.col("n_ref") + 0.5) / (F.col("__n_ref") + 0.5 * n_bins)
-    q = (F.col("n_cur") + 0.5) / (F.col("__n_cur") + 0.5 * n_bins)
+    p = (F.col("n_ref") + 0.5) / F.lit(n_ref_total + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / F.lit(n_cur_total + 0.5 * n_bins)
     term = F.round((p - q) * F.log(p / q), 6)
     scored = counts.select(
         "bin",

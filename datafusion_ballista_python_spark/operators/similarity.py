@@ -66,12 +66,17 @@ def cosine_topk(
     query_vec: str = "qe",
     round_digits: int | None = 4,
     max_query_rows: int | None = MAX_BRUTE_FORCE_QUERIES,
+    pair_filter: "Column | None" = None,
+    query_extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Exact cosine top-k per query vector (brute force).
 
     The query side is tiny -> Catalyst broadcasts it; each candidate
     partition scores + window-ranks locally, so only ~k rows per query per
-    partition reach the final exchange.
+    partition reach the final exchange.  ``pair_filter`` (a boolean
+    Column over query+candidate columns) excludes pairs BEFORE ranking —
+    the hook :func:`hard_negatives` builds on; ``query_extra_cols`` are
+    projected through from the query side.
 
     Scale guard: cost is O(|candidates| x |queries|) — the labeled exact
     baseline, not the scale path.  A query side above ``max_query_rows``
@@ -97,8 +102,14 @@ def cosine_topk(
     sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = F.broadcast(qn).crossJoin(cn).select(
-        F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim")
+    pairs = F.broadcast(qn).crossJoin(cn)
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    scored = pairs.select(
+        F.col(query_id),
+        *[F.col(c) for c in query_extra_cols],
+        *[F.col(c) for c in extra],
+        sim.alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
@@ -518,44 +529,24 @@ def hard_negatives(
     """Hard-negative mining for contrastive/embedding training: per query,
     the ``k`` candidates MOST similar by cosine whose label differs from
     the query's — the near-misses a contrastive loss learns the most
-    from.  The label exclusion applies BEFORE ranking (a post-filtered
-    top-k would silently return fewer than k negatives whenever positives
-    crowd the head of the ranking).
+    from.  A thin wrapper over :func:`cosine_topk`'s ``pair_filter``
+    hook, so the scoring core (guard, norms, rounding, tiebreak) exists
+    exactly once; the label exclusion applies BEFORE ranking (a
+    post-filtered top-k would silently return fewer than k negatives
+    whenever positives crowd the head of the ranking).
 
-    Same scale shape and guard as :func:`cosine_topk` (broadcast query
-    side, per-partition score + rank, O(cands x queries) — the exact
-    baseline; swap the scorer for :func:`lsh_topk` buckets at corpus
-    scale)."""
-    if max_query_rows is not None:
-        probe = queries.limit(max_query_rows + 1).count()
-        if probe > max_query_rows:
-            from ..errors import BallistaError
-
-            raise BallistaError(
-                f"hard_negatives is brute-force exact; query side exceeds "
-                f"max_query_rows={max_query_rows}. Use the LSH/IVF path or "
-                f"pass max_query_rows=None to force."
-            )
-    extra = [c for c in candidates.columns if c != vec_col]
-    qn = _with_norm(queries, query_vec, "__qn")
-    cn = _with_norm(candidates, vec_col, "__cn")
-    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = (
-        F.broadcast(qn)
-        .crossJoin(cn)
-        .where(F.col(label_col) != F.col(query_label))
-        .select(
-            F.col(query_id),
-            F.col(query_label),
-            *[F.col(c) for c in extra],
-            sim.alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
+    Same scale shape and guard as :func:`cosine_topk` (the exact
+    baseline; swap in the LSH/IVF scorer at corpus scale)."""
+    return cosine_topk(
+        candidates,
+        queries,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id=query_id,
+        query_vec=query_vec,
+        round_digits=round_digits,
+        max_query_rows=max_query_rows,
+        pair_filter=F.col(label_col) != F.col(query_label),
+        query_extra_cols=(query_label,),
     )

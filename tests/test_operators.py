@@ -938,3 +938,6 @@ def test_psi_drift_detects_planted_shift(spark):
     assert drifted[0]["psi_total"] > 0.25  # mass moved to the top bins
     with pytest.raises(ValueError):
         psi_drift(ref, same, "v", n_bins=1)
+    const = spark.range(0, 50).select(F.lit(5.0).alias("v"))
+    with pytest.raises(ValueError, match="constant"):
+        psi_drift(const, same, "v")  # degenerate range fails loudly
