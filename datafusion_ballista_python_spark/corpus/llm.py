@@ -1263,6 +1263,70 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(pairs, iterations=3).orderBy("node")
 
 
+def _pagerank_directed_iteration_sql(prev: str, this: str) -> str:
+    """One DIRECTED power iteration with dangling-mass redistribution,
+    bit-identical to operators/graph.pagerank_directed: per-edge
+    contribution and the dangling total rounded at 12 then EXACT decimal
+    sums; damping update as the same fixed double-op sequence."""
+    return f"""{this} AS (
+  SELECT d.node, d.od,
+         ROUND(ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n, 12)
+               + CAST(0.85 AS DOUBLE) *
+                 (COALESCE(CAST(s.s AS DOUBLE), 0.0)
+                  + COALESCE(CAST(dm.m AS DOUBLE), 0.0) / n.n),
+               12) AS pr
+  FROM dnodes d CROSS JOIN n
+  CROSS JOIN (SELECT SUM(CAST(pr AS DECIMAL(28,12))) AS m
+              FROM {prev} WHERE od = 0) dm
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(ROUND(p.pr / p.od, 12) AS DECIMAL(28,12))) AS s
+    FROM dedges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+  ) s ON s.node = d.node
+)"""
+
+
+_PAGERANK_DIRECTED_ORACLE = f"""
+WITH pairs AS (
+  {_MINHASH_ORACLE}
+),
+dedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+dnodes AS (
+  SELECT v.node, COALESCE(o.od, CAST(0 AS BIGINT)) AS od
+  FROM (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges) v
+  LEFT JOIN (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+             FROM dedges GROUP BY src) o ON o.node = v.node
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dnodes),
+it0 AS (
+  SELECT node, od, ROUND(CAST(1 AS DOUBLE) / n.n, 12) AS pr
+  FROM dnodes CROSS JOIN n
+),
+{_pagerank_directed_iteration_sql("it0", "it1")},
+{_pagerank_directed_iteration_sql("it1", "it2")},
+{_pagerank_directed_iteration_sql("it2", "it3")}
+SELECT node, pr FROM it3 ORDER BY node
+"""
+
+
+@query("graph_pagerank_directed", oracle=_PAGERANK_DIRECTED_ORACLE)
+def graph_pagerank_directed(spark, sf_dir):
+    """Directed PageRank with dangling-mass redistribution
+    (operators/graph.pagerank_directed): the near-dup pairs become a
+    DIRECTED citation-style graph (older doc -> newer doc), so every
+    doc that never appears as a source is a dangling sink whose rank
+    mass must be redistributed uniformly each iteration — without the
+    dangling term ranks leak and no longer sum to 1.  The DuckDB oracle
+    unrolls the same three iterations with the identical
+    round-then-exact-decimal accumulation, bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return graph.pagerank_directed(edges, iterations=3).orderBy("node")
+
+
 @query(
     "embed_hard_negatives",
     oracle="""
@@ -1277,7 +1341,7 @@ def graph_pagerank(spark, sf_dir):
                      (SQRT(LIST_DOT_PRODUCT(qe, qe)) *
                       SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS cos_sim
         FROM q CROSS JOIN c
-        WHERE label <> qlabel
+        WHERE label IS DISTINCT FROM qlabel
     )
     SELECT qid, qlabel, vec_id, label, cos_sim FROM (
         SELECT *, ROW_NUMBER() OVER (

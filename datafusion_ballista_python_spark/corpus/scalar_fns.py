@@ -140,7 +140,7 @@ def fn_concat_null_semantics(spark, sf_dir):
            ROUND(l_extendedprice / 1000, 2) AS rnd,
            SQRT(l_quantity) AS sq,
            POWER(l_linenumber, 2) AS p2,
-           SIGN(l_quantity - 25.0) AS sg,
+           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sg,
            CAST(TRUNC(l_extendedprice / 1000) AS DOUBLE) AS tr,
            ROUND(EXP(l_discount), 6) AS ex,
            ROUND(LN(l_extendedprice), 6) AS lnx,

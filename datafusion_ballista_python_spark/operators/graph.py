@@ -311,3 +311,86 @@ def pagerank(
         )
     edges.unpersist()
     return pr.select(F.col("src").alias("node"), "pr")
+
+
+def pagerank_directed(
+    edges_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list with dangling-node mass
+    redistribution — the real PageRank recurrence (Page et al. 1999),
+    where :func:`pagerank` is the undirected near-dup-graph special case
+    (every node has outdegree >= 1 there, so no dangling term).
+
+        pr'(v) = (1-d)/n + d * ( sum_{u->v} pr(u)/outdeg(u)
+                                 + (sum_{dangling u} pr(u)) / n )
+
+    Nodes with no outgoing edges (sinks: terminal pages, newest docs in a
+    citation graph) would otherwise leak their rank mass out of the
+    system each iteration; redistributing it uniformly keeps ranks a
+    proper probability distribution (sums to ~1 up to rounding).
+
+    Deterministic across engines, same contract as :func:`pagerank`:
+    per-edge contributions ``pr/outdeg`` and the dangling-mass total are
+    rounded to 12 decimals and accumulated EXACTLY as DECIMAL(28,12);
+    the damping update runs one fixed double-op sequence and re-rounds,
+    so an unrolled-CTE DuckDB oracle hash-matches bit-for-bit.
+
+    Scale shape per iteration: ONE edges x ranks join (shuffled on the
+    node key) + one partial-agg sum, plus a 1-ROW dangling-mass
+    aggregate cross-joined back as a broadcast — O(nodes) frames
+    throughout, no driver traffic beyond the node count.
+    """
+    edges = (
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.coalesce(F.col("od"), F.lit(0).cast("long")).alias("od"))
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 12)
+    pr = nodes.withColumn("pr", F.round(F.lit(1.0) / F.lit(float(n)), 12))
+    for _ in range(iterations):
+        # 1-row frame: exact decimal total of dangling rank mass
+        dangling = pr.where(F.col("od") == 0).agg(
+            F.sum(F.col("pr").cast("decimal(28,12)")).alias("__dm")
+        )
+        contrib = edges.join(
+            pr.select(F.col("node").alias("src"), "pr", "od"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("pr") / F.col("od"), 12).cast("decimal(28,12)").alias("__c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "od",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+                        + F.coalesce(F.col("__dm").cast("double"), F.lit(0.0))
+                        / F.lit(float(n))
+                    ),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return pr.select("node", "pr")

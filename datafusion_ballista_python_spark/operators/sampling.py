@@ -178,6 +178,20 @@ def split_assign(
         # hashes and silently inverts the assignment (same hazard
         # hash_sample guards at its full-fraction edge)
         conds.append((format(min(int(round(cum * 16**4)), 16**4 - 1), "04x"), name))
+    # boundaries are quantized to 4 hex digits (1/65536): a fraction below
+    # ~1.5e-5, or two fractions rounding to the same cutoff, would produce
+    # an EMPTY split silently even though the positive-fraction check above
+    # passed — reject instead (widen the hash prefix if finer splits are
+    # ever needed)
+    prev = "0000"
+    for cutoff, name in conds:
+        if cutoff <= prev:
+            raise ValueError(
+                f"split {name!r} quantizes to an empty range at 1/65536 "
+                f"granularity (cutoff {cutoff} <= previous {prev}); use a "
+                "fraction >= ~2e-5 or coarser split set"
+            )
+        prev = cutoff
     for cutoff, name in reversed(conds):
         out = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(out)
     return df.withColumn(split_col, out)

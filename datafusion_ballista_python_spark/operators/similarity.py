@@ -547,6 +547,10 @@ def hard_negatives(
         query_vec=query_vec,
         round_digits=round_digits,
         max_query_rows=max_query_rows,
-        pair_filter=F.col(label_col) != F.col(query_label),
+        # null-SAFE inequality: a NULL candidate or query label counts as a
+        # DIFFERING label (the row stays minable) rather than yielding a
+        # NULL predicate that silently drops it from mining; only
+        # NULL-vs-NULL pairs are treated as same-label and excluded.
+        pair_filter=~F.col(label_col).eqNullSafe(F.col(query_label)),
         query_extra_cols=(query_label,),
     )

@@ -90,6 +90,14 @@ def merge_into_path(
     rewrites partitions present in the output, so an empty partition
     would otherwise silently keep its old files.
     """
+    # Pin the update batch ONCE: merge_into_path drives 4+ separate actions
+    # off this frame (dup check, partition collect, current-location semi
+    # join, merge/write).  A nondeterministic source (unordered limit,
+    # sample, shuffled input) could pass the dup check yet resolve to
+    # different rows at write time, fabricating duplicate keys or a wrong
+    # touched set — localCheckpoint materializes one snapshot all internal
+    # actions share (bounded: update batches are MBs, not the table).
+    updates = updates.localCheckpoint(eager=True)
     dup = (
         updates.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -120,20 +128,37 @@ def merge_into_path(
     # severs the lineage so the overwrite is safe.  (A production variant
     # with huge single partitions would stage to a sibling dir + rename.)
     merged = merged.localCheckpoint()
+    # dynamic overwrite only rewrites partitions PRESENT in the output; a
+    # touched partition with zero surviving rows (whole-partition takedown)
+    # must be deleted explicitly or its old files silently survive.  Delete
+    # BEFORE the overwrite commit: a crash in the window between the two
+    # steps then leaves takedowns applied and upserts pending — a re-run of
+    # the same merge converges — instead of the reverse order's hazard of
+    # silently RESURRECTING a fully-deleted partition (compliance risk).
+    # merged is already checkpointed, so deleting source dirs is safe.
+    surviving = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    _delete_partition_dirs(spark, path, partition_col, sorted(set(touched) - surviving))
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
-    # dynamic overwrite only rewrites partitions PRESENT in the output;
-    # a touched partition with zero surviving rows must be deleted here
-    # or its old files silently survive the "delete"
-    surviving = {
-        r[0] for r in merged.select(partition_col).distinct().collect()
-    }
-    _delete_partition_dirs(spark, path, partition_col, sorted(set(touched) - surviving))
     return touched
+
+
+# Characters Hive/Spark escape in partition paths (ExternalCatalogUtils.
+# escapePathName): control chars plus this printable set.  A raw value like
+# 'a/b' or '12:30' otherwise builds a path that never matches the directory
+# Spark actually wrote, so cleanup would silently skip it.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]}^\x7f') | {chr(i) for i in range(32)}
+
+
+def _escape_partition_value(v) -> str:
+    s = str(v)
+    return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in s)
 
 
 def _delete_partition_dirs(spark, path: str, partition_col: str, values: list) -> None:
@@ -144,7 +169,9 @@ def _delete_partition_dirs(spark, path: str, partition_col: str, values: list) -
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in values:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{partition_col}={_escape_partition_value(v)}"
+        )
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             fs.delete(p, True)

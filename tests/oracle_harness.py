@@ -53,8 +53,58 @@ def _canon_obj(v):
     return v
 
 
+def _type_class(s: pd.Series) -> str:
+    """Coarse type class matching the driver's type-sensitive hash: an int
+    column vs a float column mismatches at the driver even when every value
+    compares equal numerically (seen round 4: oracle SIGN()=TINYINT vs Spark
+    signum=DOUBLE). Decimal objects count as float (both engines surface
+    exact decimals through a numeric path the driver accepts)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import datetime
+        import decimal
+
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "float"
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                # Spark DateType -> object(date) vs DuckDB DATE ->
+                # datetime64: the driver accepts this pairing (green in r4)
+                return "datetime"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+        return "null"
+    return "other"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
-    spk = canonicalize(spark_df.toPandas())
+    spk_raw = spark_df.toPandas()
+    # Type-class gate BEFORE canonicalization (which folds int8->int64 and
+    # compares int-vs-float numerically, hiding driver-level hash mismatches).
+    for c in sorted(set(spk_raw.columns) & set(oracle_pdf.columns)):
+        ca, cb = _type_class(spk_raw[c]), _type_class(oracle_pdf[c])
+        if "null" in (ca, cb):
+            continue
+        if ca != cb:
+            return False, (
+                f"type-class differs for col {c}: spark={ca}({spk_raw[c].dtype}) "
+                f"oracle={cb}({oracle_pdf[c].dtype}) — driver hash would diverge"
+            )
+    spk = canonicalize(spk_raw)
     ora = canonicalize(oracle_pdf)
     if list(spk.columns) != list(ora.columns):
         return False, f"columns differ: spark={list(spk.columns)} oracle={list(ora.columns)}"
