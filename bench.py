@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_survivor_selection",
     "events_funnel",
     "graph_pagerank",
+    "graph_pagerank_directed",
     "sketch_frequent_items",
 ]
 

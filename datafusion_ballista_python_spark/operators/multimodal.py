@@ -3,10 +3,13 @@ typed metadata, processed by built-in binary expressions where possible and
 Arrow-batched ``mapInPandas`` where a real codec would run.
 
 The reference engine has no media operators; this is the training-data-
-pipeline extension mandated by the blueprint (SURVEY §7 step 8).  The
-container has no image/audio codecs, so the *decode* kernels are stubs with
-deterministic fake outputs — the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested.
+pipeline extension mandated by the blueprint (SURVEY §7 step 8).  Image
+payloads (PNG/BMP) decode through a REAL pure-stdlib codec
+(operators/imagecodec.py — no Pillow in this container, but PNG is zlib +
+scanline unfiltering); audio/video formats have no stdlib codec, so those
+payloads take a deterministic byte-bucket fallback — the Spark-side
+plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is the
+same either way and fully tested.
 
 Scale notes:
 - payload stays an opaque ``binary`` column end-to-end; nothing is collected
@@ -134,9 +137,15 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# decode kernels — mapInPandas plumbing is real; the codec itself is a STUB
-# (no image/audio libraries in this container).  A production build swaps
-# `_fake_decode_vec` for PIL/librosa/av inside the same iterator.
+# decode kernels — mapInPandas plumbing is real, and so is the image path:
+# real PNG/BMP payloads decode through the pure-stdlib codec in
+# operators/imagecodec.py (zlib + scanline unfiltering; no Pillow in this
+# container).  Non-image payloads (audio/video formats with no stdlib
+# codec, or the corpus's synthetic text-byte payloads) fall back to the
+# deterministic byte-bucket kernel so the whole operator stays
+# oracle-checkable.  A production build swaps imagecodec for Pillow/librosa
+# /av inside the same iterator — the operator layer only calls
+# decode_image/encode_png/resize_nearest.
 # ---------------------------------------------------------------------------
 
 DECODE_SCHEMA = StructType(
@@ -149,8 +158,8 @@ DECODE_SCHEMA = StructType(
 
 
 def _fake_decode_vec(payload: bytes, dim: int) -> list[float]:
-    """STUB decode: deterministic per-byte-bucket means standing in for a
-    real feature extractor.  Replace with a codec; keep the signature."""
+    """Fallback for NON-image payloads: deterministic per-byte-bucket means
+    (the declared stand-in for codecs the container lacks)."""
     if not payload:
         return [0.0] * dim
     acc = [0.0] * dim
@@ -159,6 +168,31 @@ def _fake_decode_vec(payload: bytes, dim: int) -> list[float]:
         acc[i % dim] += b
         cnt[i % dim] += 1
     return [round(a / c, 4) if c else 0.0 for a, c in zip(acc, cnt)]
+
+
+def _image_features(img, dim: int) -> list[float]:
+    """Real-decode feature vector: [width, height, channels,
+    per-channel pixel means..., overall mean], zero-padded/truncated to
+    ``dim``.  Deterministic integer-exact sums before one final round."""
+    c, n = img.channels, img.width * img.height
+    sums = [0] * c
+    px = img.pixels
+    for i in range(0, len(px), c):
+        for ch in range(c):
+            sums[ch] += px[i + ch]
+    feats = [float(img.width), float(img.height), float(c)]
+    feats += [round(s / n, 4) for s in sums]
+    feats.append(round(sum(sums) / (n * c), 4))
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _decode_vec(payload: bytes, dim: int) -> list[float]:
+    from . import imagecodec
+
+    img = imagecodec.decode_image(bytes(payload))
+    if img is not None:
+        return _image_features(img, dim)
+    return _fake_decode_vec(payload, dim)
 
 
 def decode_features(media: DataFrame, dim: int = 8, id_col: str = "doc_id") -> DataFrame:
@@ -176,7 +210,7 @@ def decode_features(media: DataFrame, dim: int = 8, id_col: str = "doc_id") -> D
                 {
                     "doc_id": pdf[id_col],
                     "format": pdf["format"],
-                    "features": [_fake_decode_vec(p, dim) for p in pdf["payload"]],
+                    "features": [_decode_vec(p, dim) for p in pdf["payload"]],
                 }
             )
 
@@ -189,10 +223,12 @@ def decode_features(media: DataFrame, dim: int = 8, id_col: str = "doc_id") -> D
 def resize_images(
     media: DataFrame, width: int, height: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Resize plumbing: images flow through an Arrow-batched pandas iterator
-    that would call a real resampler; the STUB emits a deterministic
-    truncated payload + updated metadata.  Filter (format='png') is pushed
-    before the Python stage so only image bytes cross the Arrow boundary."""
+    """Resize via an Arrow-batched pandas iterator.  Real PNG/BMP payloads
+    are decoded, nearest-neighbor resampled and re-encoded as PNG with the
+    pure-stdlib codec (operators/imagecodec.py); payloads that are not
+    decodable images keep the deterministic byte-size model so synthetic
+    corpora stay reproducible.  Filter (format='png') is pushed before the
+    Python stage so only image bytes cross the Arrow boundary."""
     import pandas as pd
 
     out_schema = StructType(
@@ -206,15 +242,22 @@ def resize_images(
     target = max(width * height // 64, 1)
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from . import imagecodec
+
+        def one(payload: bytes) -> int:
+            img = imagecodec.decode_image(bytes(payload))
+            if img is not None:
+                resized = imagecodec.resize_nearest(img, width, height)
+                return len(imagecodec.encode_png(resized))
+            return min(len(payload), target)
+
         for pdf in batches:
-            # STUB: a real build decodes + resamples; we model the byte-size
-            # change so downstream cost accounting is exercised.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "n_bytes": [min(len(p), target) for p in pdf["payload"]],
+                    "n_bytes": [one(p) for p in pdf["payload"]],
                 }
             )
 

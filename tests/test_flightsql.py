@@ -352,3 +352,22 @@ def test_get_xdbc_type_info_full_and_filtered(client):
     )
     table = client.do_get(info.endpoints[0].ticket).read_all()
     assert table.column("type_name").to_pylist() == ["TIMESTAMP"]
+
+
+# ---------------------------------------------------------------------------
+# ADBC end-to-end: the official Arrow Flight SQL client wheel, when present,
+# round-trips a query against our endpoint — a stronger complement to the
+# byte-level protocol tests above (it exercises a codec we didn't write).
+# The wheel isn't in this container; the test skips gracefully then and
+# runs wherever `pip install adbc-driver-flightsql` is available.
+# ---------------------------------------------------------------------------
+
+
+def test_adbc_client_roundtrip(server):
+    adbc = pytest.importorskip("adbc_driver_flightsql.dbapi")
+    with adbc.connect(f"grpc://127.0.0.1:{server.port}") as conn:
+        with conn.cursor() as cur:
+            cur.execute("SELECT 1 AS one, 'x' AS s")
+            tbl = cur.fetch_arrow_table()
+    assert tbl.column("one").to_pylist() == [1]
+    assert tbl.column("s").to_pylist() == ["x"]

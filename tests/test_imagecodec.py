@@ -1,0 +1,173 @@
+"""Pure-stdlib image codec (operators/imagecodec.py) + its wiring into the
+multimodal decode/resize operators: real PNG/BMP bytes, generated in-test,
+flow through Spark mapInPandas and come back with pixel-exact features."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datafusion_ballista_python_spark.operators import imagecodec as ic
+from datafusion_ballista_python_spark.operators import multimodal
+
+
+def gradient_image(w: int, h: int, c: int) -> ic.Image:
+    px = bytearray(
+        (x * 7 + y * 13 + ch * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for ch in range(c)
+    )
+    return ic.Image(w, h, c, px)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(c):
+    img = gradient_image(9, 7, c)
+    back = ic.decode_png(ic.encode_png(img))
+    assert (back.width, back.height, back.channels) == (9, 7, c)
+    assert bytes(back.pixels) == bytes(img.pixels)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_each_scanline_filter(ftype):
+    """Hand-assemble a PNG whose every scanline uses the given filter type
+    and check the decoder unfilters back to the source pixels."""
+    img = gradient_image(8, 5, 3)
+    stride, bpp = 8 * 3, 3
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(5):
+        line = bytearray(img.pixels[y * stride : (y + 1) * stride])
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                filt[i] = line[i]
+            elif ftype == 1:
+                filt[i] = (line[i] - left) & 0xFF
+            elif ftype == 2:
+                filt[i] = (line[i] - up) & 0xFF
+            elif ftype == 3:
+                filt[i] = (line[i] - ((left + up) >> 1)) & 0xFF
+            else:
+                filt[i] = (line[i] - ic._paeth(left, up, ul)) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = line
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    data = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    back = ic.decode_png(data)
+    assert bytes(back.pixels) == bytes(img.pixels)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    img = gradient_image(5, 4, 3)  # width 5 -> 15-byte rows, padded to 16
+    back = ic.decode_bmp(ic.encode_bmp(img))
+    assert (back.width, back.height, back.channels) == (5, 4, 3)
+    assert bytes(back.pixels) == bytes(img.pixels)
+
+
+def test_decode_image_dispatch_and_garbage():
+    img = gradient_image(4, 4, 3)
+    assert ic.decode_image(ic.encode_png(img)).pixels == img.pixels
+    assert ic.decode_image(ic.encode_bmp(img)).pixels == img.pixels
+    assert ic.decode_image(b"not an image at all") is None
+    assert ic.decode_image(ic.PNG_MAGIC + b"\x00\x01garbage") is None
+
+
+def test_resize_nearest_identity_and_downsample():
+    img = gradient_image(8, 8, 3)
+    same = ic.resize_nearest(img, 8, 8)
+    assert bytes(same.pixels) == bytes(img.pixels)
+    down = ic.resize_nearest(img, 4, 4)
+    # nearest with floor(d*src/dst) picks every second pixel
+    for y in range(4):
+        for x in range(4):
+            for ch in range(3):
+                assert (
+                    down.pixels[(y * 4 + x) * 3 + ch]
+                    == img.pixels[(2 * y * 8 + 2 * x) * 3 + ch]
+                )
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField(
+            "media_meta",
+            StructType([StructField("format", StringType(), False)]),
+            False,
+        ),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = []
+    for i in range(6):
+        img = gradient_image(8 + i, 6, 3)
+        payload = ic.encode_png(img) if i % 2 == 0 else ic.encode_bmp(img)
+        fmt = "png" if i % 2 == 0 else "bmp"
+        rows.append((i, bytearray(payload), {"format": fmt}))
+    rows.append((99, b"plain text bytes, not an image", {"format": "wav"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_features_real_images_via_spark(real_media):
+    """End-to-end: real PNG/BMP bytes through mapInPandas come back with
+    pixel-exact per-channel means; the non-image row takes the documented
+    byte-bucket fallback."""
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_features(real_media, dim=8).collect()
+    }
+    assert len(out) == 7
+    for i in range(6):
+        img = gradient_image(8 + i, 6, 3)
+        feats = out[i]["features"]
+        assert feats[:3] == [8.0 + i, 6.0, 3.0]
+        n = (8 + i) * 6
+        for ch in range(3):
+            expected = round(sum(img.pixels[ch::3]) / n, 4)
+            assert abs(feats[3 + ch] - expected) < 1e-3  # float32 storage
+    # fallback row: byte-bucket means of the raw payload
+    fallback = multimodal._fake_decode_vec(b"plain text bytes, not an image", 8)
+    assert [round(v, 3) for v in out[99]["features"]] == [
+        round(v, 3) for v in fallback
+    ]
+
+
+def test_resize_images_real_png_reencodes(real_media, spark):
+    out = {
+        r["doc_id"]: r for r in multimodal.resize_images(real_media, 4, 4).collect()
+    }
+    # only format='png' rows pass the pushed filter
+    assert set(out) == {0, 2, 4}
+    for i in (0, 2, 4):
+        img = gradient_image(8 + i, 6, 3)
+        expected = len(ic.encode_png(ic.resize_nearest(img, 4, 4)))
+        assert out[i]["n_bytes"] == expected

@@ -295,3 +295,52 @@ def test_merge_into_path_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
     dup = first.union(first)
     with pytest.raises(ValueError, match="multiple source matches"):
         merge_into_path(spark, path, dup, key="doc_id", partition_col="lang")
+
+
+def test_merge_into_path_escaped_partition_value_cleanup(spark, tmp_path):
+    """Whole-partition takedown where the partition VALUE needs hive path
+    escaping (':'): cleanup must target the escaped directory Spark wrote,
+    not the raw f-string path (which never exists)."""
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    base = spark.createDataFrame(
+        [(1, "a", "l:1"), (2, "b", "l:1"), (3, "c", "plain")],
+        ["doc_id", "text", "shard"],
+    )
+    path = str(tmp_path / "escaped_parts")
+    base.write.partitionBy("shard").parquet(path)
+    import os
+
+    assert "shard=l%3A1" in os.listdir(path)
+    victims = base.where("shard = 'l:1'").withColumn("is_delete", F.lit(True))
+    merge_into_path(
+        spark, path, victims, key="doc_id", partition_col="shard",
+        delete_col="is_delete",
+    )
+    assert "shard=l%3A1" not in os.listdir(path), "stale escaped dir survived"
+    left = spark.read.parquet(path)
+    assert [r["doc_id"] for r in left.collect()] == [3]
+
+
+def test_merge_into_path_nondeterministic_updates_pinned(spark, tmp_path):
+    """A nondeterministic update frame (unordered limit over a shuffled
+    source) must resolve to ONE snapshot across merge_into_path's internal
+    actions — the merged table keeps exactly one row per key."""
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}", f"p{i % 3}") for i in range(30)],
+        ["doc_id", "text", "part"],
+    )
+    path = str(tmp_path / "nondet_updates")
+    base.write.partitionBy("part").parquet(path)
+    updates = (
+        base.repartition(7)
+        .withColumn("text", F.concat(F.lit("new-"), F.col("text")))
+        .limit(10)  # unordered limit: different rows on each resolution
+    )
+    merge_into_path(spark, path, updates, key="doc_id", partition_col="part")
+    merged = spark.read.parquet(path)
+    assert merged.count() == 30
+    dup = merged.groupBy("doc_id").count().where("count > 1").collect()
+    assert dup == [], f"duplicate keys after merge: {dup}"

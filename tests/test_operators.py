@@ -923,6 +923,34 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     assert rows[8] == rows[9]
 
 
+def test_pagerank_directed_dangling_mass(spark):
+    from datafusion_ballista_python_spark.operators.graph import pagerank_directed
+
+    # chain 1 -> 2 -> 3 where 3 is a dangling sink; without mass
+    # redistribution the total leaks toward (1-d) * n/n each iteration
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    rows = {
+        r["node"]: r["pr"] for r in pagerank_directed(edges, iterations=8).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # dangling mass redistributed -> ranks stay a probability distribution
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    # downstream accumulates rank: sink > middle > source
+    assert rows[3] > rows[2] > rows[1]
+
+
+def test_pagerank_directed_without_dangling_matches_distribution(spark):
+    from datafusion_ballista_python_spark.operators.graph import pagerank_directed
+
+    # 2-cycle: no dangling nodes, symmetric -> equal ranks summing to 1
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    rows = {
+        r["node"]: r["pr"] for r in pagerank_directed(edges, iterations=4).collect()
+    }
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    assert rows[1] == rows[2]
+
+
 def test_psi_drift_detects_planted_shift(spark):
     from datafusion_ballista_python_spark.operators.quality import psi_drift
 

@@ -140,3 +140,18 @@ def test_split_assign_validates_fractions(spark):
     with _pytest.raises(ValueError):
         # zero-fraction split: rounding could silently hand it real rows
         split_assign(df, "id", {"train": 0.9, "val": 0.1, "test": 0.0})
+
+
+def test_split_assign_rejects_sub_quantum_fraction(spark):
+    """Fractions below the 1/65536 hash granularity would silently produce
+    an empty split; split_assign must reject them."""
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.sampling import split_assign
+
+    df = spark.range(10).selectExpr("cast(id as string) as k")
+    with pytest.raises(ValueError, match="quantizes to an empty range"):
+        split_assign(df, "k", {"a": 1e-6, "b": 1 - 1e-6})
+    # a representable small fraction still works
+    out = split_assign(df, "k", {"a": 0.001, "b": 0.999})
+    assert set(r["split"] for r in out.collect()) <= {"a", "b"}
