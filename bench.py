@@ -58,6 +58,9 @@ HEADLINE = [
     "graph_pagerank",
     "graph_pagerank_directed",
     "sketch_frequent_items",
+    "dedup_bloom_prefilter",
+    "eval_auc_scores",
+    "events_sessionize",
 ]
 
 

@@ -44,6 +44,6 @@ def query(name: str, oracle: Optional[str] = None):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all corpus modules and return the populated registry."""
-    from . import extras, llm, multimodal, pipelines, relational, scalar_fns, streams, tpch_extra, training  # noqa: F401
+    from . import curation, extras, llm, multimodal, pipelines, relational, scalar_fns, streams, tpch_extra, training  # noqa: F401
 
     return REGISTRY

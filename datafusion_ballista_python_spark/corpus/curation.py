@@ -1,0 +1,350 @@
+"""Round-5 curation/eval extension entries: bloom-style cross-corpus
+prefilter, classifier scoring + ROC-AUC eval, per-domain quotas,
+embedding-level decontamination, batch sessionization, and SCD2 dimension
+history — each a full value-hash DuckDB oracle over the driver tables.
+
+All are extension surface beyond the reference (SURVEY §2.13): the
+operators a 100 TB training-data pipeline runs around the relational core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, events, quality, sampling, training
+from . import query
+from .util import load
+
+# ---------------------------------------------------------------------------
+# bloom-style cross-corpus novelty prefilter
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH cand AS (
+    SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id >= 250
+    UNION ALL
+    -- re-idified copies of reference docs: must be pruned as duplicates
+    SELECT doc_id + 100000, text, lang, n_chars FROM documents WHERE doc_id < 40
+),
+ref AS (SELECT DISTINCT MD5(text) AS f FROM documents WHERE doc_id < 250)
+SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars
+FROM cand c LEFT JOIN ref r ON MD5(c.text) = r.f
+WHERE r.f IS NULL
+ORDER BY c.doc_id
+"""
+
+
+@query("dedup_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Two-stage cross-corpus novelty
+    (operators/dedup.novel_against_reference_prefiltered): a broadcast
+    set of 16^2 fingerprint PREFIXES prunes definitely-novel candidates
+    map-side (bloom-style membership: no false negatives), and only
+    prefix-colliding candidates reach the exact anti-join.  At a 2-char
+    prefix on this corpus EVERY candidate collides somewhere, so the
+    confirm stage is exercised for real; the oracle is the plain
+    anti-join the two-stage plan must exactly equal."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    cand = (
+        docs.where("doc_id >= 250")
+        .select("doc_id", "text", "lang", "n_chars")
+        .unionAll(
+            docs.where("doc_id < 40").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "n_chars"
+            )
+        )
+    )
+    ref = docs.where("doc_id < 250")
+    novel = dedup.novel_against_reference_prefiltered(
+        cand, ref, text_col="text", prefix_chars=2
+    )
+    return novel.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# linear quality scoring + ROC-AUC eval (shared feature definitions)
+# ---------------------------------------------------------------------------
+
+# engineered features, rounded at 6 BEFORE the linear form so the libm ln
+# never feeds raw ulps into the score (corpus determinism policy)
+_SQL_FEATS = """
+    SELECT doc_id, lang,
+           ROUND(LN(n_chars + 1), 6) AS f_len,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS f_punct,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS f_digit
+    FROM documents
+"""
+
+_LR_W = {"f_len": 0.8, "f_punct": -40.0, "f_digit": -25.0}
+_LR_B = -4.0
+
+_SQL_SCORE = f"""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-({_LR_B} + 0.8 * f_len
+                                    + -40.0 * f_punct
+                                    + -25.0 * f_digit))), 6) AS score
+    FROM ({_SQL_FEATS})
+"""
+
+
+def _spark_feats(docs):
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.log(F.col("n_chars") + 1), 6).alias("f_len"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("f_punct"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("f_digit"),
+    )
+
+
+@query(
+    "quality_lr_score",
+    oracle=f"SELECT doc_id, score FROM ({_SQL_SCORE}) ORDER BY doc_id",
+)
+def quality_lr_score(spark, sf_dir):
+    """Broadcast-weights logistic scoring (operators/quality.linear_score):
+    classifier inference as pure codegen — weights are plan literals, the
+    score rides the documents scan with zero shuffle and zero Python.
+    Features (length / punctuation / digit density) are rounded at 6
+    before the linear form; the oracle replays the identical fixed
+    double-op sequence."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    feats = _spark_feats(docs)
+    scored = quality.linear_score(
+        feats,
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    return scored.select("doc_id", "score").orderBy("doc_id")
+
+
+@query(
+    "eval_auc_scores",
+    oracle=f"""
+    WITH per AS (
+        SELECT score AS s,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        FROM (
+            SELECT f.lang, s.score
+            FROM ({_SQL_FEATS}) f JOIN ({_SQL_SCORE}) s USING (doc_id)
+        )
+        GROUP BY score
+    ),
+    c AS (
+        SELECT pos, neg,
+               2 * pos * COALESCE(SUM(neg) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + pos * neg AS cc
+        FROM per
+    )
+    SELECT ROUND(CAST(SUM(cc) AS DOUBLE) / (2.0 * SUM(pos) * SUM(neg)), 12) AS auc,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM c
+    """,
+)
+def eval_auc_scores(spark, sf_dir):
+    """Distributed exact ROC-AUC (operators/quality.auc_roc) of the
+    logistic quality score against an is-English label, with tie-corrected
+    rank statistics: rows collapse to one (score, pos, neg) row per
+    distinct score map-side, the ordered window runs over that bounded
+    frame only, and the pair count stays in BIGINT so the AUC is
+    integer-exact before one final rounded division."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = quality.linear_score(
+        _spark_feats(docs),
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    labeled = scored.select("score", (F.col("lang") == "en").alias("is_en"))
+    return quality.auc_roc(labeled, "score", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota (host balancing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_domain_quota",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, domain_rank
+    FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS domain_rank
+        FROM documents
+    )
+    WHERE domain_rank <= 10
+    ORDER BY source, domain_rank
+    """,
+)
+def corpus_domain_quota(spark, sf_dir):
+    """Per-domain cap (operators/sampling.domain_quota): keep the 10 best
+    docs per source by (n_chars desc, doc_id) — the host-balancing guard
+    against one hot domain dominating a training mix.  One window shuffle
+    keyed on the domain; whale-domain note in the operator docstring."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    capped = sampling.domain_quota(docs, "source", quota=10)
+    return capped.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "domain_rank",
+    ).orderBy("source", "domain_rank")
+
+
+# ---------------------------------------------------------------------------
+# embedding-level decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_embed_contamination",
+    oracle="""
+    WITH ev AS (SELECT embedding AS ee FROM embeddings WHERE vec_id < 25),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25),
+    scored AS (
+        SELECT c.vec_id,
+               ROUND(LIST_DOT_PRODUCT(c.embedding, e.ee) /
+                     (SQRT(LIST_DOT_PRODUCT(c.embedding, c.embedding)) *
+                      SQRT(LIST_DOT_PRODUCT(e.ee, e.ee))), 4) AS sim
+        FROM cand c CROSS JOIN ev e
+    )
+    SELECT vec_id, MAX(sim) AS max_eval_sim,
+           MAX(sim) >= 0.35 AS contaminated
+    FROM scored GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def train_embed_contamination(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (operators/training.embed_contamination): flag candidates whose max
+    cosine to the broadcast eval set reaches the threshold — the semantic
+    leak n-gram collision (train_ngram_contamination) can't see.  Scoring
+    is map-side against the broadcast; per-candidate max collapses in the
+    partial aggregate.  threshold=0.35 (not a production ~0.9) for the
+    same reason as embed_near_dup: the synthetic embeddings are
+    near-random (max observed sim 0.49 at sf0.01), so 0.35 makes the
+    contaminated branch non-vacuous — 28 flagged at sf0.01."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    eval_set = emb.where("vec_id < 25").select(F.col("embedding").alias("ee"))
+    cand = emb.where("vec_id >= 25")
+    return training.embed_contamination(cand, eval_set, threshold=0.35).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS nw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(SUM(nw) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM m
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS started, MAX(ts) AS ended,
+           CAST(EPOCH_US(CAST(MAX(ts) AS TIMESTAMP))
+                - EPOCH_US(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (operators/events.sessionize, 30-min
+    gap): session membership depends only on timestamp VALUES (equal-ts
+    events are always in-session), so the result is deterministic under
+    any tie order; duration is exact integer microseconds.  Two
+    user-keyed windows + one (user, session) aggregate."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return events.sessionize(ev, gap="30 minutes").orderBy(
+        "user_id", "session_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_customer_priority",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS k, o_orderpriority AS a,
+               o_orderdate AS ts, o_orderkey AS tb
+        FROM orders
+    ),
+    m AS (
+        SELECT k, a, ts, tb,
+               CASE WHEN LAG(a) OVER w IS NULL OR a <> LAG(a) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
+    ),
+    r AS (
+        SELECT k, a, ts,
+               CAST(SUM(chg) OVER (
+                   PARTITION BY k ORDER BY ts, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run
+        FROM m
+    ),
+    g AS (
+        SELECT k, run, MIN(a) AS a, MIN(ts) AS valid_from
+        FROM r GROUP BY k, run
+    )
+    SELECT k AS o_custkey, a AS o_orderpriority, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM g WINDOW w2 AS (PARTITION BY k ORDER BY valid_from, run)
+    ORDER BY o_custkey, valid_from, a
+    """,
+)
+def scd2_customer_priority(spark, sf_dir):
+    """Type-2 slowly-changing dimension (operators/events.scd2_history)
+    built from the orders change log: one validity interval per run of
+    equal priority per customer, valid_to exclusive and NULL-marked
+    current — the dimension shape the as-of join serves point-in-time
+    lookups from.  All windows keyed on the customer; the oracle replays
+    the run decomposition."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    hist = events.scd2_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
+    ).orderBy("o_custkey", "valid_from", "o_orderpriority")

@@ -611,3 +611,43 @@ def survivor_selection(
     )
     w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc(id_col))
     return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def novel_against_reference_prefiltered(
+    candidates: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    prefix_chars: int = 6,
+) -> DataFrame:
+    """Cross-corpus novelty (candidates NOT present in the reference
+    corpus) with a bloom-style two-stage prune — the 100 TB shape of
+    :func:`against_reference` when the reference itself is huge.
+
+    Stage 1 (map-side): the reference collapses to its DISTINCT
+    ``prefix_chars``-hex fingerprint prefixes — bounded by 16^prefix
+    rows (16M at 6 chars) REGARDLESS of reference size, so it always
+    broadcasts.  A candidate whose prefix misses the set is definitely
+    novel and never enters a shuffle: exactly a Bloom-filter membership
+    prune (prefix bits = the hash; zero false negatives, false positives
+    = prefix collisions).
+    Stage 2 (exact confirm): only prefix-colliding candidates — the tiny
+    maybe-duplicate fraction — anti-join the full reference fingerprints
+    on the shuffle path, eliminating the false positives.
+
+    Result is therefore EXACT (identical to the plain anti-join the
+    oracle runs); the two stages only change where the work happens:
+    ~all of the 100 TB candidate side resolves map-side against the
+    broadcast, and the exchange carries only colliding fingerprints.
+    """
+    fp = F.md5(F.col(text_col))
+    cand = candidates.withColumn("__fp", fp).withColumn(
+        "__pfx", F.substring(F.col("__fp"), 1, prefix_chars)
+    )
+    ref_fp = reference.select(fp.alias("__fp"))
+    ref_pfx = ref_fp.select(
+        F.substring(F.col("__fp"), 1, prefix_chars).alias("__pfx")
+    ).distinct()
+    definitely_novel = cand.join(F.broadcast(ref_pfx), "__pfx", "left_anti")
+    maybe_dup = cand.join(F.broadcast(ref_pfx), "__pfx", "left_semi")
+    confirmed_novel = maybe_dup.join(ref_fp, "__fp", "left_anti")
+    return definitely_novel.unionByName(confirmed_novel).drop("__fp", "__pfx")

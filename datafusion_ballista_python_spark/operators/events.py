@@ -121,3 +121,105 @@ def cohort_retention(
         .groupBy("cohort_start", "periods_since")
         .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based batch sessionization: consecutive events of a user more
+    than ``gap`` apart start a new session.  One row per session with
+    bounds, event count and duration — the batch twin of the streaming
+    session windows (streaming/), and the input shape for funnel/cohort
+    work on sessions instead of raw events.
+
+    Two windows keyed on the user (lag to mark boundaries, running sum
+    to number sessions) + one (user, session) aggregate — all three
+    shuffle on the user key only, so the op scales with users; a hot
+    user's events land on one reducer (AQE skew split applies).
+    Boundary rule is ``delta > gap`` (an event exactly ``gap`` after the
+    previous one stays in-session), deterministic tiebreak on event
+    order within equal timestamps via the ts sort alone — equal-ts
+    events are always in-session (delta 0).
+    """
+    from pyspark.sql import Window
+
+    gap_s = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    marked = events.withColumn(
+        "__new",
+        F.when(
+            F.col(ts_col) > F.lag(ts_col).over(w) + gap_s, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        marked.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("started"),
+            F.max(ts_col).alias("ended"),
+            # exact integer microseconds (second-cast floors would make the
+            # difference depend on sub-second phase)
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("duration_us"),
+        )
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: collapse
+    consecutive runs of the same attribute value per key, then emit one
+    validity interval per run — ``valid_from`` inclusive, ``valid_to``
+    exclusive (NULL = current).  The dimension a 100 TB fact table
+    point-in-time joins against (with the as-of join, operators/asof.py).
+
+    Three windows, ALL keyed on the dimension key (lag to detect value
+    changes, running sum to group runs, lead for the interval end) and
+    one (key, run) aggregate: everything shuffles once on the key;
+    dimension keys are many and small so no skew concern.  Ordering
+    within a key is (ts, tiebreak) so same-timestamp changes resolve
+    deterministically on both engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        changes.withColumn(
+            "__chg",
+            F.when(
+                F.lag(attr_col).over(w).isNull()
+                | (F.col(attr_col) != F.lag(attr_col).over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy(key_col, "__run")
+        .agg(
+            # attr is constant within a run; min() keeps the aggregate
+            # order-insensitive (first() would depend on partition order)
+            F.min(attr_col).alias(attr_col),
+            F.min(ts_col).alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "__run")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )

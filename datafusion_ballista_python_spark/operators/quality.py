@@ -192,3 +192,84 @@ def psi_drift(
         F.sum(F.col("psi_term").cast("decimal(25,6)")).cast("double").alias("psi_total")
     )
     return scored.crossJoin(F.broadcast(total)).orderBy("bin")
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label, distributed, with
+    proper tie handling — the eval gate for any quality classifier a
+    curation pipeline trains (is the new scorer actually ranking good
+    docs above bad ones?).
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed WITHOUT a
+    global row sort: rows collapse map-side to one (score, n_pos, n_neg)
+    row per DISTINCT score (scores are quantized upstream — round
+    yours before calling), and the single ordered window runs over that
+    bounded frame, not the data.  The tie-corrected pair count
+    ``sum(2 * pos * cum_neg_below + pos * neg)`` stays in BIGINT, so the
+    result is integer-exact and partition-order-independent; one final
+    double division, rounded at 12.
+
+    Output: one row (auc, n_pos, n_neg).  Scale: one partial-agg shuffle
+    on score + a window over O(distinct scores) rows; the unpartitioned
+    window is bounded by score cardinality, not corpus size (same
+    documented pattern as training.py's vocab top-k window).
+    """
+    from pyspark.sql import Window
+
+    label = F.col(label_col).cast("boolean")
+    per = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("__pos"),
+        F.sum(F.when(label, 0).otherwise(1)).cast("long").alias("__neg"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per.select(
+        "__pos",
+        "__neg",
+        (
+            F.lit(2) * F.col("__pos") * F.coalesce(F.sum("__neg").over(w), F.lit(0))
+            + F.col("__pos") * F.col("__neg")
+        ).alias("__c"),
+    )
+    return contrib.agg(
+        F.round(
+            F.sum("__c").cast("double")
+            / (F.lit(2.0) * F.sum("__pos") * F.sum("__neg")),
+            12,
+        ).alias("auc"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+    )
+
+
+def linear_score(
+    df: DataFrame,
+    features: "dict[str, 'F.Column']",
+    weights: "dict[str, float]",
+    intercept: float = 0.0,
+    out_col: str = "score",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Broadcast-weights linear-model inference: score = sigmoid(w . x +
+    b), entirely inside whole-stage codegen — the shape of serving a
+    trained quality/toxicity/language classifier over 100 TB (weights are
+    plan literals; NO Python crosses the row path, no shuffle at all —
+    the score rides the scan).
+
+    ``features`` maps name -> Column expression (engineered from raw
+    columns); ``weights`` must cover exactly the same names.  The
+    logistic output is rounded (libm ``exp`` — same 6-decimal policy as
+    the rest of the corpus) so results are engine-portable.
+    """
+    if set(features) != set(weights):
+        raise ValueError(
+            f"features/weights name mismatch: {sorted(set(features) ^ set(weights))}"
+        )
+    z = F.lit(float(intercept))
+    for name in sorted(features):
+        z = z + F.lit(float(weights[name])) * features[name].cast("double")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_digits)
+    return df.withColumn(out_col, score)

@@ -195,3 +195,36 @@ def split_assign(
     for cutoff, name in reversed(conds):
         out = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(out)
     return df.withColumn(split_col, out)
+
+
+def domain_quota(
+    df: DataFrame,
+    domain_col: str,
+    quota: int,
+    order_by: "list | None" = None,
+    rank_col: str = "domain_rank",
+):
+    """Per-domain cap (host balancing): keep at most ``quota`` rows per
+    domain, best-first — the CommonCrawl-style guard against one hot
+    host dominating a training mix.  ``order_by`` ranks rows within a
+    domain (default: descending ``n_chars`` then ascending ``doc_id``;
+    always end with a unique key so the cut is deterministic).
+
+    One window shuffle keyed on the domain.  Skew note: the window must
+    SORT each domain's rows even though only ``quota`` survive, so a
+    whale domain pays its full sort; at corpus scale pre-prune whales
+    with the salted two-phase top-k (operators/skew.py pattern: per-salt
+    partial top-quota, then final top-quota over quota x salt rows) —
+    the semantics here are the exact baseline for that.
+    """
+    from pyspark.sql import Window
+
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    if order_by is None:
+        order_by = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= quota)
+    )

@@ -336,3 +336,43 @@ def encode_documents(
             F.transform(F.col("__sorted"), lambda s: s["__id"]).alias("token_ids"),
         )
     )
+
+
+def embed_contamination(
+    candidates: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_vec: str = "ee",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag training candidates
+    whose cosine similarity to ANY eval-set item reaches ``threshold`` —
+    the semantic complement of :func:`ngram_contamination` (paraphrased
+    eval leakage that n-gram collision misses).
+
+    Scale shape: the eval set is the SMALL side (benchmarks are
+    thousands of items, candidates are billions) and is broadcast, so
+    scoring is map-side over the candidate scan; the per-candidate MAX
+    collapses in the partial aggregate before the one candidate-key
+    exchange.  Candidate order never matters: max is order-insensitive
+    and the score is rounded before comparison (same 4-decimal policy
+    as the cosine stack).  For eval sets too big to broadcast, block
+    both sides with the LSH/IVF bucketing (operators/similarity.py) and
+    run this per bucket.
+    """
+    from .similarity import _with_norm, dot
+
+    cn = _with_norm(candidates.select(id_col, vec_col), vec_col, "__cn")
+    en = _with_norm(eval_set.select(F.col(eval_vec)), eval_vec, "__en")
+    sim = F.round(
+        dot(F.col(vec_col), F.col(eval_vec)) / (F.col("__cn") * F.col("__en")),
+        round_digits,
+    )
+    scored = cn.crossJoin(F.broadcast(en)).select(F.col(id_col), sim.alias("__sim"))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("__sim").alias("max_eval_sim"))
+        .withColumn("contaminated", F.col("max_eval_sim") >= F.lit(float(threshold)))
+    )

@@ -969,3 +969,160 @@ def test_psi_drift_detects_planted_shift(spark):
     const = spark.range(0, 50).select(F.lit(5.0).alias("v"))
     with pytest.raises(ValueError, match="constant"):
         psi_drift(const, same, "v")  # degenerate range fails loudly
+
+
+def test_auc_roc_perfect_reversed_and_ties(spark):
+    from datafusion_ballista_python_spark.operators.quality import auc_roc
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)], ["s", "y"]
+    )
+    assert auc_roc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    reversed_ = spark.createDataFrame(
+        [(0.1, True), (0.2, True), (0.8, False), (0.9, False)], ["s", "y"]
+    )
+    assert auc_roc(reversed_, "s", "y").collect()[0]["auc"] == 0.0
+    ties = spark.createDataFrame(
+        [(0.5, True), (0.5, True), (0.5, False), (0.5, False)], ["s", "y"]
+    )
+    row = auc_roc(ties, "s", "y").collect()[0]
+    assert row["auc"] == 0.5 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_auc_roc_tie_correction_exact(spark):
+    # pos scores {0.5, 0.9}, neg {0.1, 0.5}: pairs = 4; pos>neg: (0.9,0.1),
+    # (0.9,0.5), (0.5,0.1) = 3; tie (0.5,0.5) = 0.5 -> AUC = 3.5/4
+    from datafusion_ballista_python_spark.operators.quality import auc_roc
+
+    df = spark.createDataFrame(
+        [(0.5, True), (0.9, True), (0.1, False), (0.5, False)], ["s", "y"]
+    )
+    assert auc_roc(df, "s", "y").collect()[0]["auc"] == 0.875
+
+
+def test_linear_score_validates_and_scores(spark):
+    import math
+
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.quality import linear_score
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["x"])
+    with pytest.raises(ValueError, match="mismatch"):
+        linear_score(df, {"x": F.col("x")}, {"y": 1.0})
+    out = linear_score(df, {"x": F.col("x")}, {"x": 2.0}, intercept=-3.0).collect()
+    for r in out:
+        z = -3.0 + 2.0 * r["x"]
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-z))) < 1e-6
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from datafusion_ballista_python_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),       # exactly gap: same session
+        (1, t0 + dt.timedelta(minutes=61)),       # 31 min after: new session
+        (1, t0 + dt.timedelta(minutes=61)),       # equal ts: same session
+        (2, t0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["n_events"] == 2
+    assert out[(1, 0)]["duration_us"] == 30 * 60 * 1_000_000
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_us"] == 0
+    assert out[(2, 0)]["n_events"] == 1
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    import datetime as dt
+
+    from datafusion_ballista_python_spark.operators.events import scd2_history
+
+    d = lambda n: dt.datetime(2024, 1, n)
+    rows = [  # key, attr, ts, tiebreak
+        (1, "A", d(1), 10),
+        (1, "A", d(2), 11),  # same value: collapses into the first run
+        (1, "B", d(3), 12),
+        (1, "A", d(5), 13),  # back to A: a NEW run, not merged with run 1
+        (2, "X", d(1), 14),
+    ]
+    df = spark.createDataFrame(rows, ["k", "a", "ts", "tb"])
+    out = scd2_history(df, "k", "a", "ts", "tb").orderBy("k", "valid_from").collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert [(r["a"], r["valid_from"].day, r["valid_to"].day if r["valid_to"] else None)
+            for r in k1] == [("A", 1, 3), ("B", 3, 5), ("A", 5, None)]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"]
+
+
+def test_domain_quota_caps_and_validates(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.sampling import domain_quota
+
+    rows = [(i, "big" if i < 20 else "small", 100 - i) for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = domain_quota(df, "source", quota=3)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 3, "small": 3}
+    # best-first: the big domain keeps its 3 largest n_chars
+    kept = sorted(r["doc_id"] for r in out.where("source = 'big'").collect())
+    assert kept == [0, 1, 2]
+    with pytest.raises(ValueError):
+        domain_quota(df, "source", quota=0)
+
+
+def test_novel_prefiltered_equals_plain_anti_join(spark):
+    from datafusion_ballista_python_spark.operators.dedup import (
+        novel_against_reference_prefiltered,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(50)], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(100 + i, f"text-{i}") for i in range(40, 60)]  # 10 dups, 10 novel
+        + [(200, "entirely new")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in novel_against_reference_prefiltered(
+            cand, ref, prefix_chars=1
+        ).collect()
+    )
+    plain = sorted(
+        r["doc_id"]
+        for r in cand.withColumn("f", F.md5("text"))
+        .join(ref.select(F.md5("text").alias("f")), "f", "left_anti")
+        .collect()
+    )
+    assert got == plain == [150 + i for i in range(10)] + [200]
+
+
+def test_embed_contamination_flags_planted_dup(spark):
+    from datafusion_ballista_python_spark.operators.training import (
+        embed_contamination,
+    )
+
+    ev = spark.createDataFrame([([1.0, 0.0, 0.0],)], ["ee"])
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.1, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in embed_contamination(cand, ev, 0.95).collect()}
+    assert out[1]["contaminated"] and out[1]["max_eval_sim"] == 1.0
+    assert not out[2]["contaminated"] and out[2]["max_eval_sim"] == 0.0
+    # cos([0.9,0.1,0], e1) = 0.9/sqrt(0.82) ~= 0.9939 -> above threshold
+    assert out[3]["contaminated"] and abs(out[3]["max_eval_sim"] - 0.9939) < 1e-4
