@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "eval_auc_scores",
     "events_sessionize",
+    "sketch_count_min",
+    "text_bigram_pmi",
 ]
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, events, quality, sampling, training
+from ..operators import dedup, events, quality, sampling, text, training
 from . import query
 from .util import load
 
@@ -348,3 +348,196 @@ def scd2_customer_priority(spark, sf_dir):
     return hist.select(
         "o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
     ).orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency summary, exact hash replay)
+# ---------------------------------------------------------------------------
+
+_CMS_BUCKET = (
+    "CAST(CAST('0x' || SUBSTRING(MD5('cms:' || CAST(r.d AS VARCHAR) || ':' || {key}), 1, 15) "
+    "AS BIGINT) % 64 AS BIGINT)"
+)
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+        SELECT r.d, {_CMS_BUCKET.format(key='keys.k')} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keys, (SELECT UNNEST(RANGE(0, 4)) AS d) r
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id FROM events),
+    probe_cells AS (
+        SELECT p.user_id, r.d, {_CMS_BUCKET.format(key='p.user_id')} AS bucket
+        FROM probes p, (SELECT UNNEST(RANGE(0, 4)) AS d) r
+    ),
+    est AS (
+        SELECT pc.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probe_cells pc
+        LEFT JOIN cells c ON c.d = pc.d AND c.bucket = pc.bucket
+        GROUP BY 1
+    ),
+    truth AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM events GROUP BY 1
+    )
+    SELECT e.user_id, CAST(e.est AS BIGINT) AS est, t.true_cnt,
+           e.est = t.true_cnt AS exact
+    FROM est e JOIN truth t USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def sketch_count_min(spark, sf_dir):
+    """Count-Min sketch (operators/sketch.count_min_build/query, depth 4 x
+    width 64): the sketch collapses ANY key cardinality to 256 cells; the
+    one-sided bound est >= true is exercised for real — 150 users over 64
+    buckets force collisions, so some probes overestimate and `exact`
+    is false for them.  Oracle replays the md5 hash rows bit-for-bit and
+    re-derives both the estimate and the exact count."""
+    ev = load(spark, sf_dir, "events")["events"]
+    from ..operators import sketch
+
+    cms = sketch.count_min_build(ev, "user_id", depth=4, width=64)
+    est = sketch.count_min_query(cms, ev, "user_id", depth=4, width=64)
+    truth = (
+        ev.select(F.col("user_id").cast("string").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id", "est", "true_cnt", (F.col("est") == F.col("true_cnt")).alias("exact")
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT LIST_FILTER(
+            REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+            x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    unis AS (SELECT UNNEST(t) AS tok FROM toks),
+    cab AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM grams GROUP BY 1 HAVING COUNT(*) >= 5
+    ),
+    ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM unis GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM unis) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM grams) AS n_bigrams
+    )
+    SELECT bigram, n_ab, a.n_t AS n_a, b.n_t AS n_b,
+           ROUND(LN(CAST(n_ab AS DOUBLE) * n_tokens * n_tokens /
+                    (CAST(n_bigrams AS DOUBLE) * a.n_t * b.n_t)), 6) AS pmi
+    FROM cab
+    JOIN ct a ON a.tok = STRING_SPLIT(bigram, ' ')[1]
+    JOIN ct b ON b.tok = STRING_SPLIT(bigram, ' ')[2]
+    CROSS JOIN tot
+    ORDER BY pmi DESC, bigram LIMIT 50
+    """,
+)
+def text_bigram_pmi(spark, sf_dir):
+    """Top-50 collocations by PMI (operators/text.bigram_pmi): bigrams via
+    array self-zip (no per-doc window), BIGINT counts, one rounded ln.
+    The oracle replays tokenization, both count shuffles and the exact
+    multiplication order of the PMI ratio."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.bigram_pmi(docs, min_count=5, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# curriculum buckets (exact global quantiles, map-side assignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_curriculum_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT QUANTILE_CONT(n_chars, 0.25) AS q0,
+               QUANTILE_CONT(n_chars, 0.5)  AS q1,
+               QUANTILE_CONT(n_chars, 0.75) AS q2
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN n_chars <= q0 THEN 0
+                     WHEN n_chars <= q1 THEN 1
+                     WHEN n_chars <= q2 THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket
+    FROM documents CROSS JOIN b
+    ORDER BY doc_id
+    """,
+)
+def train_curriculum_buckets(spark, sf_dir):
+    """Curriculum/difficulty binning (operators/training.curriculum_buckets):
+    EXACT global quartile boundaries as one broadcast aggregate row, then
+    a map-side CASE — no global sort, no single-partition ntile.  Spark's
+    exact percentile and DuckDB's QUANTILE_CONT agree bit-for-bit (the
+    agg_median_percentile precedent)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = training.curriculum_buckets(docs, "n_chars", (0.25, 0.5, 0.75))
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "bucket"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# z-score outlier gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_outlier_gate",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS sm,
+               SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS ss
+        FROM orders
+    ),
+    d AS (
+        SELECT n,
+               ROUND(CAST(sm AS DOUBLE) / n, 6) AS mean,
+               ROUND(SQRT((CAST(ss AS DOUBLE)
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
+                          / (n - 1)), 6) AS std
+        FROM s
+    )
+    SELECT o_orderkey, o_totalprice,
+           ROUND((o_totalprice - mean) / std, 4) AS z_score,
+           ABS(ROUND((o_totalprice - mean) / std, 4)) > 2.0 AS is_outlier
+    FROM orders CROSS JOIN d
+    ORDER BY o_orderkey
+    """,
+)
+def dq_outlier_gate(spark, sf_dir):
+    """Z-score outlier gate (operators/quality.zscore_outliers, |z| > 2):
+    one exact-decimal stats pass broadcast back as a 1-row frame, z and
+    flag ride the scan map-side.  The oracle replays the identical
+    (n, sum, sum-of-squares) -> mean/std double sequence."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    out = quality.zscore_outliers(orders, "o_totalprice", z_threshold=2.0)
+    return out.select(
+        "o_orderkey", "o_totalprice", "z_score", "is_outlier"
+    ).orderBy("o_orderkey")

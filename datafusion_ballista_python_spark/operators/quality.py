@@ -273,3 +273,42 @@ def linear_score(
         z = z + F.lit(float(weights[name])) * features[name].cast("double")
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_digits)
     return df.withColumn(out_col, score)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    z_threshold: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Z-score outlier gate: flag rows whose value deviates from the
+    column mean by more than ``z_threshold`` sample standard deviations —
+    the cheap anomaly screen a DQ pipeline runs on numeric feeds before
+    the expensive constraints.
+
+    One aggregate pass computes (n, sum, sum-of-squares) with EXACT
+    decimal accumulation (double sums would be partition-order-dependent
+    in the last ulps and break cross-engine determinism); mean and
+    stddev derive from those three scalars in one fixed double sequence
+    (sqrt rounded at 6), broadcast back as a 1-row frame so the z-score
+    and flag ride the scan map-side.  Rows with a NULL value pass
+    through unflagged (z NULL).
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.count(v).cast("long").alias("__n"),
+        F.sum(v.cast("decimal(30,6)")).alias("__s"),
+        F.sum((v * v).cast("decimal(38,6)")).alias("__ss"),
+    )
+    mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
+    var = (
+        F.col("__ss").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+    ) / (F.col("__n") - 1)
+    std = F.round(F.sqrt(var), 6)
+    z = F.round((v - mean) / std, round_digits)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("z_score", z)
+        .withColumn("is_outlier", F.abs(F.col("z_score")) > F.lit(float(z_threshold)))
+        .drop("__n", "__s", "__ss")
+    )

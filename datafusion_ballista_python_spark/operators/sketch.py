@@ -126,3 +126,90 @@ def frequent_items(
     if top_k is not None:
         out = out.limit(top_k)
     return out
+
+
+def count_min_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan 2005), entirely in
+    codegen: each key increments one bucket per hash row, so the table
+    collapses to at most ``depth x width`` cells no matter how many
+    DISTINCT keys flow through — the mergeable frequency summary for key
+    spaces where even the Misra-Gries candidate set is too hot to ship
+    per partition.
+
+    Hash rows are deterministic md5 derivations (``md5(salt:i:key)``
+    60-bit prefix mod width) — the same cross-engine idiom as the
+    sampling/sharding operators, so a SQL oracle replays the sketch
+    bit-for-bit.  Build shape: one explode (xdepth) + one partial-agg
+    shuffle on (row, bucket) — the shuffle carries at most depth x width
+    result rows per partition after map-side combine.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    key = F.col(item_col).cast("string")
+    rows = df.select(
+        key.alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("d").cast("string"),
+                               F.lit(":"), F.col("__k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a Count-Min sketch: estimate = MIN over hash rows of
+    the probed cell — one-sided (estimate >= true count; equality when no
+    collision landed in any of the key's cells).  The sketch side is at
+    most depth x width rows, so it broadcasts; probing is map-side over
+    the probe scan + one partial-agg min on the probe key."""
+    key = F.col(item_col).cast("string")
+    pr = probes.select(key.alias(item_col)).distinct().select(
+        item_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("d").cast("string"),
+                               F.lit(":"), F.col(item_col))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    probed = pr.select(item_col, "d", bucket.alias("bucket")).join(
+        F.broadcast(sketch), ["d", "bucket"], "left"
+    )
+    return probed.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )

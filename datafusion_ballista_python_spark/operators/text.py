@@ -567,3 +567,72 @@ def scrub_pii(
         phone_token,
     )
     return df.withColumn(out_col or text_col, scrubbed)
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information, PMI = ln(p(ab) / (p(a) p(b))) — the phrase
+    detector (word2vec-style "new_york") a tokenizer-prep pipeline runs
+    before vocabulary construction.
+
+    Tokenization is the corpus-standard lowercase ``[^a-z0-9]+`` split
+    (empties filtered); bigrams come from zipping each token array with
+    its own tail — array expressions, NO per-doc window.  Count shuffles:
+    one on the bigram key and one on the unigram key, both map-side
+    combined; the unigram table joins back twice (vocabulary-sized,
+    AQE-broadcast at real scale).  All counts stay BIGINT; the single
+    ln() rounds at ``round_digits`` so the score is engine-portable.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    d = docs.select(toks.alias("__t"))
+    grams = d.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+                F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    unis = d.select(F.explode("__t").alias("tok"))
+    c_ab = grams.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    c_t = unis.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    totals = unis.agg(F.count(F.lit(1)).cast("long").alias("n_tokens")).crossJoin(
+        grams.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        c_ab.where(F.col("n_ab") >= min_count)
+        .withColumn("__a", parts.getItem(0))
+        .withColumn("__b", parts.getItem(1))
+        .join(c_t.select(F.col("tok").alias("__a"), F.col("n_t").alias("n_a")), "__a")
+        .join(c_t.select(F.col("tok").alias("__b"), F.col("n_t").alias("n_b")), "__b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_tokens")
+            * F.col("n_tokens")
+            / (
+                F.col("n_bigrams").cast("double")
+                * F.col("n_a")
+                * F.col("n_b")
+            )
+        ),
+        round_digits,
+    )
+    return (
+        scored.select("bigram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(top_k)
+    )

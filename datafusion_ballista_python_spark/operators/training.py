@@ -376,3 +376,42 @@ def embed_contamination(
         .agg(F.max("__sim").alias("max_eval_sim"))
         .withColumn("contaminated", F.col("max_eval_sim") >= F.lit(float(threshold)))
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    measure_col: str = "n_chars",
+    quantiles: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Curriculum/difficulty binning: assign each row a bucket 0..len(q)
+    by where ``measure_col`` falls against the corpus's EXACT global
+    quantiles — the length-/difficulty-staged ordering curriculum
+    training samples from.
+
+    The quantile boundaries are ONE aggregate row (exact percentile —
+    engine-portable, unlike approx sketches), broadcast back so the
+    assignment itself is a map-side CASE riding the scan: no global sort,
+    no ntile window (a global ntile would single-partition the corpus).
+    Boundary rule: bucket k means q[k-1] < x <= q[k] (x <= q[0] is
+    bucket 0, x > q[-1] is bucket len(q)).
+    """
+    qs = sorted(quantiles)
+    if not qs or qs[0] <= 0 or qs[-1] >= 1:
+        raise ValueError("quantiles must be within (0, 1)")
+    bounds = df.agg(
+        *[
+            F.percentile(F.col(measure_col), F.lit(q)).alias(f"__q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    expr = F.lit(len(qs))
+    for i in range(len(qs) - 1, -1, -1):
+        expr = F.when(
+            F.col(measure_col) <= F.col(f"__q{i}"), F.lit(i)
+        ).otherwise(expr)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bucket_col, expr.cast("long"))
+        .drop(*[f"__q{i}" for i in range(len(qs))])
+    )

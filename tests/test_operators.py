@@ -1126,3 +1126,77 @@ def test_embed_contamination_flags_planted_dup(spark):
     assert not out[2]["contaminated"] and out[2]["max_eval_sim"] == 0.0
     # cos([0.9,0.1,0], e1) = 0.9/sqrt(0.82) ~= 0.9939 -> above threshold
     assert out[3]["contaminated"] and abs(out[3]["max_eval_sim"] - 0.9939) < 1e-4
+
+
+def test_count_min_upper_bound_and_exact_regime(spark):
+    from datafusion_ballista_python_spark.operators.sketch import (
+        count_min_build,
+        count_min_query,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, ["k"])
+    truth = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    # narrow sketch: one-sided bound est >= true for every key
+    narrow = count_min_query(count_min_build(df, "k", 2, 4), df, "k", 2, 4)
+    for r in narrow.collect():
+        assert r["est"] >= truth[r["k"]]
+    # wide sketch: no collisions possible to matter -> exact
+    wide = count_min_query(count_min_build(df, "k", 4, 1024), df, "k", 4, 1024)
+    for r in wide.collect():
+        assert r["est"] == truth[r["k"]]
+    import pytest
+
+    with pytest.raises(ValueError):
+        count_min_build(df, "k", depth=0)
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    from datafusion_ballista_python_spark.operators.text import bigram_pmi
+
+    # "san francisco" always adjacent; filler words vary
+    rows = [(i, f"san francisco w{i % 13} w{(i * 7) % 13} common") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_pmi(df, min_count=5, top_k=5).collect()
+    assert out, "expected at least one bigram"
+    top = out[0]
+    assert top["bigram"] == "san francisco"
+    assert top["n_ab"] == 40
+    # PMI of a deterministic pair exceeds that of incidental pairs
+    assert all(top["pmi"] >= r["pmi"] for r in out)
+
+
+def test_curriculum_buckets_boundaries(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.training import (
+        curriculum_buckets,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], ["doc_id", "m"])
+    out = {r["doc_id"]: r["bucket"] for r in
+           curriculum_buckets(df, "m", (0.25, 0.5, 0.75)).collect()}
+    # exact quartiles of 1..100: 25.75, 50.5, 75.25
+    assert out[25] == 0 and out[26] == 1
+    assert out[50] == 1 and out[51] == 2
+    assert out[75] == 2 and out[76] == 3
+    counts = [sum(1 for b in out.values() if b == i) for i in range(4)]
+    assert sum(counts) == 100 and min(counts) >= 20
+    with pytest.raises(ValueError):
+        curriculum_buckets(df, "m", (0.0, 0.5))
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    from datafusion_ballista_python_spark.operators.quality import zscore_outliers
+
+    rows = [(i, 100.0 + (i % 10)) for i in range(100)] + [(999, 100000.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r["id"]: r for r in zscore_outliers(df, "v", 3.0).collect()}
+    assert out[999]["is_outlier"]
+    flagged = [i for i, r in out.items() if r["is_outlier"]]
+    assert flagged == [999]
+    # null value passes through unflagged
+    df2 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, None)], ["id", "v"])
+    row = {r["id"]: r for r in zscore_outliers(df2, "v").collect()}[3]
+    assert row["z_score"] is None and not row["is_outlier"]
