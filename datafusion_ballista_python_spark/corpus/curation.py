@@ -541,3 +541,127 @@ def dq_outlier_gate(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_totalprice", "z_score", "is_outlier"
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 consumed through the as-of join: point-in-time enrichment pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_scd2_pointintime",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS k, o_orderpriority AS a,
+               o_orderdate AS ts, o_orderkey AS tb
+        FROM orders
+    ),
+    m AS (
+        SELECT k, a, ts, tb,
+               CASE WHEN LAG(a) OVER w IS NULL OR a <> LAG(a) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
+    ),
+    r AS (
+        SELECT k, a, ts,
+               CAST(SUM(chg) OVER (
+                   PARTITION BY k ORDER BY ts, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run
+        FROM m
+    ),
+    g AS (
+        SELECT k, run, MIN(a) AS a, MIN(ts) AS valid_from
+        FROM r GROUP BY k, run
+    ),
+    h AS (
+        SELECT k, a, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY k ORDER BY valid_from, run) AS valid_to
+        FROM g
+    ),
+    -- zero-length intervals (a run superseded the same day) make the
+    -- as-of lookup ambiguous at the tie timestamp; drop them so each
+    -- (k, valid_from) is unique and both engines' asof agree
+    dim AS (
+        SELECT k, a, valid_from FROM h
+        WHERE valid_to IS NULL OR valid_to > valid_from
+    ),
+    facts AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+               l.l_shipdate, l.l_extendedprice, l.l_discount
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    enriched AS (
+        SELECT f.*, d.a AS priority_asof
+        FROM facts f ASOF LEFT JOIN dim d
+          ON f.o_custkey = d.k AND f.l_shipdate >= d.valid_from
+    )
+    SELECT COALESCE(priority_asof, '(before-first)') AS priority_asof,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM enriched GROUP BY 1 ORDER BY 1
+    """,
+)
+def pipeline_scd2_pointintime(spark, sf_dir):
+    """SCD2 consumed through the as-of join — the pipeline the dimension
+    builder exists FOR: revenue attributed to the customer's order
+    priority AS OF each lineitem's ship date.  Composition:
+    scd2_history (run intervals) -> asof_join (linear union+window, one
+    shuffle — operators/asof.py, NOT a range join) -> exact-decimal
+    aggregate.  The oracle rebuilds the dimension with the same run
+    decomposition and uses DuckDB's NATIVE ASOF LEFT JOIN as the
+    independent point-in-time semantics check.  The synthetic testdata
+    does NOT guarantee l_shipdate >= o_orderdate, so lineitems shipping
+    before the customer's first change land in an explicit
+    '(before-first)' group — the left-join semantics both engines must
+    agree on."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    from ..operators.asof import asof_join
+
+    dim = (
+        events.scd2_history(
+            t["orders"],
+            key_col="o_custkey",
+            attr_col="o_orderpriority",
+            ts_col="o_orderdate",
+            tiebreak_col="o_orderkey",
+        )
+        # drop zero-length intervals (superseded same-day): keeps
+        # (custkey, valid_from) unique so the as-of tiebreak is moot
+        .where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select(
+            F.col("o_custkey"),
+            F.col("o_orderpriority").alias("priority_asof"),
+            F.col("valid_from").alias("ts"),
+        )
+    )
+    facts = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_linenumber", "o_custkey",
+            F.col("l_shipdate").alias("ts"),
+            "l_extendedprice", "l_discount",
+        )
+    )
+    enriched = asof_join(
+        facts, dim, on="ts", by=("o_custkey",), right_cols=("priority_asof",),
+    )
+    from .util import dsum
+
+    return (
+        # asof_join suffixes carried right columns with "_r"
+        enriched.groupBy(
+            F.coalesce(F.col("priority_asof_r"), F.lit("(before-first)")).alias(
+                "priority_asof"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("priority_asof")
+    )

@@ -1200,3 +1200,43 @@ def test_zscore_outliers_flags_planted_spike(spark):
     df2 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, None)], ["id", "v"])
     row = {r["id"]: r for r in zscore_outliers(df2, "v").collect()}[3]
     assert row["z_score"] is None and not row["is_outlier"]
+
+
+def test_auc_invariant_under_monotone_transform(spark):
+    """AUC is a rank statistic: any strictly increasing transform of the
+    score must leave it unchanged (catches accidental value-dependence)."""
+    from datafusion_ballista_python_spark.operators.quality import auc_roc
+
+    rows = [(float(i % 17) / 7.0, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    base = auc_roc(df, "s", "y").collect()[0]["auc"]
+    for xform in (F.col("s") * 2 + 1, F.exp("s"), F.pow(F.col("s") + 1, 3)):
+        got = auc_roc(df.withColumn("s", xform), "s", "y").collect()[0]["auc"]
+        assert got == base, f"AUC changed under monotone transform: {got} != {base}"
+
+
+def test_scd2_asof_consumption_drops_zero_length_runs(spark):
+    """The SCD2 -> as-of consumption pattern: a run superseded the same
+    day (zero-length interval) must never win a point-in-time lookup."""
+    import datetime as dt
+
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+    from datafusion_ballista_python_spark.operators.events import scd2_history
+
+    d = dt.datetime(2024, 1, 5)
+    changes = spark.createDataFrame(
+        [(1, "early", dt.datetime(2024, 1, 1), 1),
+         (1, "noon", d, 2),      # superseded same day
+         (1, "final", d, 3)],
+        ["k", "a", "ts", "tb"],
+    )
+    dim = scd2_history(changes, "k", "a", "ts", "tb")
+    live = dim.where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    assert {r["a"] for r in live.collect()} == {"early", "final"}
+    facts = spark.createDataFrame([(1, d + dt.timedelta(days=1))], ["k", "ts"])
+    got = asof_join(
+        facts,
+        live.select("k", F.col("a").alias("attr"), F.col("valid_from").alias("ts")),
+        on="ts", by=("k",), right_cols=("attr",),
+    ).collect()
+    assert got[0]["attr_r"] == "final"
