@@ -1263,6 +1263,47 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(pairs, iterations=3).orderBy("node")
 
 
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS (
+  {_MINHASH_ORACLE}
+),
+te AS (
+  SELECT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2
+),
+w AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM te e1 JOIN te e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+tri AS (SELECT a, b, c FROM w JOIN te ON te.u = w.b AND te.v = w.c),
+tnodes AS (SELECT u AS node FROM te UNION SELECT v AS node FROM te),
+corners AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT n.node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM tnodes n LEFT JOIN corners c USING (node) ORDER BY node
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the minhash near-dup graph
+    (operators/graph.triangle_count): oriented-edge wedge enumeration +
+    closing-edge confirm join (Suri-Vassilvitskii shape) — the
+    local-clustering signal that separates tight duplicate blobs from
+    borderline chains.  The oracle replays orientation, wedge join and
+    confirm exactly; integer counts, no rounding anywhere."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return graph.triangle_count(pairs).orderBy("node")
+
+
 def _pagerank_directed_iteration_sql(prev: str, this: str) -> str:
     """One DIRECTED power iteration with dangling-mass redistribution,
     bit-identical to operators/graph.pagerank_directed: per-edge

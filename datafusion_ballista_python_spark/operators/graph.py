@@ -394,3 +394,65 @@ def pagerank_directed(
         )
     edges.unpersist()
     return pr.select("node", "pr")
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Exact per-node triangle counts over the undirected pair graph — the
+    local-clustering signal that separates tight duplicate blobs (every
+    copy near-dups every other copy) from chains of borderline pairs.
+
+    Standard distributed formulation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011, simplified):
+    orient every edge low->high id, self-join oriented edges on the
+    shared low endpoint to enumerate wedges (a<b, a<c, b<c), then one
+    semi-ish join of wedges against the oriented edge set confirms the
+    closing edge (b,c).  Orientation caps wedge fan-out by the node's
+    HIGHER-id degree, which bounds the quadratic term that an unoriented
+    join would pay on hot nodes; at whale-degree scale the next step is
+    degree-ordering orientation (low-degree first) — same plan shape.
+
+    Shuffles: wedge join on the apex + confirm join on the closing edge
+    + one count aggregate per corner; all equi-joins, no Python.
+    Output: (node, n_triangles) for every node in the pair list
+    (zero-triangle nodes included).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    # wedges: a -> (b, c) with a<b<c, both (a,b) and (a,c) edges
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    tri = w.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    ).select("a", "b", "c")
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = nodes.join(corners, "node", "left").select(
+        "node", F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles")
+    )
+    e.unpersist()
+    return out

@@ -1240,3 +1240,25 @@ def test_scd2_asof_consumption_drops_zero_length_runs(spark):
         on="ts", by=("k",), right_cols=("attr",),
     ).collect()
     assert got[0]["attr_r"] == "final"
+
+
+def test_triangle_count_known_graph(spark):
+    from datafusion_ballista_python_spark.operators.graph import triangle_count
+
+    # K4 on 1-4 (4 triangles, each node in 3) + pendant 5 + disjoint edge 6-7
+    pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs += [(4, 5), (6, 7)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_count_ignores_orientation_and_dups(spark):
+    from datafusion_ballista_python_spark.operators.graph import triangle_count
+
+    # same triangle given in mixed orientations with duplicates + self-loop
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (2, 2)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
