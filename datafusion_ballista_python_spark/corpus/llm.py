@@ -1263,6 +1263,72 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(pairs, iterations=3).orderBy("node")
 
 
+_BIGRAM_PPL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS p, t[i + 1] AS w
+    FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+),
+btf AS (
+    SELECT doc_id, p, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bg GROUP BY 1, 2, 3
+),
+cb AS (SELECT p, w, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+cp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+uni AS (SELECT UNNEST(t) AS w FROM toks),
+cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+scored AS (
+    SELECT btf.doc_id,
+           btf.tf,
+           btf.tf * CAST(ROUND(
+               -LN(0.75 * (CAST(cb.cb AS DOUBLE) / cp.cp)
+                   + 0.25 * (CAST(cw.c AS DOUBLE) / tot.n)) / LN(2.0),
+               6) AS DECIMAL(25,6)) AS bits
+    FROM btf
+    JOIN cb ON cb.p = btf.p AND cb.w = btf.w
+    JOIN cp ON cp.p = btf.p
+    JOIN cw ON cw.w = btf.w
+    CROSS JOIN tot
+),
+per_doc AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bits) AS DOUBLE) AS sum_bits,
+           -- exact integral micro-bits for half-up integer rounding
+           CAST(SUM(bits) * 1000000 AS BIGINT) AS micro
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per_doc.n_bigrams, 0) AS n_bigrams,
+       per_doc.sum_bits,
+       CASE WHEN COALESCE(per_doc.n_bigrams, 0) > 0
+            THEN CAST((2 * micro + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+                 / 1000000.0 END
+           AS bits_per_bigram
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("text_bigram_perplexity", oracle=_BIGRAM_PPL_ORACLE)
+def text_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram-LM perplexity (operators/text.bigram_perplexity,
+    lam=0.75): the transition-probability quality signal one rung above
+    the unigram gate — same determinism contract (round-at-6 surprisal,
+    exact decimal tf-scaled accumulation), bigrams from the array
+    self-zip with map-side (doc, prev, w) collapse.  The oracle replays
+    tokenization, the context-count model and the exact interpolation
+    arithmetic."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.bigram_perplexity(docs).orderBy("doc_id")
+
+
 _TRIANGLE_ORACLE = f"""
 WITH pairs AS (
   {_MINHASH_ORACLE}

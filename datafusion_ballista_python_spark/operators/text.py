@@ -636,3 +636,100 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), "bigram")
         .limit(top_k)
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document bits-per-bigram under a corpus-trained INTERPOLATED
+    bigram language model — the next rung above
+    :func:`unigram_perplexity` on the CCNet-style quality ladder: word
+    salad with plausible unigrams but improbable transitions scores high
+    here while passing the unigram gate.
+
+        p(w | prev) = lam * c(prev,w)/c(prev,·) + (1-lam) * c(w)/N
+
+    where ``c(prev,·)`` counts prev as a bigram CONTEXT (so the
+    conditional sums to 1) and the unigram interpolation term smooths
+    rare contexts.  Trained on ``df`` itself, every scored bigram has
+    positive probability; documents with fewer than 2 tokens come back
+    with ``n_bigrams = 0`` and NULL score (routable, not dropped).
+
+    Determinism contract (same as the unigram LM): per-bigram surprisal
+    ``-log2 p`` rounds at 6 BEFORE aggregation; accumulation is exact
+    DECIMAL(25,6) scaled by the per-(doc,bigram) frequency.
+
+    Scale shape: bigrams collapse to per-(doc, prev, w) counts map-side
+    before any shuffle; the model tables are two partial-agg shuffles
+    (bigram key, context key); N is a 1-row broadcast; joins shuffle on
+    the bigram/context keys (AQE broadcasts a small vocab).  Zero
+    Python, no per-doc window — bigrams come from the array self-zip.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    d = df.select(F.col(id_col), toks.alias("__t"))
+    bg = d.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+                F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.p").alias("p"), F.col("__bg.w").alias("w"))
+    btf = bg.groupBy(id_col, "p", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    cb = bg.groupBy("p", "w").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    cp = bg.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    uni = d.select(F.explode("__t").alias("w"))
+    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prob = F.lit(float(lam)) * (F.col("cb").cast("double") / F.col("cp")) + F.lit(
+        1.0 - float(lam)
+    ) * (F.col("c").cast("double") / F.col("n"))
+    bits = F.round(-F.log(prob) / F.log(F.lit(2.0)), 6)
+    scored = (
+        btf.join(cb, ["p", "w"])
+        .join(cp, "p")
+        .join(c_w, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__bits", F.col("tf") * bits.cast("decimal(25,6)"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("__bits").alias("__sum_dec"),
+    )
+    # The per-doc mean is rounded half-up at 6 decimals in EXACT INTEGER
+    # arithmetic: the decimal sum is integral micro-bits, and
+    # (2*micro + n) DIV (2*n) is half-up division — engine ROUND on the
+    # double quotient is a trap (a quotient landing exactly on a decimal
+    # midpoint, e.g. 318660441/66 micro-bits, rounds differently under
+    # Spark's exact-BigDecimal HALF_UP vs DuckDB's multiply-then-round).
+    micro = (F.col("__sum_dec") * F.lit(1000000)).cast("long")
+    half_up = F.expr(
+        "(2 * __micro + n_bigrams) DIV (2 * n_bigrams)"
+    )
+    # docs with < 2 tokens have no bigram rows: restore them with NULLs
+    all_docs = df.select(F.col(id_col)).distinct()
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.col("__sum_dec").cast("double").alias("sum_bits"),
+            micro.alias("__micro"),
+        )
+        .withColumn(
+            "bits_per_bigram",
+            F.when(
+                F.col("n_bigrams") > 0,
+                half_up.cast("double") / F.lit(1000000.0),
+            ),
+        )
+        .drop("__micro")
+    )

@@ -1262,3 +1262,18 @@ def test_triangle_count_ignores_orientation_and_dups(spark):
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_bigram_perplexity_ranks_scrambled_transitions(spark):
+    from datafusion_ballista_python_spark.operators.text import bigram_perplexity
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, base) for i in range(10)]
+    rows.append((100, "dog the over fox quick lazy jumps brown the"))  # scrambled
+    rows.append((200, "single"))  # < 2 tokens -> no bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+    assert out[200]["n_bigrams"] == 0 and out[200]["bits_per_bigram"] is None
+    # repeated natural text has cheap transitions; the scramble pays more
+    assert out[100]["bits_per_bigram"] > out[0]["bits_per_bigram"]
+    assert out[0]["n_bigrams"] == 8
