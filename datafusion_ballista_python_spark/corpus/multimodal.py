@@ -144,3 +144,42 @@ def mm_decode_features(spark, sf_dir):
             ",",
         ).alias("features_csv"),
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    b AS (
+        SELECT doc_id, HEX(payload) AS hx,
+               CAST(OCTET_LENGTH(payload) AS BIGINT) AS nb
+        FROM media WHERE format = 'wav'
+    ),
+    samples AS (
+        SELECT doc_id, nb,
+               LIST_TRANSFORM(RANGE(0, nb),
+                   i -> CAST(CONCAT('0x', SUBSTRING(hx, CAST(i*2+1 AS INT), 2))
+                             AS BIGINT) - 128) AS s
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           nb AS n_samples,
+           ROUND_EVEN(SQRT(CAST(LIST_SUM(LIST_TRANSFORM(s, x -> x * x))
+                                AS DOUBLE) / nb), 4) AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(s, x -> ABS(x))) AS BIGINT) AS peak
+    FROM samples ORDER BY doc_id
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio stats via mapInPandas (operators/multimodal.audio_features):
+    the corpus payloads are not RIFF, so they take the documented
+    headerless-8-bit-PCM fallback — which shares the real codec path's
+    exact stats kernel (integer-exact sum of squares, one
+    correctly-rounded sqrt, half-even round), so the WHOLE operator is
+    oracle-checkable; the real-WAV branch is pinned sample-exact in
+    tests/test_audiocodec.py with generated sine waves."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return multimodal.audio_features(media).orderBy("doc_id")

@@ -27,6 +27,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -265,3 +266,80 @@ def resize_images(
         F.col(id_col), "payload"
     )
     return imgs.mapInPandas(resize, schema=out_schema)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", LongType(), False),
+    ]
+)
+
+
+def _audio_stats(samples, rate: int, channels: int):
+    import math
+
+    n = len(samples)
+    if n == 0:
+        return rate, channels, 0, 0.0, 0
+    ss = 0
+    peak = 0
+    for s in samples:
+        ss += s * s  # exact integer accumulation
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+    # sqrt is IEEE correctly-rounded on both Python and SQL engines, and
+    # ss/n enters it as one exact-int / int division -> deterministic;
+    # round half-even (Python round == DuckDB ROUND_EVEN)
+    return rate, channels, n, round(math.sqrt(ss / n), 4), peak
+
+
+def audio_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio stats (sample rate, channels, sample count, RMS level, peak)
+    via ``mapInPandas``.  Real RIFF/WAV payloads decode through the
+    pure-stdlib PCM codec (operators/audiocodec.py); payloads that are
+    not WAV are treated as HEADERLESS unsigned 8-bit PCM at the
+    metadata's sample rate — a deterministic fallback that shares the
+    exact same stats kernel, so the whole operator stays
+    oracle-checkable.  Filter (format='wav') is pushed before the Python
+    stage; stats are exact-integer accumulations with one final
+    correctly-rounded sqrt."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from . import audiocodec
+
+        def one(payload: bytes, fallback_rate):
+            aud = audiocodec.decode_audio(bytes(payload))
+            if aud is not None:
+                return _audio_stats(aud.samples, aud.sample_rate, aud.channels)
+            rate = int(fallback_rate) if fallback_rate is not None else 0
+            return _audio_stats([b - 128 for b in bytes(payload)], rate, 1)
+
+        for pdf in batches:
+            rows = [
+                one(p, r)
+                for p, r in zip(pdf["payload"], pdf["fallback_rate"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                    "peak": [r[4] for r in rows],
+                }
+            )
+
+    wavs = media.filter(F.col("media_meta.format") == "wav").select(
+        F.col(id_col),
+        "payload",
+        F.col("media_meta.sample_rate").alias("fallback_rate"),
+    )
+    return wavs.mapInPandas(stats, schema=AUDIO_SCHEMA)
