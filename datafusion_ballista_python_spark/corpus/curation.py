@@ -665,3 +665,42 @@ def pipeline_scd2_pointintime(spark, sf_dir):
         )
         .orderBy("priority_asof")
     )
+
+
+@query(
+    "corpus_domain_quota_salted",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, domain_rank
+    FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS domain_rank
+        FROM documents
+    )
+    WHERE domain_rank <= 10
+    ORDER BY source, domain_rank
+    """,
+)
+def corpus_domain_quota_salted(spark, sf_dir):
+    """The SCALE PATH of corpus_domain_quota
+    (operators/skew.salted_topk_per_group): per-(domain, salt) partial
+    top-k caps a whale domain's sort at k*n_salts survivor rows before
+    the final per-domain rank.  The two-phase result is provably equal
+    to the global top-k, so the ORACLE IS THE PLAIN SINGLE-WINDOW SQL —
+    the driver hash certifies the equivalence, not just a unit test."""
+    from ..operators.skew import salted_topk_per_group
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    capped = salted_topk_per_group(
+        docs,
+        "source",
+        k=10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt_from="doc_id",
+        rank_col="domain_rank",
+    )
+    return capped.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "domain_rank",
+    ).orderBy("source", "domain_rank")

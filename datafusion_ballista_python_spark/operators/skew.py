@@ -133,3 +133,49 @@ def salted_join(
     )
     out = salted_probe.join(salted_build, on=on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_by: "Sequence[Column]",
+    salt_from: "str | Column",
+    n_salts: int = 16,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Skew-safe per-group top-k: the scale path behind
+    ``sampling.domain_quota`` when a whale group would otherwise pay a
+    full sort on one reducer.
+
+    Phase 1 ranks within ``(group, salt)`` — a whale group's rows spread
+    over ``n_salts`` tasks and each keeps only its local top-k, so at
+    most ``k * n_salts`` rows per group survive.  Phase 2 re-ranks those
+    survivors within the group.  The result is EXACTLY the global
+    per-group top-k (every global top-k row is also top-k within its
+    salt — the pigeonhole argument for all two-phase top-k), so the
+    oracle is the plain single-window formulation.
+
+    ``order_by`` must end with a unique key (total order) — same
+    determinism contract as domain_quota; ``salt_from`` is hashed with
+    pmod so salting is content-deterministic, reproducible across runs
+    and engines (no rand()).
+    """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError("k and n_salts must be positive")
+    s = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    from pyspark.sql import Window
+
+    salted = df.withColumn("__salt", F.pmod(F.hash(s.cast("string")), n_salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_col) <= k)
+        .drop("__salt")
+    )

@@ -1277,3 +1277,33 @@ def test_bigram_perplexity_ranks_scrambled_transitions(spark):
     # repeated natural text has cheap transitions; the scramble pays more
     assert out[100]["bits_per_bigram"] > out[0]["bits_per_bigram"]
     assert out[0]["n_bigrams"] == 8
+
+
+def test_salted_topk_equals_plain_window(spark):
+    from pyspark.sql import Window
+
+    from datafusion_ballista_python_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    # whale group 'big' with 500 rows, small groups with < k rows
+    rows = [(i, "big", (i * 37) % 1000) for i in range(500)]
+    rows += [(1000 + i, f"s{i}", i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "g", "score"])
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        (r["g"], r["group_rank"]): r["id"]
+        for r in salted_topk_per_group(df, "g", 7, order, salt_from="id").collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["rn"]): r["id"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_topk_per_group(df, "g", 0, order, salt_from="id")
