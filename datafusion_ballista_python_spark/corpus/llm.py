@@ -1474,3 +1474,43 @@ def embed_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(cands, queries, k=10).orderBy(
         "qid", F.desc("cos_sim"), "vec_id"
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, SUBSTRING(LOWER(text), CAST(i + 1 AS INT), 1) AS ch
+        FROM documents, UNNEST(RANGE(0, LENGTH(text))) AS r(i)
+    ),
+    an AS (SELECT doc_id, ch FROM chars WHERE REGEXP_MATCHES(ch, '^[a-z0-9]$')),
+    ctf AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS tf FROM an GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM ctf GROUP BY 1),
+    sc AS (
+        SELECT ctf.doc_id,
+               ctf.tf * CAST(ROUND(-LN(CAST(ctf.tf AS DOUBLE) / tot.n) / LN(2.0), 6)
+                             AS DECIMAL(25,6)) AS bits
+        FROM ctf JOIN tot USING (doc_id)
+    ),
+    pd AS (SELECT doc_id, CAST(SUM(bits) * 1000000 AS BIGINT) AS micro
+           FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(t.n, 0) AS n_chars_an,
+           CASE WHEN COALESCE(t.n, 0) > 0
+                THEN CAST((2 * pd.micro + t.n) // (2 * t.n) AS DOUBLE) / 1000000.0
+           END AS entropy_bits
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-doc character-distribution Shannon entropy
+    (operators/text.char_entropy): the gibberish/degenerate-text signal
+    on the quality ladder; per-(doc, char) counts collapse map-side (at
+    most 36 survivors per doc), surprisal rounds at 6 pre-aggregation,
+    and the bits/char mean uses the exact integer half-up rounding
+    (same contract as the bigram LM)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.char_entropy(docs).orderBy("doc_id")

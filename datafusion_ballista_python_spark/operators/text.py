@@ -733,3 +733,70 @@ def bigram_perplexity(
         )
         .drop("__micro")
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the alphanumeric
+    character distribution — the classic gibberish/boilerplate signal:
+    random noise scores near log2(36), single-char spam near 0, natural
+    language in a stable mid band.
+
+    Characters are lowercased and restricted to [a-z0-9] (the corpus
+    tokenization alphabet) so the distribution is engine-portable.
+    Determinism contract shared with the LM scorers: per-char surprisal
+    ``-log2(tf/n)`` rounds at 6 BEFORE aggregation, accumulates exactly
+    as DECIMAL(25,6) scaled by tf, and the final mean rounds half-up in
+    exact integer micro-bits ((2*micro + n) DIV (2*n)) — no engine
+    ROUND on a double quotient.
+
+    Scale shape: chars collapse to per-(doc, char) counts map-side (at
+    most 36 rows per doc survive the partial aggregate); per-doc totals
+    join back on the doc key; zero Python.
+    """
+    ch = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), ""),
+                lambda x: x.rlike("^[a-z0-9]$"),
+            )
+        ).alias("ch"),
+    )
+    tf = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    totals = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("n_chars_an"))
+    bits = F.round(
+        -F.log(F.col("tf").cast("double") / F.col("n_chars_an")) / F.log(F.lit(2.0)),
+        6,
+    )
+    scored = tf.join(totals, id_col).withColumn(
+        "__bits", F.col("tf") * bits.cast("decimal(25,6)")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.max("n_chars_an").alias("n_chars_an"),
+        F.sum("__bits").alias("__sum_dec"),
+    )
+    micro = (F.col("__sum_dec") * F.lit(1000000)).cast("long")
+    all_docs = df.select(F.col(id_col)).distinct()
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_chars_an"), F.lit(0).cast("long")).alias("n_chars_an"),
+            micro.alias("__micro"),
+        )
+        .withColumn(
+            "entropy_bits",
+            F.when(
+                F.col("n_chars_an") > 0,
+                F.expr("(2 * __micro + n_chars_an) DIV (2 * n_chars_an)").cast(
+                    "double"
+                )
+                / F.lit(1000000.0),
+            ),
+        )
+        .drop("__micro")
+    )

@@ -1307,3 +1307,22 @@ def test_salted_topk_equals_plain_window(spark):
 
     with pytest.raises(ValueError):
         salted_topk_per_group(df, "g", 0, order, salt_from="id")
+
+
+def test_char_entropy_extremes(spark):
+    from datafusion_ballista_python_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaaaaaaaa"),                    # single symbol -> 0 bits
+        (2, "abababababab"),                  # two equiprobable -> 1 bit
+        (3, "!!! ??? ..."),                   # no alphanumerics -> NULL
+        (4, "abcdefghij" * 3),                # 10 equiprobable -> log2(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[2]["entropy_bits"] == 1.0
+    assert out[3]["n_chars_an"] == 0 and out[3]["entropy_bits"] is None
+    import math
+
+    assert abs(out[4]["entropy_bits"] - math.log2(10)) < 1e-4
