@@ -63,6 +63,9 @@ HEADLINE = [
     "events_sessionize",
     "sketch_count_min",
     "text_bigram_pmi",
+    "text_bigram_perplexity",
+    "graph_triangle_count",
+    "pipeline_scd2_pointintime",
 ]
 
 
