@@ -82,11 +82,15 @@ _SQL_FEATS = """
 _LR_W = {"f_len": 0.8, "f_punct": -40.0, "f_digit": -25.0}
 _LR_B = -4.0
 
+# term order MUST mirror quality.linear_score's sorted(features) iteration
+# (f_digit, f_len, f_punct): double addition is not associative, and a
+# different summation order diverges in the last ulps — enough to flip a
+# 6-decimal rounding boundary and the driver's value hash
 _SQL_SCORE = f"""
     SELECT doc_id,
-           ROUND(1.0 / (1.0 + EXP(-({_LR_B} + 0.8 * f_len
-                                    + -40.0 * f_punct
-                                    + -25.0 * f_digit))), 6) AS score
+           ROUND(1.0 / (1.0 + EXP(-({_LR_B} + -25.0 * f_digit
+                                    + 0.8 * f_len
+                                    + -40.0 * f_punct))), 6) AS score
     FROM ({_SQL_FEATS})
 """
 
@@ -307,7 +311,7 @@ def events_sessionize(spark, sf_dir):
     ),
     m AS (
         SELECT k, a, ts, tb,
-               CASE WHEN LAG(a) OVER w IS NULL OR a <> LAG(a) OVER w
+               CASE WHEN a IS DISTINCT FROM LAG(a) OVER w
                     THEN 1 ELSE 0 END AS chg
         FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
     ),
@@ -558,7 +562,7 @@ def dq_outlier_gate(spark, sf_dir):
     ),
     m AS (
         SELECT k, a, ts, tb,
-               CASE WHEN LAG(a) OVER w IS NULL OR a <> LAG(a) OVER w
+               CASE WHEN a IS DISTINCT FROM LAG(a) OVER w
                     THEN 1 ELSE 0 END AS chg
         FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
     ),

@@ -98,6 +98,8 @@ def decode_audio(data: bytes) -> Optional[Audio]:
     try:
         if data[:4] == b"RIFF":
             return decode_wav(bytes(data))
-    except (AudioCodecError, struct.error, IndexError):
+    # ValueError covers AudioCodecError and stray conversion errors from
+    # corrupt headers — bad payloads mean "fallback", never a crashed task
+    except (ValueError, struct.error, IndexError, OverflowError):
         return None
     return None

@@ -638,6 +638,14 @@ def novel_against_reference_prefiltered(
     oracle runs); the two stages only change where the work happens:
     ~all of the 100 TB candidate side resolves map-side against the
     broadcast, and the exchange carries only colliding fingerprints.
+
+    Cost shape, stated honestly: the branch-and-union form scans the
+    candidate side TWICE (once per branch, one md5 per row per pass) —
+    unavoidable without caching, because no single exchange-based join
+    can both route no-hit rows straight to output and shuffle hit rows.
+    That trade is deliberate for the 100 TB regime, where shuffle bytes
+    dominate columnar scan cost; at cache-friendly scale, localCheckpoint
+    the candidate frame before calling if the double scan matters.
     """
     fp = F.md5(F.col(text_col))
     cand = candidates.withColumn("__fp", fp).withColumn(
@@ -647,7 +655,16 @@ def novel_against_reference_prefiltered(
     ref_pfx = ref_fp.select(
         F.substring(F.col("__fp"), 1, prefix_chars).alias("__pfx")
     ).distinct()
-    definitely_novel = cand.join(F.broadcast(ref_pfx), "__pfx", "left_anti")
-    maybe_dup = cand.join(F.broadcast(ref_pfx), "__pfx", "left_semi")
-    confirmed_novel = maybe_dup.join(ref_fp, "__fp", "left_anti")
-    return definitely_novel.unionByName(confirmed_novel).drop("__fp", "__pfx")
+    # one broadcast marker join expresses both the anti (miss) and semi
+    # (hit) routes; Spark reuses the identical broadcast exchange subtree
+    marked = cand.join(
+        F.broadcast(ref_pfx.withColumn("__hit", F.lit(True))), "__pfx", "left"
+    )
+    definitely_novel = marked.where(F.col("__hit").isNull())
+    confirmed_novel = marked.where(F.col("__hit").isNotNull()).join(
+        ref_fp, "__fp", "left_anti"
+    )
+    return (
+        definitely_novel.unionByName(confirmed_novel)
+        .drop("__hit", "__fp", "__pfx")
+    )

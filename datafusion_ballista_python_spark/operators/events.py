@@ -198,10 +198,16 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     runs = (
         changes.withColumn(
+            # null-SAFE change detection: a recorded change TO NULL starts
+            # its own run (and the row after it compares against NULL
+            # correctly) — the plain != would swallow NULL states into the
+            # neighboring run and fabricate a spurious interval after them.
+            # First row: eqNullSafe(attr, lag=NULL) is false for non-null
+            # attr (chg=1) and true for a leading NULL attr (run 0) — both
+            # well-defined run starts.
             "__chg",
             F.when(
-                F.lag(attr_col).over(w).isNull()
-                | (F.col(attr_col) != F.lag(attr_col).over(w)),
+                ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

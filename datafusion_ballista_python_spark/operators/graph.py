@@ -420,6 +420,12 @@ def triangle_count(
     Output: (node, n_triangles) for every node in the pair list
     (zero-triangle nodes included).
     """
+    # localCheckpoint (eager), not persist: the operator returns a LAZY
+    # frame, so a persist+unpersist pair inside the builder would unmark
+    # the cache before any action ran and the oriented-distinct edge set
+    # would be recomputed for all four consumers (wedge join both sides,
+    # confirm join, node list).  The checkpoint materializes it exactly
+    # once; the ContextCleaner reclaims it when the result frame is GC'd.
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -427,7 +433,7 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     # wedges: a -> (b, c) with a<b<c, both (a,b) and (a,c) edges
     w = (
@@ -451,8 +457,6 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    out = nodes.join(corners, "node", "left").select(
+    return nodes.join(corners, "node", "left").select(
         "node", F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles")
     )
-    e.unpersist()
-    return out

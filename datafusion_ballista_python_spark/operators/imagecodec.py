@@ -84,6 +84,8 @@ def decode_png(data: bytes) -> Image:
             )
             if depth != 8:
                 raise ImageCodecError(f"unsupported bit depth {depth}")
+            if not (0 < width <= 1 << 16) or not (0 < height <= 1 << 16):
+                raise ImageCodecError(f"bad dimensions {width}x{height}")
             if color not in _COLOR_CHANNELS:
                 raise ImageCodecError(f"unsupported color type {color}")
             if interlace != 0:
@@ -170,6 +172,8 @@ def decode_bmp(data: bytes) -> Image:
         raise ImageCodecError("only 24-bit uncompressed BMP supported")
     bottom_up = height > 0
     height = abs(height)
+    if not (0 < width <= 1 << 16) or not (0 < height <= 1 << 16):
+        raise ImageCodecError(f"bad dimensions {width}x{height}")
     row = width * 3
     padded = (row + 3) & ~3
     out = bytearray(row * height)
@@ -223,7 +227,10 @@ def decode_image(data: bytes) -> Optional[Image]:
             return decode_png(data)
         if data[:2] == b"BM":
             return decode_bmp(data)
-    except (ImageCodecError, zlib.error, struct.error, IndexError):
+    # ValueError covers ImageCodecError and any stray conversion error a
+    # corrupt header can provoke (e.g. negative buffer sizes) — a bad
+    # payload must mean "fallback", never a crashed Spark task
+    except (ValueError, zlib.error, struct.error, IndexError, OverflowError):
         return None
     return None
 

@@ -176,6 +176,8 @@ def _image_features(img, dim: int) -> list[float]:
     per-channel pixel means..., overall mean], zero-padded/truncated to
     ``dim``.  Deterministic integer-exact sums before one final round."""
     c, n = img.channels, img.width * img.height
+    if n == 0:  # decoders reject 0-area images; belt-and-braces here
+        return ([0.0] * dim)[:dim]
     sums = [0] * c
     px = img.pixels
     for i in range(0, len(px), c):
@@ -318,7 +320,9 @@ def audio_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             aud = audiocodec.decode_audio(bytes(payload))
             if aud is not None:
                 return _audio_stats(aud.samples, aud.sample_rate, aud.channels)
-            rate = int(fallback_rate) if fallback_rate is not None else 0
+            # Arrow delivers a NULL int64 to pandas as float NaN, so the
+            # null check must be pd.isna, not `is None` (int(nan) raises)
+            rate = 0 if pd.isna(fallback_rate) else int(fallback_rate)
             return _audio_stats([b - 128 for b in bytes(payload)], rate, 1)
 
         for pdf in batches:

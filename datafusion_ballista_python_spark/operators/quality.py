@@ -300,6 +300,28 @@ def zscore_outliers(
         F.sum(v.cast("decimal(30,6)")).alias("__s"),
         F.sum((v * v).cast("decimal(38,6)")).alias("__ss"),
     )
+    # A constant column (or n < 2) gives std = 0 and would silently turn
+    # the gate into all-NULL "nothing flagged" output — the degenerate
+    # input a DQ gate must REJECT, not pass (same contract as psi_drift's
+    # constant-reference guard).  One bounded 1-row probe validates.
+    probe = stats.select(
+        "__n",
+        (
+            F.col("__ss").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+        ).alias("__var_num"),
+    ).collect()[0]
+    if probe["__n"] is None or probe["__n"] < 2:
+        raise ValueError(
+            f"zscore_outliers needs >= 2 non-null values in {value_col!r} "
+            f"(got {probe['__n']})"
+        )
+    if probe["__var_num"] == 0:
+        raise ValueError(
+            f"zscore_outliers: column {value_col!r} is constant (zero "
+            "variance) — a z-score gate is meaningless; fix the feed or "
+            "gate on a different column"
+        )
     mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
     var = (
         F.col("__ss").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")

@@ -150,14 +150,26 @@ def merge_into_path(
 
 
 # Characters Hive/Spark escape in partition paths (ExternalCatalogUtils.
-# escapePathName): control chars plus this printable set.  A raw value like
-# 'a/b' or '12:30' otherwise builds a path that never matches the directory
-# Spark actually wrote, so cleanup would silently skip it.
-_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]}^\x7f') | {chr(i) for i in range(32)}
+# escapePathName): control chars plus this printable set — note '{', '[',
+# ']', '^' are escaped but '}' is NOT (verified against the Spark JVM).  A
+# raw value like 'a/b' or '12:30' otherwise builds a path that never
+# matches the directory Spark actually wrote, so cleanup would silently
+# skip it.  _escape_partition_value asks Spark's OWN escapePathName first
+# so the cleanup path can never drift from what the writer produced; this
+# set is only the JVM-less fallback.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(32)}
 
 
-def _escape_partition_value(v) -> str:
+def _escape_partition_value(v, spark=None) -> str:
     s = str(v)
+    if spark is not None:
+        try:
+            return (
+                spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(s)
+            )
+        except Exception:
+            pass
     return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in s)
 
 
@@ -170,7 +182,7 @@ def _delete_partition_dirs(spark, path: str, partition_col: str, values: list) -
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in values:
         p = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{partition_col}={_escape_partition_value(v)}"
+            f"{path}/{partition_col}={_escape_partition_value(v, spark)}"
         )
         fs = p.getFileSystem(conf)
         if fs.exists(p):

@@ -1326,3 +1326,91 @@ def test_char_entropy_extremes(spark):
     import math
 
     assert abs(out[4]["entropy_bits"] - math.log2(10)) < 1e-4
+
+
+def test_scd2_history_null_attribute_runs(spark):
+    """A recorded change TO NULL is its own run; the row after it starts a
+    new run against NULL correctly (null-safe change detection)."""
+    import datetime as dt
+
+    from datafusion_ballista_python_spark.operators.events import scd2_history
+
+    d = lambda n: dt.datetime(2024, 1, n)
+    rows = [(1, "A", d(1), 1), (1, None, d(2), 2), (1, "A", d(3), 3)]
+    df = spark.createDataFrame(rows, ["k", "a", "ts", "tb"])
+    out = scd2_history(df, "k", "a", "ts", "tb").orderBy("valid_from").collect()
+    assert [(r["a"], r["valid_from"].day) for r in out] == [
+        ("A", 1), (None, 2), ("A", 3),
+    ]
+    # the NULL interval is bounded by the next change
+    assert out[1]["valid_to"].day == 3 and not out[1]["is_current"]
+
+
+def test_zscore_outliers_rejects_constant_and_tiny(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.quality import zscore_outliers
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(10)], ["id", "v"])
+    with pytest.raises(ValueError, match="constant"):
+        zscore_outliers(const, "v").collect()
+    single = spark.createDataFrame([(1, 2.0)], ["id", "v"])
+    with pytest.raises(ValueError, match=">= 2"):
+        zscore_outliers(single, "v").collect()
+
+
+def test_decode_image_corrupt_headers_fall_back(spark):
+    import struct
+
+    from datafusion_ballista_python_spark.operators import imagecodec as ic
+
+    # negative-dimension BMP header must yield None, not an exception
+    bad_bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHI", 40, -4, 4, 1, 24, 0) + b"\x00" * 40
+    )
+    assert ic.decode_image(bad_bmp) is None
+    # zero-area PNG must be rejected at decode, not crash downstream
+    zero_png = ic.encode_png(ic.Image(0, 0, 1, bytearray()))
+    assert ic.decode_image(zero_png) is None
+
+
+def test_audio_features_null_sample_rate_fallback(spark):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from datafusion_ballista_python_spark.operators import multimodal
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("media_meta", StructType([
+            StructField("format", StringType(), False),
+            StructField("sample_rate", LongType(), True),
+        ]), False),
+    ])
+    media = spark.createDataFrame(
+        [(1, b"not riff at all", {"format": "wav", "sample_rate": None})], schema
+    )
+    row = multimodal.audio_features(media).collect()[0]
+    assert row["sample_rate"] == 0 and row["n_samples"] == 15
+
+
+def test_merge_escape_matches_spark_writer(spark, tmp_path):
+    """'}' is NOT escaped by Spark's writer; cleanup must agree (uses the
+    JVM's own escapePathName)."""
+    import os
+
+    from datafusion_ballista_python_spark.sources.merge import (
+        _escape_partition_value,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "x}y"), (2, "b", "x:y")], ["doc_id", "text", "shard"]
+    )
+    path = str(tmp_path / "brace_parts")
+    base.write.partitionBy("shard").parquet(path)
+    dirs = set(os.listdir(path))
+    for v in ("x}y", "x:y"):
+        assert f"shard={_escape_partition_value(v, spark)}" in dirs
