@@ -708,3 +708,69 @@ def corpus_domain_quota_salted(spark, sf_dir):
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
         "domain_rank",
     ).orderBy("source", "domain_rank")
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick vectorization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t AS tok FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || SUBSTRING(MD5('fh:' || tok), 1, 15) AS BIGINT)
+                    % 64 AS BIGINT) AS bucket,
+               CASE WHEN CAST(CAST('0x' || SUBSTRING(MD5('fh:' || tok), 16, 1)
+                              AS BIGINT) % 2 AS BIGINT) = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM toks
+    )
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(s) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def train_feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorization (operators/training.feature_hashing,
+    dim=64): signed token buckets from md5, per-(doc, bucket) counts
+    collapsed map-side, zero-sum cells dropped — the no-vocabulary
+    featurizer for linear models at corpus scale.  The oracle replays
+    every bucket and sign bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return training.feature_hashing(docs, dim=64).orderBy("doc_id", "bucket")
+
+
+@query(
+    "dq_winsorize_totalprice",
+    oracle="""
+    WITH b AS (
+        SELECT QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+               QUANTILE_CONT(o_totalprice, 0.95) AS hi
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           LEAST(GREATEST(o_totalprice, lo), hi) AS o_totalprice_winsorized
+    FROM orders CROSS JOIN b
+    ORDER BY o_orderkey
+    """,
+)
+def dq_winsorize_totalprice(spark, sf_dir):
+    """Winsorization at the exact global [p5, p95]
+    (operators/quality.winsorize): one broadcast quantile row, map-side
+    clamp — heavy tails become boundary values instead of dropped rows.
+    Spark's exact percentile and DuckDB's QUANTILE_CONT agree
+    bit-for-bit."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    return quality.winsorize(orders, "o_totalprice", 0.05, 0.95).select(
+        "o_orderkey", "o_totalprice", "o_totalprice_winsorized"
+    ).orderBy("o_orderkey")

@@ -334,3 +334,36 @@ def zscore_outliers(
         .withColumn("is_outlier", F.abs(F.col("z_score")) > F.lit(float(z_threshold)))
         .drop("__n", "__s", "__ss")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Winsorization: clamp a numeric column at its exact global
+    [lower, upper] quantiles — the robust alternative to dropping
+    outliers a feature pipeline applies before scaling (heavy tails
+    survive as boundary values instead of distorting the fit or being
+    discarded).
+
+    Exact percentiles (engine-portable, the agg_median_percentile
+    precedent) computed in ONE aggregate row, broadcast back; the clamp
+    is a map-side least/greatest riding the scan — no sort, no shuffle
+    of data rows.  NULL values pass through NULL.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.percentile(v, F.lit(float(lower))).alias("__lo"),
+        F.percentile(v, F.lit(float(upper))).alias("__hi"),
+    )
+    out = out_col or f"{value_col}_winsorized"
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

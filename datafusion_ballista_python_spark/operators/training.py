@@ -415,3 +415,51 @@ def curriculum_buckets(
         .withColumn(bucket_col, expr.cast("long"))
         .drop(*[f"__q{i}" for i in range(len(qs))])
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al. 2009): each token
+    maps to bucket ``md5(salt:token) % dim`` with sign
+    ``+/-1 from the next hash bit``, producing a fixed-``dim`` sparse
+    bag-of-words vector per document — the no-vocabulary featurizer that
+    feeds linear models (quality.linear_score) at corpus scale: no
+    vocab build, no broadcast dictionary, collision-tolerant by design.
+
+    Output: one row per (doc, bucket) with the signed count — the sparse
+    representation (dense assembly is a downstream pivot if a model
+    needs it; sparse is what 100 TB wants).  Deterministic md5 hashing —
+    the same cross-engine idiom as sampling/sharding — so a SQL oracle
+    replays every bucket and sign exactly.
+
+    Scale: tokenize + per-(doc, bucket) count collapse map-side; ONE
+    shuffle on (doc, bucket); at most ``dim`` output rows per doc.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("__tok")))
+    bucket = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % dim
+    )
+    # sign from an independent hash nibble: 16th hex char even -> +1
+    sign = F.when(
+        F.conv(F.substring(h, 16, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    per = (
+        df.select(F.col(id_col), toks.alias("__tok"))
+        .select(F.col(id_col), bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("long").alias("value"))
+    )
+    return per.where(F.col("value") != 0)

@@ -1414,3 +1414,43 @@ def test_merge_escape_matches_spark_writer(spark, tmp_path):
     dirs = set(os.listdir(path))
     for v in ("x}y", "x:y"):
         assert f"shard={_escape_partition_value(v, spark)}" in dirs
+
+
+def test_feature_hashing_deterministic_sparse(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.training import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = feature_hashing(df, dim=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["value"]
+    # identical text -> identical vector; empty text -> no rows
+    assert by_doc[1] == by_doc[2]
+    assert 3 not in by_doc
+    # signed counts: |alpha| appears twice, so its cell is +-2, beta +-1
+    assert sorted(abs(v) for v in by_doc[1].values()) in ([1, 2], [1],)  # collision may merge
+    for r in out:
+        assert 0 <= r["bucket"] < 16 and r["value"] != 0
+    with pytest.raises(ValueError):
+        feature_hashing(df, dim=0)
+
+
+def test_winsorize_clamps_at_exact_quantiles(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["id", "v"])
+    out = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    lo, hi = out[1], out[100]
+    # exact p5/p95 of 1..100: 5.95 and 95.05
+    assert lo == 5.95 and hi == 95.05
+    assert out[50] == 50.0  # interior untouched
+    assert min(out.values()) == lo and max(out.values()) == hi
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
