@@ -774,3 +774,65 @@ def dq_winsorize_totalprice(spark, sf_dir):
     return quality.winsorize(orders, "o_totalprice", 0.05, 0.95).select(
         "o_orderkey", "o_totalprice", "o_totalprice_winsorized"
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline: classifier gate -> domain quota -> corpus stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_classifier_curation",
+    oracle=f"""
+    WITH scored AS (
+        {_SQL_SCORE}
+    ),
+    gated AS (
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d JOIN scored s USING (doc_id)
+        WHERE s.score >= 0.5
+    ),
+    capped AS (
+        SELECT doc_id, source, lang, n_chars FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ) AS rn
+            FROM gated
+        ) WHERE rn <= 8
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM capped GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_classifier_curation(spark, sf_dir):
+    """Composed curation using the round-5 scorer: logistic quality gate
+    (score >= 0.5, broadcast-weights codegen) -> per-domain quota (8 best
+    by length) -> per-source corpus stats.  The stages compose in ONE
+    plan — the gate is a semi-join riding the documents scan, the quota
+    is the one domain-keyed window, the stats a partial aggregate — and
+    the oracle is assembled from the SAME _SQL_SCORE constant the
+    standalone scorer entry uses, so the stages cannot silently
+    diverge."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = quality.linear_score(
+        _spark_feats(docs),
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    gated = docs.join(
+        scored.where(F.col("score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    capped = sampling.domain_quota(gated, "source", quota=8)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
