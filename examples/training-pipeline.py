@@ -40,3 +40,23 @@ print("vocab:", vocab.count(), "encoded docs:", encoded.count())
 shards = training.epoch_shards(encoded, "doc_id", n_shards=4, epoch=0)
 print("shard sizes:", sorted((r[0], r[1]) for r in
                              shards.groupBy("shard").count().collect()))
+
+# 6. (round 5) quality ladder: logistic gate -> curriculum buckets ->
+#    per-domain quota -> hashed features + train/val/test assignment
+from pyspark.sql import functions as F
+from datafusion_ballista_python_spark.operators import quality, sampling
+
+scored = quality.linear_score(
+    clean.select("doc_id", "source", "n_chars",
+                 F.round(F.log(F.col("n_chars") + 1), 6).alias("f_len")),
+    features={"f_len": F.col("f_len")}, weights={"f_len": 0.9}, intercept=-4.5,
+)
+gated = scored.where("score >= 0.4")
+staged = training.curriculum_buckets(gated, "n_chars")
+balanced = sampling.domain_quota(staged, "source", quota=25)
+feats = training.feature_hashing(clean.join(balanced.select("doc_id"), "doc_id"))
+split = sampling.split_assign(balanced, "doc_id")
+print("gated:", gated.count(), "balanced:", balanced.count(),
+      "hashed cells:", feats.count())
+print("splits:", sorted((r[0], r[1]) for r in
+                        split.groupBy("split").count().collect()))
