@@ -3,8 +3,12 @@
 The synthetic ingest (``attach_media``) is deterministic — payload is the
 utf-8 encoding of ``text`` and metadata derives from ``doc_id`` — so every
 metadata/slicing operator is exactly reproducible in DuckDB
-(``encode``/``octet_length``/``hex``) and hash-checked.  Only the decode
-stub (a Pandas-UDF mapInPandas stage) is rows-only.
+(``encode``/``octet_length``/``hex``) and hash-checked.  The decode /
+resize / audio mapInPandas stages are ALSO fully oracle-checked: corpus
+payloads take the deterministic non-media fallback kernels, which DuckDB
+replays from the hex payload; the real PNG/BMP/WAV codec branches are
+pinned pixel-/sample-exact in tests/test_imagecodec.py and
+tests/test_audiocodec.py on in-test generated media.
 """
 
 from __future__ import annotations
@@ -183,3 +187,27 @@ def mm_audio_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")["documents"]
     media = multimodal.attach_media(docs)
     return multimodal.audio_features(media).orderBy("doc_id")
+
+
+@query(
+    "mm_resize_images",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS height,
+           CAST(LEAST(OCTET_LENGTH(payload), 64) AS BIGINT) AS n_bytes
+    FROM media WHERE format = 'png'
+    ORDER BY doc_id
+    """,
+)
+def mm_resize_images(spark, sf_dir):
+    """Resize plumbing through mapInPandas
+    (operators/multimodal.resize_images, 64x64): corpus payloads are not
+    decodable images, so they take the deterministic byte-size model
+    (min(len, w*h/64)) — making the whole Python-crossing stage
+    oracle-checkable; the real-PNG branch (decode -> nearest resample ->
+    re-encode) is pinned byte-exact in tests/test_imagecodec.py."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = multimodal.attach_media(docs)
+    return multimodal.resize_images(media, 64, 64).orderBy("doc_id")

@@ -331,3 +331,49 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_plan_is_broadcast_and_union(spark, sf_dir, registry):
+    """The novelty prefilter's definitely-novel branch must resolve against
+    a BROADCAST of the prefix set (map-side anti join) — a shuffled anti
+    join there would defeat the operator's whole point."""
+    plan = _physical(registry["dedup_bloom_prefilter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Union" in plan
+    # the prefix prune must never degrade to a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auc_plan_bounded_single_partition_window(spark, sf_dir, registry):
+    """auc_roc's ordered window is allowed a single-partition exchange ONLY
+    because it runs over the per-distinct-score aggregate; the plan must
+    show partial aggregation collapsing rows BEFORE that exchange."""
+    plan = _physical(registry["eval_auc_scores"].fn(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "SinglePartition" in plan
+    # the window input must be the aggregated frame, not raw documents:
+    # a Sort over the raw scan would precede any HashAggregate
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+
+
+def test_lr_score_plan_is_shuffle_free(spark, sf_dir):
+    """linear_score inference must ride the scan: no exchange at all in
+    the unsorted plan (weights are literals, zero Python)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_python_spark.corpus.curation import (
+        _LR_B, _LR_W, _spark_feats,
+    )
+    from datafusion_ballista_python_spark.operators.quality import linear_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = linear_score(
+        _spark_feats(docs),
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    ).select("doc_id", "score")
+    plan = _physical(scored)
+    assert "Exchange" not in plan, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
