@@ -311,3 +311,63 @@ def test_frequent_items_bounds_always_hold(spark, data, capacity):
     for item, c in truth.items():
         if c > n / (capacity + 1):
             assert item in out, f"guaranteed hitter {item} (count {c}) missing"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+)
+def test_count_min_one_sided_bound(spark, keys):
+    """CMS estimate >= true count for EVERY key, any multiset, any sketch
+    geometry — the defining Count-Min guarantee."""
+    from collections import Counter
+
+    from datafusion_ballista_python_spark.operators.sketch import (
+        count_min_build,
+        count_min_query,
+    )
+
+    df = spark.createDataFrame([(str(k),) for k in keys], ["k"])
+    truth = Counter(str(k) for k in keys)
+    est = count_min_query(count_min_build(df, "k", 2, 8), df, "k", 2, 8)
+    for r in est.collect():
+        assert r["est"] >= truth[r["k"]], (r, truth)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # group
+            st.integers(min_value=-100, max_value=100),  # score
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_salted_topk_matches_plain_window(spark, rows):
+    """Two-phase salted top-k == single-window top-k on arbitrary data
+    (unique ids appended so the order is total)."""
+    from pyspark.sql import Window
+
+    from datafusion_ballista_python_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "g", "s"])
+    order = [F.col("s").desc(), F.col("id").asc()]
+    got = {
+        (r["g"], r["group_rank"], r["id"])
+        for r in salted_topk_per_group(df, "g", 3, order, salt_from="id",
+                                       n_salts=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["rn"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3).collect()
+    }
+    assert got == {(g, int(rn), i) for g, rn, i in want}
