@@ -202,9 +202,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-@query(
-    "embed_cosine_topk",
-    oracle="""
+# shared by embed_cosine_topk and the ANN recall eval entry
+_COSINE_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
          scored AS (
@@ -219,8 +218,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
         FROM scored
     ) WHERE rn <= 10
     ORDER BY qid, cos_sim DESC, vec_id
-    """,
-)
+    """
+
+
+@query("embed_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def embed_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the exact baseline for ANN.  Scale: the
     candidate side stays partitioned; only k rows per query survive the
@@ -1514,3 +1515,63 @@ def text_char_entropy(spark, sf_dir):
     (same contract as the bigram LM)."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return text.char_entropy(docs).orderBy("doc_id")
+
+
+@query(
+    "eval_ann_recall",
+    oracle=f"""
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM ({_COSINE_TOPK_ORACLE}) e
+    LEFT JOIN ({_LSH_ORACLE}) a
+      ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+)
+def eval_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH ANN against the brute-force exact baseline —
+    the eval harness FOR the similarity stack, as a first-class corpus
+    entry: both sides are the exact operators the standalone entries
+    run (same seeded hyperplanes, same rounding, same tiebreaks), so the
+    oracle composes their two SQL constants and the driver hash
+    certifies the measured recall itself, not just each side.  Shape:
+    two top-k frames, one left join on (query, candidate), one per-query
+    aggregate."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk(cands, queries_df, k=10).select(
+        "qid", "vec_id"
+    )
+    approx = similarity.lsh_topk(
+        cands, queries_df, k=10, n_planes=_LSH_N_PLANES, n_tables=_LSH_N_TABLES,
+        dim=_LSH_DIM, seed=_LSH_SEED,
+    ).select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avid"))
+    joined = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+        "left",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("avid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.when(F.col("avid").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
