@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import training
 from . import query
 from .util import load
 
@@ -314,3 +315,64 @@ def train_encode_documents(spark, sf_dir):
             "token_ids_s"
         ),
     ).orderBy("doc_id")
+
+
+def _bpe_round_sql(k: int, last: bool) -> str:
+    """One unrolled BPE round: tokenize the round's corpus string, count
+    adjacent pairs, take the deterministic argmax, and (unless last)
+    produce the next corpus via the double boundary-anchored REPLACE —
+    byte-identical to operators/training.bpe_merges's round."""
+    sql = f"""
+t{k} AS (SELECT LIST_FILTER(STRING_SPLIT(s, ' '), x -> x <> '') AS t FROM s{k}),
+p{k} AS (
+  SELECT t[i] AS lhs, t[i+1] AS rhs, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM t{k}, UNNEST(RANGE(1, LEN(t))) AS r(i) GROUP BY 1, 2
+),
+b{k} AS (SELECT lhs, rhs, n_pairs FROM p{k}
+         ORDER BY n_pairs DESC, lhs, rhs LIMIT 1)"""
+    if not last:
+        sql += f""",
+s{k + 1} AS (
+  SELECT REPLACE(REPLACE(s.s,
+           ' ' || b.lhs || ' ' || b.rhs || ' ',
+           ' ' || b.lhs || '+' || b.rhs || ' '),
+           ' ' || b.lhs || ' ' || b.rhs || ' ',
+           ' ' || b.lhs || '+' || b.rhs || ' ') AS s
+  FROM s{k} s CROSS JOIN b{k} b
+)"""
+    return sql
+
+
+_BPE_N = 10
+_BPE_ORACLE = (
+    """
+WITH s0 AS (
+    SELECT ' ' || ARRAY_TO_STRING(
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           x -> x <> ''), ' ') || ' ' AS s
+    FROM documents
+),"""
+    + ",".join(_bpe_round_sql(k, k == _BPE_N - 1) for k in range(_BPE_N))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_step, lhs, rhs, n_pairs FROM b{k}"
+        for k in range(_BPE_N)
+    )
+    + "\nORDER BY merge_step"
+)
+
+
+@query("train_bpe_merges", oracle=_BPE_ORACLE)
+def train_bpe_merges(spark, sf_dir):
+    """Distributed BPE-style merge training (operators/training.bpe_merges,
+    word-level, 10 merges): each round is one corpus-wide pair-count
+    shuffle + a 1-row argmax + a boundary-anchored double-REPLACE merge.
+    The oracle unrolls all 10 rounds — tokenize, count, argmax, merge —
+    so the driver hash certifies the ENTIRE training trajectory (which
+    pair won each round and with what count), not just the final state."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    merges = training.bpe_merges(docs, n_merges=_BPE_N)
+    return spark.createDataFrame(
+        [(int(s), l, r, int(n)) for s, l, r, n in merges],
+        "merge_step long, lhs string, rhs string, n_pairs long",
+    ).orderBy("merge_step")

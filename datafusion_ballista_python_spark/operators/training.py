@@ -463,3 +463,74 @@ def feature_hashing(
         .agg(F.sum("__s").cast("long").alias("value"))
     )
     return per.where(F.col("value") != 0)
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "+",
+) -> "list[tuple[int, str, str, int]]":
+    """Distributed BPE-style merge training at the WORD level (phrase
+    vocabulary: the same greedy most-frequent-adjacent-pair algorithm as
+    character BPE, with words as the initial symbols — the "new+york"
+    phrase-merge step of tokenizer prep).  Returns the learned merge
+    table ``[(step, lhs, rhs, n_pairs)]``.
+
+    Each round: count adjacent symbol pairs corpus-wide (map-side
+    partial + ONE shuffle on the pair key), pick the argmax
+    (deterministic tiebreak: count desc, then pair lexicographically —
+    a 1-ROW TakeOrdered collect per round, the only driver traffic,
+    bounded by ``n_merges``), then merge every disjoint occurrence
+    left-to-right.
+
+    The merge runs on a space-joined symbol STRING per document with a
+    boundary-anchored literal replace applied TWICE: one replace pass
+    consumes both boundary spaces so chained occurrences ("a b a b")
+    alternate, and the second pass picks up exactly the occurrences the
+    first isolated — two passes provably complete the disjoint greedy
+    merge, and literal REPLACE semantics are identical across engines,
+    which is what makes an unrolled SQL oracle replay the whole
+    training trajectory bit-for-bit.  Per-round localCheckpoint keeps
+    the iterative lineage flat (same contract as the graph loops).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    corpus = df.select(
+        F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" ")).alias("s")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        arr = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
+        pairs = (
+            corpus.select(arr.alias("__t"))
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+                        F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+                        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                    )
+                ).alias("__p")
+            )
+            .groupBy(F.col("__p.lhs").alias("lhs"), F.col("__p.rhs").alias("rhs"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n_pairs"), "lhs", "rhs").limit(1).collect()
+        )
+        if not best:
+            break
+        lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n_pairs"]
+        merges.append((step, lhs, rhs, int(n)))
+        pat = F.lit(f" {lhs} {rhs} ")
+        rep = F.lit(f" {lhs}{joiner}{rhs} ")
+        corpus = corpus.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+        ).localCheckpoint()
+    return merges

@@ -238,3 +238,40 @@ def test_encode_documents_vocab_broadcasts(spark, docs):
     vocab = training.build_vocab(docs, top_k=10, min_count=1)
     plan = explain_formatted(training.encode_documents(docs, vocab))
     assert "BroadcastHashJoin" in plan, "vocab id join must broadcast"
+
+
+def test_bpe_merges_learns_planted_pair_and_chains(spark):
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    rows = [(i, "new york " * 4 + f"w{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=2)
+    step0 = merges[0]
+    # "new york" dominates (40 occurrences) and merges first
+    assert (step0[1], step0[2]) == ("new", "york") and step0[3] == 40
+    # after merging, the chained "york new" pairs are gone; round 2 merges
+    # the new+york bigram chain instead
+    assert merges[1][1] == "new+york" and merges[1][2] == "new+york"
+    # pair FREQUENCY counts raw adjacency (3 per doc for 4 copies, classic
+    # BPE counting); the MERGE itself is disjoint greedy
+    assert merges[1][3] == 30
+
+
+def test_bpe_merges_greedy_leftmost_on_triples(spark):
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=2)
+    assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "a", 2)
+    # [a,a,a] -> [a+a, a]: exactly one merged occurrence, leftmost first
+    assert (merges[1][1], merges[1][2], merges[1][3]) == ("a+a", "a", 1)
+
+
+def test_bpe_merges_validates(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bpe_merges(df, n_merges=0)
