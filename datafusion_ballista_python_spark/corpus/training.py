@@ -318,12 +318,16 @@ def train_encode_documents(spark, sf_dir):
 
 
 def _bpe_round_sql(k: int, last: bool) -> str:
-    """One unrolled BPE round: tokenize the round's corpus string, count
-    adjacent pairs, take the deterministic argmax, and (unless last)
-    produce the next corpus via the double boundary-anchored REPLACE —
-    byte-identical to operators/training.bpe_merges's round."""
+    """One unrolled BPE round: tokenize the round's corpus string (strip
+    the trailing ``|`` marker per token), count adjacent pairs, take the
+    deterministic argmax, and (unless last) produce the next corpus via
+    ONE boundary-anchored REPLACE (space anchors the token start, the
+    marker its end -> leftmost-greedy disjoint merge) — byte-identical
+    to operators/training.bpe_merges's round."""
     sql = f"""
-t{k} AS (SELECT LIST_FILTER(STRING_SPLIT(s, ' '), x -> x <> '') AS t FROM s{k}),
+t{k} AS (SELECT LIST_TRANSFORM(
+             LIST_FILTER(STRING_SPLIT(s, ' '), x -> x <> ''),
+             x -> SUBSTRING(x, 1, LENGTH(x) - 1)) AS t FROM s{k}),
 p{k} AS (
   SELECT t[i] AS lhs, t[i+1] AS rhs, CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM t{k}, UNNEST(RANGE(1, LEN(t))) AS r(i) GROUP BY 1, 2
@@ -333,11 +337,9 @@ b{k} AS (SELECT lhs, rhs, n_pairs FROM p{k}
     if not last:
         sql += f""",
 s{k + 1} AS (
-  SELECT REPLACE(REPLACE(s.s,
-           ' ' || b.lhs || ' ' || b.rhs || ' ',
-           ' ' || b.lhs || '+' || b.rhs || ' '),
-           ' ' || b.lhs || ' ' || b.rhs || ' ',
-           ' ' || b.lhs || '+' || b.rhs || ' ') AS s
+  SELECT REPLACE(s.s,
+           ' ' || b.lhs || '| ' || b.rhs || '|',
+           ' ' || b.lhs || '+' || b.rhs || '|') AS s
   FROM s{k} s CROSS JOIN b{k} b
 )"""
     return sql
@@ -348,8 +350,10 @@ _BPE_ORACLE = (
     """
 WITH s0 AS (
     SELECT ' ' || ARRAY_TO_STRING(
-               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
-                           x -> x <> ''), ' ') || ' ' AS s
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x || '|'), ' ') AS s
     FROM documents
 ),"""
     + ",".join(_bpe_round_sql(k, k == _BPE_N - 1) for k in range(_BPE_N))

@@ -295,11 +295,15 @@ def zscore_outliers(
     through unflagged (z NULL).
     """
     v = F.col(value_col).cast("double")
+    # localCheckpoint: the guard below needs the stats EAGERLY (a loud
+    # gate can't be lazy), and the returned plan crossJoins the same
+    # frame — the checkpoint makes the full-column aggregate run exactly
+    # once instead of once for the probe and again per downstream action
     stats = df.agg(
         F.count(v).cast("long").alias("__n"),
         F.sum(v.cast("decimal(30,6)")).alias("__s"),
         F.sum((v * v).cast("decimal(38,6)")).alias("__ss"),
-    )
+    ).localCheckpoint()
     # A constant column (or n < 2) gives std = 0 and would silently turn
     # the gate into all-NULL "nothing flagged" output — the degenerate
     # input a DQ gate must REJECT, not pass (same contract as psi_drift's
@@ -316,11 +320,15 @@ def zscore_outliers(
             f"zscore_outliers needs >= 2 non-null values in {value_col!r} "
             f"(got {probe['__n']})"
         )
-    if probe["__var_num"] == 0:
+    # <= 0, NOT == 0: the decimal(…,6) casts round, so a constant column
+    # can land a slightly NEGATIVE variance numerator — which would make
+    # std = sqrt(negative) = NaN, and under Spark's NaN-greater-than-all
+    # ordering abs(NaN) > k is TRUE, silently flagging EVERY row
+    if probe["__var_num"] <= 0:
         raise ValueError(
             f"zscore_outliers: column {value_col!r} is constant (zero "
-            "variance) — a z-score gate is meaningless; fix the feed or "
-            "gate on a different column"
+            "variance at 6-decimal precision) — a z-score gate is "
+            "meaningless; fix the feed or gate on a different column"
         )
     mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
     var = (

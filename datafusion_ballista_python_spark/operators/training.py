@@ -485,15 +485,19 @@ def bpe_merges(
     bounded by ``n_merges``), then merge every disjoint occurrence
     left-to-right.
 
-    The merge runs on a space-joined symbol STRING per document with a
-    boundary-anchored literal replace applied TWICE: one replace pass
-    consumes both boundary spaces so chained occurrences ("a b a b")
-    alternate, and the second pass picks up exactly the occurrences the
-    first isolated — two passes provably complete the disjoint greedy
-    merge, and literal REPLACE semantics are identical across engines,
-    which is what makes an unrolled SQL oracle replay the whole
-    training trajectory bit-for-bit.  Per-round localCheckpoint keeps
-    the iterative lineage flat (same contract as the graph loops).
+    The merge runs on a per-document symbol STRING where every token
+    carries a trailing ``|`` marker and a leading space
+    (``" a| b| c|"``): the pattern ``" lhs| rhs|"`` is boundary-anchored
+    on BOTH sides (the space anchors the token start, the marker its
+    end), so one literal REPLACE pass is exactly the LEFTMOST-GREEDY
+    disjoint merge — on a run ``a a a a a`` it produces
+    ``[a+a, a+a, a]``, matching reference BPE, because the replacement
+    ends at the marker and scanning resumes on the very next token's
+    leading space.  Literal REPLACE semantics are identical across
+    engines, which is what makes an unrolled SQL oracle replay the
+    whole training trajectory bit-for-bit.  Per-round localCheckpoint
+    keeps the iterative lineage flat (same contract as the graph
+    loops).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -501,12 +505,16 @@ def bpe_merges(
         F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
         lambda x: x != "",
     )
+    marked = F.transform(toks, lambda x: F.concat(x, F.lit("|")))
     corpus = df.select(
-        F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" ")).alias("s")
+        F.concat(F.lit(" "), F.array_join(marked, " ")).alias("s")
     ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    strip = "substring(x, 1, length(x) - 1)"
     for step in range(n_merges):
-        arr = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
+        arr = F.expr(
+            f"transform(filter(split(s, ' '), x -> x != ''), x -> {strip})"
+        )
         pairs = (
             corpus.select(arr.alias("__t"))
             .select(
@@ -528,9 +536,9 @@ def bpe_merges(
             break
         lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n_pairs"]
         merges.append((step, lhs, rhs, int(n)))
-        pat = F.lit(f" {lhs} {rhs} ")
-        rep = F.lit(f" {lhs}{joiner}{rhs} ")
+        pat = F.lit(f" {lhs}| {rhs}|")
+        rep = F.lit(f" {lhs}{joiner}{rhs}|")
         corpus = corpus.select(
-            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+            F.replace(F.col("s"), pat, rep).alias("s")
         ).localCheckpoint()
     return merges

@@ -338,10 +338,19 @@ def test_bloom_prefilter_plan_is_broadcast_and_union(spark, sf_dir, registry):
     a BROADCAST of the prefix set (map-side anti join) — a shuffled anti
     join there would defeat the operator's whole point."""
     plan = _physical(registry["dedup_bloom_prefilter"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "Union" in plan
-    # the prefix prune must never degrade to a nested loop
+    # the marker join (definitely-novel routing) is a broadcast LEFT
+    # OUTER; the exact-confirm stage is the LeftAnti — pin BOTH so losing
+    # the broadcast on either cannot hide behind the other
+    assert "BroadcastHashJoin" in plan and "Union" in plan
+    left_outer_joins = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftOuter" in ln
+    ]
+    assert left_outer_joins, "prefix marker join must be a broadcast LeftOuter"
+    assert "LeftAnti" in plan
+    # neither stage may degrade to a shuffle or nested loop at this scale
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_auc_plan_bounded_single_partition_window(spark, sf_dir, registry):
@@ -351,10 +360,15 @@ def test_auc_plan_bounded_single_partition_window(spark, sf_dir, registry):
     plan = _physical(registry["eval_auc_scores"].fn(spark, sf_dir))
     assert "partial" in plan.lower()
     assert "SinglePartition" in plan
-    # the window input must be the aggregated frame, not raw documents:
-    # a Sort over the raw scan would precede any HashAggregate
-    agg_pos = plan.find("HashAggregate")
-    assert agg_pos != -1
+    # the window input must be the AGGREGATED frame, not raw documents:
+    # in the printed tree children follow parents, so a HashAggregate
+    # must appear BELOW (after) the single-partition exchange — i.e. the
+    # exchange's input is the per-distinct-score aggregate
+    below_exchange = plan.split("SinglePartition", 1)[1]
+    assert "HashAggregate" in below_exchange, (
+        "single-partition exchange must consume the aggregated frame, "
+        "not the raw scan"
+    )
 
 
 def test_lr_score_plan_is_shuffle_free(spark, sf_dir):

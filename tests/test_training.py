@@ -275,3 +275,29 @@ def test_bpe_merges_validates(spark):
     df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         bpe_merges(df, n_merges=0)
+
+
+def test_bpe_merges_leftmost_greedy_on_odd_runs(spark):
+    """5-run of a self-pair must merge LEFTMOST-first ([a+a, a+a, a], the
+    reference BPE behavior): round 2's pairs are then (a+a,a+a) and
+    (a+a,a), whose tiebreak winner has lhs 'a+a' — a non-leftmost merge
+    ([a+a, a, a+a]) would yield pairs (a+a,a)/(a,a+a) and the winner
+    lhs 'a' instead."""
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame([(1, "a a a a a")], ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=2)
+    assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "a", 4)
+    assert (merges[1][1], merges[1][2]) == ("a+a", "a")
+
+
+def test_bpe_merges_token_boundaries_safe(spark):
+    """A pair (a, b) must not merge into a longer token starting with b
+    (the ' a bc' prefix hazard) nor out of one ending with a."""
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a bc xa b")], ["doc_id", "text"]
+    )
+    merges = bpe_merges(df, n_merges=1)
+    assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "b", 2)
