@@ -60,16 +60,17 @@ def _driver_history() -> tuple[set[str], set[str]]:
 
 
 def _rotated(reg: dict) -> list[str]:
-    """Never-driver-sampled entries first, then entries whose LATEST driver
-    row failed (so fixes get re-confirmed), then the rest — relative order
-    preserved within each tier — so a prefix-or-seeded sampler both reaches
-    fresh entries each round and re-checks fixed failures."""
+    """Entries whose LATEST driver row FAILED first (a fix can only earn a
+    green row if the sampler reaches it — and the failed tier must lead,
+    because the never-sampled tier can exceed the sample size when a round
+    adds many entries), then never-driver-sampled entries, then the rest —
+    relative order preserved within each tier."""
     seen, failed = _driver_history()
     names = list(reg)
-    fresh = [n for n in names if n not in seen]
     refail = [n for n in names if n in failed]
+    fresh = [n for n in names if n not in seen]
     rest = [n for n in names if n in seen and n not in failed]
-    return fresh + refail + rest
+    return refail + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
