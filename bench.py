@@ -66,6 +66,7 @@ HEADLINE = [
     "text_bigram_perplexity",
     "graph_triangle_count",
     "pipeline_scd2_pointintime",
+    "train_bpe_merges",
 ]
 
 
