@@ -1575,3 +1575,87 @@ def eval_ann_recall(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+_NEAR_REF_ORACLE = f"""
+WITH nbatch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    UNION ALL
+    -- re-idified exact copies of reference docs: guaranteed jaccard-1.0
+    -- near-dups, so the cross-corpus path is provably non-vacuous
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+),
+nref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+allv AS (
+    SELECT 'n' AS side, doc_id, text FROM nbatch
+    UNION ALL
+    SELECT 'r' AS side, doc_id, text FROM nref
+),
+words AS (
+    SELECT side, doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w
+    FROM allv
+),
+shingles AS (
+    SELECT side, doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+    FROM words
+),
+hashed AS (
+    SELECT side, doc_id,
+           CAST(CONCAT('0x', SUBSTRING(MD5(shingle),1,15)) AS BIGINT)
+             % {dedup.MINHASH_PRIME} AS h
+    FROM (SELECT side, doc_id, UNNEST(sh) AS shingle FROM shingles) s
+),
+sigs AS (
+    SELECT side, doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+    FROM hashed CROSS JOIN (VALUES {_MH_PARAMS_VALUES}) params(seed, a, b)
+    GROUP BY side, doc_id, seed
+),
+banded AS (
+    SELECT side, doc_id, seed // 4 AS band,
+           STRING_AGG(mh, ',' ORDER BY mh) AS band_sig
+    FROM sigs GROUP BY side, doc_id, band
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.side = 'n' AND b.side = 'r'
+)
+SELECT cands.doc_id AS doc_id, cands.ref_id AS ref_id,
+       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+             (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN shingles sa ON sa.doc_id = cands.doc_id AND sa.side = 'n'
+JOIN shingles sb ON sb.doc_id = cands.ref_id AND sb.side = 'r'
+WHERE CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+      (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))) >= 0.8
+ORDER BY cands.doc_id, cands.ref_id
+"""
+
+
+@query("dedup_near_against_reference", oracle=_NEAR_REF_ORACLE)
+def dedup_near_against_reference(spark, sf_dir):
+    """Cross-corpus NEAR-dup detection
+    (operators/dedup.minhash_lsh_pairs_against): a new crawl batch is
+    LSH-banded against the existing reference corpus and candidates are
+    verified with exact shingle Jaccard >= 0.8 — the near-duplicate
+    upgrade of the exact-fingerprint dedup_against_reference.  The batch
+    carries re-idified exact copies of 20 reference docs (jaccard 1.0),
+    so the cross-corpus path provably fires; the oracle replays the full
+    signature pipeline for both sides."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    batch = (
+        docs.where("doc_id >= 250")
+        .select("doc_id", "text")
+        .unionAll(
+            docs.where("doc_id < 20").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    ref = docs.where("doc_id < 250").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs_against(
+        batch, ref, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    ).orderBy("doc_id", "ref_id")

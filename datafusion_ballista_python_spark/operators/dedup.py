@@ -668,3 +668,96 @@ def novel_against_reference_prefiltered(
         definitely_novel.unionByName(confirmed_novel)
         .drop("__hit", "__fp", "__pfx")
     )
+
+
+def minhash_lsh_pairs_against(
+    batch: DataFrame,
+    reference: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus NEAR-dup detection: banded MinHash-LSH candidates
+    between a new ``batch`` and an existing ``reference`` corpus, verified
+    with exact shingle Jaccard — the near-duplicate upgrade of
+    :func:`against_reference` (which only catches exact fingerprints).
+    Returns ``(doc_id, ref_id, jaccard)``: batch docs with a reference
+    near-dup at or above the threshold (anti-join the batch against the
+    distinct ``doc_id`` output to keep only novel docs).
+
+    Ids must be disjoint between the two frames (they key the verify
+    joins).  Scale shape is the self-join variant's, asymmetric: ONE
+    signature pipeline over the union (map-side partial collapse to
+    num_hashes longs per doc), the candidate join shuffles band keys
+    with the batch side usually tiny (AQE broadcasts it), and the exact
+    verify recomputes shingles only for candidate-pair members.  At
+    steady state, persist the reference's banded signatures once and
+    reuse them across batches.
+    """
+    tagged = batch.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__side", F.lit("n")
+    ).unionByName(
+        reference.select(F.col(id_col), F.col(text_col)).withColumn(
+            "__side", F.lit("r")
+        )
+    )
+    wide = _minhash_wide(tagged, num_hashes, shingle_n, text_col, id_col)
+    sides = tagged.select(id_col, "__side").distinct()
+    wide = wide.join(sides, id_col)
+    rows_per_band = num_hashes // bands
+    banded = wide.select(
+        F.col(id_col),
+        "__side",
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(F.array(*[
+                            F.col(f"__mh{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ])),
+                    ).alias("band_sig"),
+                )
+                for b in range(bands)
+            ])
+        ),
+    ).persist()
+    cands = (
+        banded.where(F.col("__side") == "n")
+        .select(F.col(id_col).alias("doc_id"), "band", "band_sig")
+        .join(
+            banded.where(F.col("__side") == "r").select(
+                F.col(id_col).alias("ref_id"), "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
+        .select("doc_id", "ref_id")
+        .distinct()
+        .persist()
+    )
+    cand_ids = cands.select(F.col("doc_id").alias(id_col)).union(
+        cands.select(F.col("ref_id").alias(id_col))
+    )
+    sh = with_shingles(
+        tagged.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, "grams"
+    ).select(F.col(id_col), "grams")
+    pairs = (
+        cands.join(
+            sh.select(F.col(id_col).alias("doc_id"), F.col("grams").alias("ga")),
+            "doc_id",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("ref_id"), F.col("grams").alias("gb")),
+            "ref_id",
+        )
+        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
+    )
+    jac = F.col("__is").cast("double") / (F.size("ga") + F.size("gb") - F.col("__is"))
+    return pairs.where(jac >= threshold).select(
+        "doc_id", "ref_id", F.round(jac, 6).alias("jaccard")
+    )

@@ -1454,3 +1454,30 @@ def test_winsorize_clamps_at_exact_quantiles(spark):
     assert min(out.values()) == lo and max(out.values()) == hi
     with pytest.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_minhash_against_reference_finds_planted_and_respects_sides(spark):
+    from datafusion_ballista_python_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "totally different reference words here entirely now")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, base),                        # exact copy of ref 1
+         (101, base + " lambda"),            # near-dup of ref 1
+         (102, "unrelated new content nothing shared with anything else"),
+         (103, base)],                       # another copy — batch-internal
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["ref_id"]): r["jaccard"]
+           for r in minhash_lsh_pairs_against(batch, ref, threshold=0.5).collect()}
+    assert out[(100, 1)] == 1.0
+    assert (101, 1) in out and out[(101, 1)] < 1.0
+    # novel docs produce no rows; batch-internal pairs are NOT emitted
+    # (this operator is strictly cross-corpus)
+    assert all(ref_id in (1, 2) for _, ref_id in out)
+    assert not any(d == 102 for d, _ in out)
