@@ -1577,20 +1577,12 @@ def eval_ann_recall(spark, sf_dir):
     )
 
 
-_NEAR_REF_ORACLE = f"""
-WITH nbatch AS (
-    SELECT doc_id, text FROM documents WHERE doc_id >= 250
-    UNION ALL
-    -- re-idified exact copies of reference docs: guaranteed jaccard-1.0
-    -- near-dups, so the cross-corpus path is provably non-vacuous
-    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
-),
-nref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
-allv AS (
-    SELECT 'n' AS side, doc_id, text FROM nbatch
-    UNION ALL
-    SELECT 'r' AS side, doc_id, text FROM nref
-),
+# cross-corpus near-dup pipeline CTEs over a pre-defined `allv(side,
+# doc_id, text)` relation ('n' = new batch, 'r' = reference): signature
+# build, band join, exact verify.  Shared verbatim by the standalone
+# dedup_near_against_reference oracle and the ingest-pipeline composition
+# so the stages cannot silently diverge.
+_NEAR_MID_CTES = f"""
 words AS (
     SELECT side, doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w
     FROM allv
@@ -1622,16 +1614,36 @@ cands AS (
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_sig = b.band_sig
      AND a.side = 'n' AND b.side = 'r'
-)
-SELECT cands.doc_id AS doc_id, cands.ref_id AS ref_id,
-       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
-             (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 6) AS jaccard
-FROM cands
-JOIN shingles sa ON sa.doc_id = cands.doc_id AND sa.side = 'n'
-JOIN shingles sb ON sb.doc_id = cands.ref_id AND sb.side = 'r'
-WHERE CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
-      (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))) >= 0.8
-ORDER BY cands.doc_id, cands.ref_id
+),
+verified AS (
+    SELECT cands.doc_id AS doc_id, cands.ref_id AS ref_id,
+           ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+                 (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 6)
+             AS jaccard
+    FROM cands
+    JOIN shingles sa ON sa.doc_id = cands.doc_id AND sa.side = 'n'
+    JOIN shingles sb ON sb.doc_id = cands.ref_id AND sb.side = 'r'
+    WHERE CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE) /
+          (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))) >= 0.8
+)"""
+
+_NEAR_REF_ORACLE = f"""
+WITH nbatch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    UNION ALL
+    -- re-idified exact copies of reference docs: guaranteed jaccard-1.0
+    -- near-dups, so the cross-corpus path is provably non-vacuous
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+),
+nref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+allv AS (
+    SELECT 'n' AS side, doc_id, text FROM nbatch
+    UNION ALL
+    SELECT 'r' AS side, doc_id, text FROM nref
+),
+{_NEAR_MID_CTES}
+SELECT doc_id, ref_id, jaccard FROM verified
+ORDER BY doc_id, ref_id
 """
 
 
@@ -1659,3 +1671,94 @@ def dedup_near_against_reference(spark, sf_dir):
     return dedup.minhash_lsh_pairs_against(
         batch, ref, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     ).orderBy("doc_id", "ref_id")
+
+
+_INGEST_ORACLE = f"""
+WITH pbatch AS (
+    SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id >= 250
+    UNION ALL
+    -- exact copies of reference docs: stage 1's anti-join must drop them
+    SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE doc_id < 20
+    UNION ALL
+    -- within-batch exact copies: stage 1's first-per-fingerprint drops them
+    SELECT doc_id + 200000, lang, n_chars, text FROM documents
+    WHERE doc_id >= 250 AND doc_id < 260
+),
+pref AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+bfp AS (
+    SELECT doc_id, lang, n_chars, text,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+    FROM pbatch
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM bfp
+),
+reffp AS (
+    SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+    FROM pref
+),
+s1 AS (
+    SELECT r.doc_id, r.lang, r.n_chars, r.text
+    FROM ranked r LEFT JOIN reffp ON reffp.f = r.f
+    WHERE r.rn = 1 AND reffp.f IS NULL
+),
+allv AS (
+    SELECT 'n' AS side, doc_id, text FROM s1
+    UNION ALL
+    SELECT 'r' AS side, doc_id, text FROM pref
+),
+{_NEAR_MID_CTES},
+s2 AS (
+    SELECT s1.* FROM s1
+    LEFT JOIN (SELECT DISTINCT doc_id FROM verified) v USING (doc_id)
+    WHERE v.doc_id IS NULL
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s2 GROUP BY lang ORDER BY lang
+"""
+
+
+@query("pipeline_near_dedup_ingest", oracle=_INGEST_ORACLE)
+def pipeline_near_dedup_ingest(spark, sf_dir):
+    """The full crawl-ingest dedup ladder in one composition: EXACT stage
+    (within-batch first-per-fingerprint + anti-join against the
+    reference fingerprints — dedup.dedup_against_reference) followed by
+    the NEAR-dup stage (LSH banded against the reference, exact-verified
+    — dedup.minhash_lsh_pairs_against), then per-language stats of the
+    docs that would actually be appended to the corpus.  The batch
+    plants both exact-copy classes (cross-corpus and within-batch) so
+    stage 1's two drop paths fire, and the genuine cross-split near-dups
+    exercise stage 2.  The oracle shares _NEAR_MID_CTES with the
+    standalone near-dup entry, so the composed stages cannot silently
+    diverge from the operators they chain."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    batch = (
+        docs.where("doc_id >= 250")
+        .select("doc_id", "lang", "n_chars", "text")
+        .unionAll(
+            docs.where("doc_id < 20").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "lang", "n_chars", "text"
+            )
+        )
+        .unionAll(
+            docs.where("doc_id >= 250 AND doc_id < 260").select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "lang", "n_chars", "text"
+            )
+        )
+    )
+    ref = docs.where("doc_id < 250").select("doc_id", "text")
+    s1 = dedup.dedup_against_reference(batch, ref).localCheckpoint()
+    near = dedup.minhash_lsh_pairs_against(
+        s1, ref, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    s2 = s1.join(near.select("doc_id").distinct(), "doc_id", "left_anti")
+    return (
+        s2.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

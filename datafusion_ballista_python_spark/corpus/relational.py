@@ -1157,3 +1157,31 @@ def q14_promo_revenue(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 7 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark, sf_dir):
+    """LIMIT ... OFFSET pagination over a total order — SQL-dialect surface
+    the reference reaches via ctx.sql (DataFusion 24 supports OFFSET;
+    the Python binding's limit() exposes no offset, SURVEY §2.7).  Served
+    through our SQL path so the dialect coverage is what's checked; the
+    order is total (price desc, key) so the page is deterministic."""
+    from .util import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 7 OFFSET 10
+        """
+    )
