@@ -249,7 +249,7 @@ WITH words AS (
 shingles AS (
     SELECT doc_id,
            LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
-                                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+                                        i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
     FROM words
 ),
 hashed AS (
@@ -1588,9 +1588,12 @@ words AS (
     FROM allv
 ),
 shingles AS (
+    -- clamped list slice == Spark's slice+array_join: docs with < 3 words
+    -- yield ONE partial shingle (the '||' form NULLed out and dropped them,
+    -- a latent Spark/DuckDB divergence for short docs)
     SELECT side, doc_id,
            LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
-                                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+                                        i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
     FROM words
 ),
 hashed AS (
@@ -1753,7 +1756,9 @@ def pipeline_near_dedup_ingest(spark, sf_dir):
     near = dedup.minhash_lsh_pairs_against(
         s1, ref, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )
-    s2 = s1.join(near.select("doc_id").distinct(), "doc_id", "left_anti")
+    # no .distinct(): the anti join's build side is a hash set, so the
+    # extra shuffle would buy nothing (same rule minhash_lsh_pairs documents)
+    s2 = s1.join(near.select("doc_id"), "doc_id", "left_anti")
     return (
         s2.groupBy("lang")
         .agg(

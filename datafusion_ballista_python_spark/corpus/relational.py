@@ -1174,8 +1174,6 @@ def sort_limit_offset(spark, sf_dir):
     the Python binding's limit() exposes no offset, SURVEY §2.7).  Served
     through our SQL path so the dialect coverage is what's checked; the
     order is total (price desc, key) so the page is deterministic."""
-    from .util import register_views
-
     register_views(spark, sf_dir, "orders")
     return spark.sql(
         """

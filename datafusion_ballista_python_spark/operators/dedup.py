@@ -304,6 +304,73 @@ def minhash_signatures(
     )
 
 
+def _band_sig_inline(num_hashes: int, bands: int) -> Column:
+    """The banded-signature generator shared by the self-join and the
+    cross-corpus LSH: one (band, band_sig) row per band, built map-side
+    from the wide ``__mh*`` signature row (no (doc, band) re-shuffle).
+    ","-joined value-sorted mins: integers need a separator to be
+    collision-free in string form, and sorting by value matches
+    STRING_AGG(mh, ',' ORDER BY mh) on the oracle side.  ONE definition
+    so the two operator variants can never drift from each other (or
+    from the shared oracle CTEs)."""
+    rows_per_band = num_hashes // bands
+    return F.inline(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.array(*[
+                        F.col(f"__mh{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ])),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ])
+    )
+
+
+def _verify_exact_jaccard(
+    cands: DataFrame,
+    source: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float,
+    text_col: str,
+    shingle_n: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of LSH candidate pairs — the
+    quantity minhash estimates — shared by both LSH variants.  Shingle
+    arrays are recomputed ONLY for docs that appear in a candidate pair
+    (semi-join first): the expensive array build + the join input shrink
+    from O(corpus) to O(candidates).  No .distinct() on the id union —
+    the semi-join's build side is a hash set, so the extra shuffle would
+    buy nothing."""
+    cand_ids = cands.select(F.col(left_col).alias(id_col)).union(
+        cands.select(F.col(right_col).alias(id_col))
+    )
+    sh = with_shingles(
+        source.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, "grams"
+    ).select(F.col(id_col), F.col("grams"))
+    pairs = (
+        cands.join(
+            sh.select(F.col(id_col).alias(left_col), F.col("grams").alias("ga")),
+            left_col,
+        )
+        .join(
+            sh.select(F.col(id_col).alias(right_col), F.col("grams").alias("gb")),
+            right_col,
+        )
+        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
+    )
+    jac = F.col("__is").cast("double") / (F.size("ga") + F.size("gb") - F.col("__is"))
+    return pairs.where(jac >= threshold).select(
+        left_col, right_col, F.round(jac, 6).alias("jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -320,30 +387,7 @@ def minhash_lsh_pairs(
     filters to >= threshold.  Returns (doc_a, doc_b, jaccard).
     """
     wide = _minhash_wide(df, num_hashes, shingle_n, text_col, id_col)
-    rows_per_band = num_hashes // bands
-    # band signatures are built map-side from the wide signature row (no
-    # (doc, band) re-shuffle; the only signature shuffle is the groupBy(doc)
-    # inside _minhash_wide).  ","-joined value-sorted mins: integers need a
-    # separator to be collision-free in string form, and sorting by value
-    # matches STRING_AGG(mh, ',' ORDER BY mh) on the oracle side.
-    banded = wide.select(
-        F.col(id_col),
-        F.inline(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.sort_array(F.array(*[
-                            F.col(f"__mh{b * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ])),
-                    ).alias("band_sig"),
-                )
-                for b in range(bands)
-            ])
-        ),
-    )
+    banded = wide.select(F.col(id_col), _band_sig_inline(num_hashes, bands))
     # the self-join below would otherwise recompute the whole corpus-scan ->
     # hash -> agg DAG for each side; banded is O(docs x bands) tiny rows
     # (~100x smaller than the corpus), so persisting it is the right trade
@@ -360,26 +404,8 @@ def minhash_lsh_pairs(
         # verify join) — persist instead of recomputing the bucket shuffle
         .persist()
     )
-    # verify with exact SHINGLE jaccard — the quantity minhash estimates.
-    # Shingle arrays are recomputed ONLY for docs that appear in a candidate
-    # pair (semi-join first): at any scale the expensive array build + the
-    # join input shrink from O(corpus) to O(candidates).
-    # no .distinct() — the semi-join below dedups inherently (its build side
-    # is a hash set), so the extra shuffle would buy nothing
-    cand_ids = cands.select(F.col("doc_a").alias(id_col)).union(
-        cands.select(F.col("doc_b").alias(id_col))
-    )
-    sh = with_shingles(
-        df.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, "grams"
-    ).select(F.col(id_col), F.col("grams"))
-    pairs = (
-        cands.join(sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
-        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
-    )
-    jac = F.col("__is").cast("double") / (F.size("ga") + F.size("gb") - F.col("__is"))
-    return pairs.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    return _verify_exact_jaccard(
+        cands, df, "doc_a", "doc_b", threshold, text_col, shingle_n, id_col
     )
 
 
@@ -707,25 +733,8 @@ def minhash_lsh_pairs_against(
     wide = _minhash_wide(tagged, num_hashes, shingle_n, text_col, id_col)
     sides = tagged.select(id_col, "__side").distinct()
     wide = wide.join(sides, id_col)
-    rows_per_band = num_hashes // bands
     banded = wide.select(
-        F.col(id_col),
-        "__side",
-        F.inline(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.sort_array(F.array(*[
-                            F.col(f"__mh{b * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ])),
-                    ).alias("band_sig"),
-                )
-                for b in range(bands)
-            ])
-        ),
+        F.col(id_col), "__side", _band_sig_inline(num_hashes, bands)
     ).persist()
     cands = (
         banded.where(F.col("__side") == "n")
@@ -740,24 +749,13 @@ def minhash_lsh_pairs_against(
         .distinct()
         .persist()
     )
-    cand_ids = cands.select(F.col("doc_id").alias(id_col)).union(
-        cands.select(F.col("ref_id").alias(id_col))
-    )
-    sh = with_shingles(
-        tagged.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, "grams"
-    ).select(F.col(id_col), "grams")
-    pairs = (
-        cands.join(
-            sh.select(F.col(id_col).alias("doc_id"), F.col("grams").alias("ga")),
-            "doc_id",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("ref_id"), F.col("grams").alias("gb")),
-            "ref_id",
-        )
-        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
-    )
-    jac = F.col("__is").cast("double") / (F.size("ga") + F.size("gb") - F.col("__is"))
-    return pairs.where(jac >= threshold).select(
-        "doc_id", "ref_id", F.round(jac, 6).alias("jaccard")
+    return _verify_exact_jaccard(
+        cands,
+        tagged,
+        "doc_id",
+        "ref_id",
+        threshold,
+        text_col,
+        shingle_n,
+        id_col,
     )

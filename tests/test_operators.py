@@ -1481,3 +1481,36 @@ def test_minhash_against_reference_finds_planted_and_respects_sides(spark):
     # (this operator is strictly cross-corpus)
     assert all(ref_id in (1, 2) for _, ref_id in out)
     assert not any(d == 102 for d, _ in out)
+
+
+def test_shingles_short_docs_agree_with_oracle_slice_form(spark):
+    """Docs with < shingle_n words yield ONE partial shingle on BOTH
+    engines: Spark's slice+array_join clamps, and the oracle CTEs now use
+    DuckDB's clamped list slice (the old '||' form NULLed short docs out
+    of the signature pipeline entirely — a latent divergence)."""
+    import duckdb
+
+    from datafusion_ballista_python_spark.operators.dedup import with_shingles
+
+    rows = [(1, "hello world"), (2, "one"), (3, "three word doc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: sorted(r["grams"])
+        for r in with_shingles(df, "text", 3, "grams").collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    ora = {
+        k: sorted(v)
+        for k, v in con.sql("""
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                       i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w
+                  FROM d)
+        """).fetchall()
+    }
+    assert got == ora
+    assert got[1] == ["hello world"] and got[2] == ["one"]
