@@ -641,3 +641,79 @@ def cdc_upsert_sink(
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def incremental_near_dedup_sink(
+    docs_stream: DataFrame,
+    store_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_path: str | None = None,
+):
+    """The NEAR-dup upgrade of :func:`incremental_dedup_sink`: each
+    micro-batch is (1) exact-deduped within itself and against the
+    store's fingerprints, (2) pruned of within-batch near-dups (banded
+    LSH self-join, greedy keep-lowest: any doc appearing as the higher
+    id of a verified pair is dropped — conservative on chains), and (3)
+    pruned of docs with a verified near-dup already IN the store
+    (operators/dedup.minhash_lsh_pairs_against), before appending.
+
+    Idempotence under at-least-once replay: a re-delivered row is an
+    EXACT copy of its stored self, so stage 1 drops it — duplicates
+    cannot accumulate no matter how the batch boundary crashed (same
+    contract as the exact sink, proven in tests).
+
+    Scale note: stage 3 reads (id, text) back from the store to band it
+    per batch; a production deployment materializes the store's banded
+    signatures ONCE (columns of the store, exactly like ``__fp``) and
+    appends each batch's signatures alongside — the band join then never
+    re-shingles the corpus.  The batch side of every join here is the
+    micro-batch: tiny, broadcast by AQE.
+    """
+    from ..operators import dedup as dd
+    from ..operators.text import normalized_text
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        fresh = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        store = _read_store_or_none(spark, store_path)
+        if store is not None:
+            fresh = fresh.join(store.select("__fp"), "__fp", "left_anti")
+        # several actions below resolve this frame; pin one snapshot
+        fresh = fresh.localCheckpoint()
+        # within-batch near-dups: greedy keep-lowest-id per verified pair
+        self_pairs = dd.minhash_lsh_pairs(
+            fresh, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        fresh = fresh.join(
+            self_pairs.select(F.col("doc_b").alias(id_col)), id_col, "left_anti"
+        )
+        if store is not None:
+            near = dd.minhash_lsh_pairs_against(
+                fresh, store.select(id_col, text_col),
+                num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+            )
+            fresh = fresh.join(near.select(id_col), id_col, "left_anti")
+        fresh.write.mode("append").parquet(store_path)
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

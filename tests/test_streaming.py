@@ -449,3 +449,59 @@ def test_cdc_upsert_sink_recovers_from_crashed_first_write(spark, sf_dir, tmp_pa
     )
     q.awaitTermination()
     assert spark.read.parquet(store).count() > 0
+
+
+def test_incremental_near_dedup_sink_drops_near_and_exact(spark, tmp_path):
+    """The near-dup ingest sink: exact store dups, near-dups of stored
+    docs, and within-batch near pairs are all dropped; novel docs land."""
+    from datafusion_ballista_python_spark import streaming as S
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    rows_a = [(1, base), (2, other)]
+    rows_b = [
+        (10, base),                  # exact dup of stored 1 -> dropped
+        (11, base + " phi"),         # near-dup of stored 1 -> dropped
+        (12, other[:-10] + " extra word here appended now"),  # near of 2? keep if < thr
+        (20, "completely novel content nothing like anything stored before x y z"),
+        (21, "completely novel content nothing like anything stored before x y q"),
+        # 20/21 are a within-batch near pair -> keep lowest id (20)
+    ]
+    src_a, src_b = str(tmp_path / "na"), str(tmp_path / "nb")
+    store = str(tmp_path / "nstore")
+    spark.createDataFrame(rows_a, ["doc_id", "text"]).write.parquet(src_a)
+    spark.createDataFrame(rows_b, ["doc_id", "text"]).write.parquet(src_b)
+    schema = "doc_id long, text string"
+    for src in (src_a, src_b):
+        q = S.incremental_near_dedup_sink(
+            spark.readStream.schema(schema).parquet(src), store, threshold=0.8
+        )
+        q.awaitTermination()
+    stored = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert {1, 2, 20} <= stored
+    assert 10 not in stored and 11 not in stored and 21 not in stored
+
+
+def test_incremental_near_dedup_sink_replay_idempotent(spark, tmp_path):
+    """Re-ingesting the same batch (at-least-once replay) grows nothing."""
+    from datafusion_ballista_python_spark import streaming as S
+
+    rows = [(i, f"document number {i} with some shared words in common here")
+            for i in range(8)]
+    src = str(tmp_path / "rin")
+    store = str(tmp_path / "rstore")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    schema = "doc_id long, text string"
+    for _ in range(2):  # ingest the SAME input twice
+        q = S.incremental_near_dedup_sink(
+            spark.readStream.schema(schema).parquet(src), store, threshold=0.9
+        )
+        q.awaitTermination()
+    stored = spark.read.parquet(store)
+    first_pass = {r["doc_id"] for r in stored.collect()}
+    assert len(first_pass) == stored.count()  # no duplicate ids
+    # exact replays all dropped: count equals the single-pass survivor set
+    assert stored.count() <= 8
+    assert stored.select("__fp").distinct().count() == stored.count()
