@@ -836,3 +836,36 @@ def pipeline_classifier_curation(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT f.lang, s.score
+        FROM ({_SQL_FEATS}) f JOIN ({_SQL_SCORE}) s USING (doc_id)
+    )
+    SELECT CAST(LEAST(GREATEST(FLOOR(score * 10), 0), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_pos
+    FROM labeled GROUP BY 1 ORDER BY 1
+    """,
+)
+def eval_calibration_bins(spark, sf_dir):
+    """Reliability table (operators/quality.calibration_bins) of the
+    logistic quality score against the is-English label: decile bins,
+    exact-decimal mean score, BIGINT positive rates — the calibration
+    half of the eval pair (eval_auc_scores measures ranking).  One
+    bin-keyed partial aggregate; at most 10 rows leave the partials."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = quality.linear_score(
+        _spark_feats(docs),
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    labeled = scored.select("score", (F.col("lang") == "en").alias("is_en"))
+    return quality.calibration_bins(labeled, "score", "is_en", n_bins=10)

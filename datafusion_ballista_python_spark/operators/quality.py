@@ -375,3 +375,49 @@ def winsorize(
         .withColumn(out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier: scores bucketed
+    into ``n_bins`` fixed-width [0,1) bins, with per-bin count, exact
+    mean score and positive rate — the calibration eval that pairs with
+    :func:`auc_roc` (AUC measures ranking; this measures whether 0.8
+    MEANS 80%).
+
+    Bin = floor(score * n) clamped to n-1 (so score 1.0 lands in the top
+    bin).  Mean score accumulates exactly in DECIMAL (partition-order
+    independent) with one final rounded division; positive rate is a
+    BIGINT ratio rounded at 6.  One partial-agg shuffle on the bin key —
+    at most ``n_bins`` rows leave the partial aggregates.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("long")
+    label = F.col(label_col).cast("boolean")
+    return (
+        df.where(s.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), label.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

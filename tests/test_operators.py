@@ -1514,3 +1514,21 @@ def test_shingles_short_docs_agree_with_oracle_slice_form(spark):
     }
     assert got == ora
     assert got[1] == ["hello world"] and got[2] == ["one"]
+
+
+def test_calibration_bins_perfect_and_clamped(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.quality import calibration_bins
+
+    rows = [(0.05, False)] * 9 + [(0.05, True)]        # bin 0: 10% positive
+    rows += [(0.95, True)] * 9 + [(0.95, False)]       # bin 9: 90% positive
+    rows += [(1.0, True)]                               # score 1.0 clamps to bin 9
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", 10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["n"] == 10 and out[0]["frac_pos"] == 0.1
+    assert out[9]["n"] == 11  # includes the clamped 1.0 row
+    assert abs(out[9]["mean_score"] - (0.95 * 10 + 1.0) / 11) < 1e-6
+    with pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", 1)
