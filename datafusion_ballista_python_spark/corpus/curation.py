@@ -869,3 +869,45 @@ def eval_calibration_bins(spark, sf_dir):
     )
     labeled = scored.select("score", (F.col("lang") == "en").alias("is_en"))
     return quality.calibration_bins(labeled, "score", "is_en", n_bins=10)
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (SELECT o_totalprice * 1.1 AS v FROM orders WHERE o_orderkey % 2 = 1),
+    pr AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_r FROM ref GROUP BY v),
+    pc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_c FROM cur GROUP BY v),
+    merged AS (
+        SELECT COALESCE(pr.v, pc.v) AS v,
+               COALESCE(n_r, 0) AS n_r, COALESCE(n_c, 0) AS n_c
+        FROM pr FULL JOIN pc ON pr.v = pc.v
+    ),
+    tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS n_ref,
+                   CAST(SUM(n_c) AS BIGINT) AS n_cur FROM merged),
+    cum AS (
+        SELECT CAST(SUM(n_r) OVER w AS BIGINT) AS cr,
+               CAST(SUM(n_c) OVER w AS BIGINT) AS cc
+        FROM merged
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ROUND(CAST(MAX(ABS(cr * t.n_cur - cc * t.n_ref)) AS DOUBLE)
+                 / (MAX(t.n_ref) * MAX(t.n_cur)), 12) AS ks_d,
+           MAX(t.n_ref) AS n_ref, MAX(t.n_cur) AS n_cur
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def dq_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic
+    (operators/quality.ks_statistic): a planted 10% price inflation on
+    the odd-key half of orders against the even-key half — the
+    binning-free companion to dq_psi_drift.  The ECDF difference stays
+    cross-multiplied BIGINT, so D is integer-exact before one rounded
+    division; the only ordered window runs over the distinct-value
+    frame."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    ref = orders.where("o_orderkey % 2 = 0").select("o_totalprice")
+    cur = orders.where("o_orderkey % 2 = 1").select(
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    )
+    return quality.ks_statistic(ref, cur, "o_totalprice")

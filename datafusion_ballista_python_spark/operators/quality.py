@@ -421,3 +421,58 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def ks_statistic(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two snapshots of a
+    numeric column: D = max over values of |ECDF_ref - ECDF_cur| — the
+    binning-free companion to :func:`psi_drift` (PSI depends on a bin
+    choice; KS does not, and is the standard distribution-shift test).
+
+    Distributed shape, same pattern as :func:`auc_roc`: each side
+    collapses map-side to one (value, count) row per DISTINCT value, the
+    two sides merge on the value key, and ONE ordered window computes
+    running totals over that bounded frame (cardinality of the value
+    domain, not the data — quantize heavy continuous columns upstream).
+    The ECDF difference is exact: cum_ref * n_cur - cum_cur * n_ref
+    stays in BIGINT, so D is an integer ratio with one final rounded
+    division.
+
+    Returns one row: ``(ks_d, n_ref, n_cur)``.
+    """
+    from pyspark.sql import Window
+
+    def per_value(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        return (
+            df.where(v.isNotNull())
+            .select(v.alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+    merged = per_value(reference, "n_r").join(
+        per_value(current, "n_c"), "__v", "full"
+    ).na.fill({"n_r": 0, "n_c": 0})
+    totals = merged.agg(
+        F.sum("n_r").cast("long").alias("n_ref"),
+        F.sum("n_c").cast("long").alias("n_cur"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("n_r").over(w).cast("long").alias("cr"),
+        F.sum("n_c").over(w).cast("long").alias("cc"),
+    ).crossJoin(F.broadcast(totals))
+    # |ECDF_ref - ECDF_cur| at each value, cross-multiplied to stay BIGINT
+    diff = F.abs(F.col("cr") * F.col("n_cur") - F.col("cc") * F.col("n_ref"))
+    return cum.agg(
+        F.round(
+            F.max(diff).cast("double") / (F.max("n_ref") * F.max("n_cur")),
+            12,
+        ).alias("ks_d"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )

@@ -1532,3 +1532,17 @@ def test_calibration_bins_perfect_and_clamped(spark):
     assert abs(out[9]["mean_score"] - (0.95 * 10 + 1.0) / 11) < 1e-6
     with pytest.raises(ValueError):
         calibration_bins(df, "s", "y", 1)
+
+
+def test_ks_statistic_extremes(spark):
+    from datafusion_ballista_python_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    same = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    assert ks_statistic(a, same, "v").collect()[0]["ks_d"] == 0.0
+    disjoint = spark.createDataFrame([(float(i + 1000),) for i in range(50)], ["v"])
+    r = ks_statistic(a, disjoint, "v").collect()[0]
+    assert r["ks_d"] == 1.0 and r["n_ref"] == 100 and r["n_cur"] == 50
+    # half-shifted: D = 0.5 exactly (integer-ratio arithmetic)
+    shifted = spark.createDataFrame([(float(i + 50),) for i in range(100)], ["v"])
+    assert ks_statistic(a, shifted, "v").collect()[0]["ks_d"] == 0.5
