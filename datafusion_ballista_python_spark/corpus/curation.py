@@ -911,3 +911,34 @@ def dq_ks_drift(spark, sf_dir):
         (F.col("o_totalprice") * 1.1).alias("o_totalprice")
     )
     return quality.ks_statistic(ref, cur, "o_totalprice")
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT s.score, CASE WHEN f.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM ({_SQL_FEATS}) f JOIN ({_SQL_SCORE}) s USING (doc_id)
+    )
+    SELECT ROUND(CAST(SUM(CAST(ROUND((score - y) * (score - y), 6)
+                               AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS brier,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM labeled
+    """,
+)
+def eval_brier_score(spark, sf_dir):
+    """Brier score (operators/quality.brier_score) of the logistic quality
+    score against the is-English label — the proper-scoring-rule third
+    of the eval trio (AUC ranks, calibration bins check reliability,
+    Brier scores both at once).  Per-row squared error rounds at 6 then
+    sums exactly in DECIMAL; one aggregate pass."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = quality.linear_score(
+        _spark_feats(docs),
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    labeled = scored.select("score", (F.col("lang") == "en").alias("is_en"))
+    return quality.brier_score(labeled, "score", "is_en")

@@ -476,3 +476,30 @@ def ks_statistic(
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score — mean squared error of probabilistic predictions —
+    completing the eval trio with :func:`auc_roc` (ranking) and
+    :func:`calibration_bins` (reliability): a single proper scoring rule
+    that penalizes both miscalibration and lack of resolution.
+
+    Per-row squared error is one fixed double op sequence rounded at 6,
+    then accumulated exactly in DECIMAL (partition-order independent)
+    with one final rounded division — the corpus determinism contract.
+    One aggregate pass, no shuffle beyond the final 1-row reduce.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.when(F.col(label_col).cast("boolean"), F.lit(1.0)).otherwise(F.lit(0.0))
+    se = F.round((s - y) * (s - y), 6)
+    return df.where(s.isNotNull()).agg(
+        F.round(
+            F.sum(se.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -1546,3 +1546,14 @@ def test_ks_statistic_extremes(spark):
     # half-shifted: D = 0.5 exactly (integer-ratio arithmetic)
     shifted = spark.createDataFrame([(float(i + 50),) for i in range(100)], ["v"])
     assert ks_statistic(a, shifted, "v").collect()[0]["ks_d"] == 0.5
+
+
+def test_brier_score_known_values(spark):
+    from datafusion_ballista_python_spark.operators.quality import brier_score
+
+    perfect = spark.createDataFrame([(1.0, True), (0.0, False)], ["s", "y"])
+    assert brier_score(perfect, "s", "y").collect()[0]["brier"] == 0.0
+    worst = spark.createDataFrame([(0.0, True), (1.0, False)], ["s", "y"])
+    assert brier_score(worst, "s", "y").collect()[0]["brier"] == 1.0
+    half = spark.createDataFrame([(0.5, True), (0.5, False)], ["s", "y"])
+    assert brier_score(half, "s", "y").collect()[0]["brier"] == 0.25
