@@ -714,48 +714,64 @@ def minhash_lsh_pairs_against(
     near-dup at or above the threshold (anti-join the batch against the
     distinct ``doc_id`` output to keep only novel docs).
 
-    Ids must be disjoint between the two frames (they key the verify
-    joins).  Scale shape is the self-join variant's, asymmetric: ONE
-    signature pipeline over the union (map-side partial collapse to
-    num_hashes longs per doc), the candidate join shuffles band keys
-    with the batch side usually tiny (AQE broadcasts it), and the exact
-    verify recomputes shingles only for candidate-pair members.  At
-    steady state, persist the reference's banded signatures once and
-    reuse them across batches.
+    Ids may OVERLAP between the two frames: the pipeline keys every
+    internal stage on a composite (side, id) string — exactly how the
+    SQL oracle keys its CTEs — so a batch doc reusing a stored id never
+    merges signatures with its namesake (a raw-id grouping would form a
+    spurious self-candidate and silently drop the genuinely novel doc).
+    Scale shape is the self-join variant's, asymmetric: ONE signature
+    pipeline over the union (map-side partial collapse to num_hashes
+    longs per doc), the candidate join shuffles band keys with the
+    batch side usually tiny (AQE broadcasts it), and the exact verify
+    recomputes shingles only for candidate-pair members.  At steady
+    state, persist the reference's banded signatures once and reuse
+    them across batches.
     """
-    tagged = batch.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__side", F.lit("n")
-    ).unionByName(
-        reference.select(F.col(id_col), F.col(text_col)).withColumn(
-            "__side", F.lit("r")
+    key = F.concat(F.col("__side"), F.lit(":"), F.col(id_col).cast("string"))
+    tagged = (
+        batch.select(F.col(id_col), F.col(text_col))
+        .withColumn("__side", F.lit("n"))
+        .unionByName(
+            reference.select(F.col(id_col), F.col(text_col)).withColumn(
+                "__side", F.lit("r")
+            )
         )
+        .withColumn("__key", key)
     )
-    wide = _minhash_wide(tagged, num_hashes, shingle_n, text_col, id_col)
-    sides = tagged.select(id_col, "__side").distinct()
-    wide = wide.join(sides, id_col)
+    wide = _minhash_wide(tagged, num_hashes, shingle_n, text_col, "__key")
     banded = wide.select(
-        F.col(id_col), "__side", _band_sig_inline(num_hashes, bands)
+        F.col("__key"), _band_sig_inline(num_hashes, bands)
     ).persist()
+    is_n = F.col("__key").startswith("n:")
     cands = (
-        banded.where(F.col("__side") == "n")
-        .select(F.col(id_col).alias("doc_id"), "band", "band_sig")
+        banded.where(is_n)
+        .select(F.col("__key").alias("__nk"), "band", "band_sig")
         .join(
-            banded.where(F.col("__side") == "r").select(
-                F.col(id_col).alias("ref_id"), "band", "band_sig"
+            banded.where(~is_n).select(
+                F.col("__key").alias("__rk"), "band", "band_sig"
             ),
             ["band", "band_sig"],
         )
-        .select("doc_id", "ref_id")
+        .select("__nk", "__rk")
         .distinct()
         .persist()
     )
-    return _verify_exact_jaccard(
+    verified = _verify_exact_jaccard(
         cands,
-        tagged,
-        "doc_id",
-        "ref_id",
+        tagged.select(F.col("__key"), F.col(text_col)),
+        "__nk",
+        "__rk",
         threshold,
         text_col,
         shingle_n,
-        id_col,
+        "__key",
+    )
+    # map composite keys back to the ORIGINAL ids (and their types)
+    ids = tagged.select("__key", F.col(id_col))
+    return (
+        verified.join(ids.select(F.col("__key").alias("__nk"),
+                                 F.col(id_col).alias("doc_id")), "__nk")
+        .join(ids.select(F.col("__key").alias("__rk"),
+                         F.col(id_col).alias("ref_id")), "__rk")
+        .select("doc_id", "ref_id", "jaccard")
     )

@@ -221,6 +221,9 @@ def auc_roc(
     from pyspark.sql import Window
 
     label = F.col(label_col).cast("boolean")
+    # rows with a NULL label are EXCLUDED (they are neither pos nor neg);
+    # the old when/otherwise silently counted them as negatives
+    df = df.where(label.isNotNull())
     per = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("__pos"),
         F.sum(F.when(label, 0).otherwise(1)).cast("long").alias("__neg"),
@@ -403,7 +406,9 @@ def calibration_bins(
     ).cast("long")
     label = F.col(label_col).cast("boolean")
     return (
-        df.where(s.isNotNull())
+        # NULL scores AND NULL labels are both excluded — a NULL label is
+        # not a negative, and counting it as one biases frac_pos down
+        df.where(s.isNotNull() & label.isNotNull())
         .select(b.alias("bin"), s.alias("__s"), label.alias("__y"))
         .groupBy("bin")
         .agg(
@@ -456,25 +461,38 @@ def ks_statistic(
         )
     merged = per_value(reference, "n_r").join(
         per_value(current, "n_c"), "__v", "full"
-    ).na.fill({"n_r": 0, "n_c": 0})
-    totals = merged.agg(
+    ).na.fill({"n_r": 0, "n_c": 0}).localCheckpoint()
+    # ONE eager totals probe off the checkpointed frame: it both guards the
+    # degenerate cases (an empty side would make ks_d a silent NULL that a
+    # `ks_d > tau` gate reads as "no drift" — total data loss passing the
+    # gate; fail loudly like psi_drift) and turns the totals into literals,
+    # so the window pass doesn't re-derive the scan+join lineage a second
+    # time (same collect-once precedent as psi_drift).
+    tot = merged.agg(
         F.sum("n_r").cast("long").alias("n_ref"),
         F.sum("n_c").cast("long").alias("n_cur"),
-    )
+    ).collect()[0]
+    n_ref, n_cur = tot["n_ref"], tot["n_cur"]
+    if not n_ref or not n_cur:
+        raise ValueError(
+            f"ks_statistic: empty snapshot for {col!r} "
+            f"(n_ref={n_ref}, n_cur={n_cur}) — a KS gate over nothing is "
+            "meaningless; fix the feed"
+        )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
         F.sum("n_r").over(w).cast("long").alias("cr"),
         F.sum("n_c").over(w).cast("long").alias("cc"),
-    ).crossJoin(F.broadcast(totals))
+    )
     # |ECDF_ref - ECDF_cur| at each value, cross-multiplied to stay BIGINT
-    diff = F.abs(F.col("cr") * F.col("n_cur") - F.col("cc") * F.col("n_ref"))
+    diff = F.abs(F.col("cr") * F.lit(n_cur) - F.col("cc") * F.lit(n_ref))
     return cum.agg(
         F.round(
-            F.max(diff).cast("double") / (F.max("n_ref") * F.max("n_cur")),
+            F.max(diff).cast("double") / F.lit(float(n_ref) * float(n_cur)),
             12,
         ).alias("ks_d"),
-        F.max("n_ref").alias("n_ref"),
-        F.max("n_cur").alias("n_cur"),
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        F.lit(n_cur).cast("long").alias("n_cur"),
     )
 
 
@@ -496,7 +514,8 @@ def brier_score(
     s = F.col(score_col).cast("double")
     y = F.when(F.col(label_col).cast("boolean"), F.lit(1.0)).otherwise(F.lit(0.0))
     se = F.round((s - y) * (s - y), 6)
-    return df.where(s.isNotNull()).agg(
+    # NULL labels excluded, same contract as auc_roc/calibration_bins
+    return df.where(s.isNotNull() & F.col(label_col).isNotNull()).agg(
         F.round(
             F.sum(se.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)),
             6,

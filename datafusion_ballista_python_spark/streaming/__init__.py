@@ -505,16 +505,8 @@ def incremental_dedup_sink(
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
-        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
-        fresh = (
-            fp.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         seen = _read_store_or_none(spark, store_path, "__fp")
-        if seen is not None:
-            fresh = fresh.join(seen, "__fp", "left_anti")
+        fresh = _exact_fresh(batch, seen, text_col, id_col)
         fresh.write.mode("append").parquet(store_path)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
@@ -643,6 +635,44 @@ def cdc_upsert_sink(
     return writer.start()
 
 
+def _exact_fresh(batch: "DataFrame", store, text_col: str, id_col: str):
+    """Stage 1 shared by both ingestion sinks: fingerprint the batch, keep
+    the first arrival per fingerprint, and drop anything whose fingerprint
+    the store already holds.  ONE definition so the two sinks' idempotence
+    contracts can never diverge."""
+    from ..operators.text import normalized_text
+
+    fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    fresh = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if store is not None:
+        fresh = fresh.join(store.select("__fp"), "__fp", "left_anti")
+    return fresh
+
+
+def _unpersist_created_during(spark: SparkSession, before_ids: set) -> None:
+    """Release every RDD persisted since ``before_ids`` was snapshotted —
+    the per-micro-batch cache cleanup for sinks that call batch operators
+    whose internal persists were sized for one-shot jobs (a long-running
+    stream would otherwise accumulate 4 cached frames per batch,
+    unbounded)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        if rid not in before_ids:
+            try:
+                jmap.get(rid).unpersist()
+            except Exception:
+                pass
+
+
+def _persisted_ids(spark: SparkSession) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
 def incremental_near_dedup_sink(
     docs_stream: DataFrame,
     store_path: str,
@@ -675,21 +705,13 @@ def incremental_near_dedup_sink(
     micro-batch: tiny, broadcast by AQE.
     """
     from ..operators import dedup as dd
-    from ..operators.text import normalized_text
 
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        fp = batch.withColumn("__fp", F.md5(normalized_text(text_col)))
-        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
-        fresh = (
-            fp.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        cached_before = _persisted_ids(spark)
         store = _read_store_or_none(spark, store_path)
-        if store is not None:
-            fresh = fresh.join(store.select("__fp"), "__fp", "left_anti")
+        fresh = _exact_fresh(batch, store, text_col, id_col)
         # several actions below resolve this frame; pin one snapshot
         fresh = fresh.localCheckpoint()
         # within-batch near-dups: greedy keep-lowest-id per verified pair
@@ -710,6 +732,10 @@ def incremental_near_dedup_sink(
             )
             fresh = fresh.join(near.select(id_col), id_col, "left_anti")
         fresh.write.mode("append").parquet(store_path)
+        # release the LSH operators' internal persists: they are sized for
+        # one-shot batch jobs, and a long-running stream would otherwise
+        # cache 4 more frames every micro-batch, unbounded
+        _unpersist_created_during(spark, cached_before)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True

@@ -505,3 +505,30 @@ def test_incremental_near_dedup_sink_replay_idempotent(spark, tmp_path):
     # exact replays all dropped: count equals the single-pass survivor set
     assert stored.count() <= 8
     assert stored.select("__fp").distinct().count() == stored.count()
+
+
+def test_near_dedup_sink_handles_reused_ids_and_releases_cache(spark, tmp_path):
+    """A batch doc REUSING a stored doc_id with different content must
+    survive (composite side-keys in the cross-corpus LSH), and the sink
+    must not leak the LSH operators' internal persists across batches."""
+    from datafusion_ballista_python_spark import streaming as S
+
+    rows_a = [(5, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    rows_b = [(5, "entirely different content reusing the same identifier here")]
+    src_a, src_b = str(tmp_path / "ra"), str(tmp_path / "rb")
+    store = str(tmp_path / "rid_store")
+    spark.createDataFrame(rows_a, ["doc_id", "text"]).write.parquet(src_a)
+    spark.createDataFrame(rows_b, ["doc_id", "text"]).write.parquet(src_b)
+    schema = "doc_id long, text string"
+    for src in (src_a, src_b):
+        q = S.incremental_near_dedup_sink(
+            spark.readStream.schema(schema).parquet(src), store, threshold=0.8
+        )
+        q.awaitTermination()
+    stored = spark.read.parquet(store)
+    # both contents present (the novel doc was NOT dropped by its namesake)
+    assert stored.count() == 2
+    assert stored.select("__fp").distinct().count() == 2
+    # no cached frames left behind by the per-batch LSH internals
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leftover == 0, f"{leftover} persisted RDDs leaked"
