@@ -520,6 +520,9 @@ def test_near_dedup_sink_handles_reused_ids_and_releases_cache(spark, tmp_path):
     spark.createDataFrame(rows_a, ["doc_id", "text"]).write.parquet(src_a)
     spark.createDataFrame(rows_b, ["doc_id", "text"]).write.parquet(src_b)
     schema = "doc_id long, text string"
+    # RELATIVE leak check: other suite tests legitimately hold caches in
+    # the shared session, so assert no NET growth, not an empty cache
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for src in (src_a, src_b):
         q = S.incremental_near_dedup_sink(
             spark.readStream.schema(schema).parquet(src), store, threshold=0.8
@@ -530,5 +533,5 @@ def test_near_dedup_sink_handles_reused_ids_and_releases_cache(spark, tmp_path):
     assert stored.count() == 2
     assert stored.select("__fp").distinct().count() == 2
     # no cached frames left behind by the per-batch LSH internals
-    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert leftover == 0, f"{leftover} persisted RDDs leaked"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"{after - before} persisted RDDs leaked"
