@@ -146,6 +146,7 @@ def quality_lr_score(spark, sf_dir):
             SELECT f.lang, s.score
             FROM ({_SQL_FEATS}) f JOIN ({_SQL_SCORE}) s USING (doc_id)
         )
+        WHERE score IS NOT NULL AND lang IS NOT NULL
         GROUP BY score
     ),
     c AS (
@@ -485,7 +486,8 @@ def text_bigram_pmi(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(CASE WHEN n_chars <= q0 THEN 0
+           CAST(CASE WHEN n_chars IS NULL THEN NULL
+                     WHEN n_chars <= q0 THEN 0
                      WHEN n_chars <= q1 THEN 1
                      WHEN n_chars <= q2 THEN 2
                      ELSE 3 END AS BIGINT) AS bucket
@@ -759,7 +761,9 @@ def train_feature_hashing(spark, sf_dir):
         FROM orders
     )
     SELECT o_orderkey, o_totalprice,
-           LEAST(GREATEST(o_totalprice, lo), hi) AS o_totalprice_winsorized
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                ELSE LEAST(GREATEST(o_totalprice, lo), hi)
+           END AS o_totalprice_winsorized
     FROM orders CROSS JOIN b
     ORDER BY o_orderkey
     """,

@@ -95,9 +95,15 @@ def decode_png(data: bytes) -> Image:
             idat += body
     if width is None or not idat:
         raise ImageCodecError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded decompress: dimensions are validated from IHDR, but the
+    # IDAT stream itself is untrusted — an unbounded zlib.decompress on a
+    # crafted payload could demand GBs (decompression bomb) and OOM the
+    # executor task instead of raising.  Cap output at expected + 1: one
+    # extra byte distinguishes "too much data" from an exact match
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ImageCodecError("scanline size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)

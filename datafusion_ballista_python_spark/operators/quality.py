@@ -221,9 +221,12 @@ def auc_roc(
     from pyspark.sql import Window
 
     label = F.col(label_col).cast("boolean")
-    # rows with a NULL label are EXCLUDED (they are neither pos nor neg);
-    # the old when/otherwise silently counted them as negatives
-    df = df.where(label.isNotNull())
+    # rows with a NULL label OR a NULL score are EXCLUDED — a NULL label
+    # is neither pos nor neg, and a NULL score would form its own group
+    # ordered NULLS FIRST (counted as the LOWEST score, and divergent vs
+    # DuckDB's NULLS LAST).  Same exclusion contract as calibration_bins
+    # and brier_score
+    df = df.where(label.isNotNull() & F.col(score_col).isNotNull())
     per = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("__pos"),
         F.sum(F.when(label, 0).otherwise(1)).cast("long").alias("__neg"),
@@ -373,9 +376,16 @@ def winsorize(
         F.percentile(v, F.lit(float(upper))).alias("__hi"),
     )
     out = out_col or f"{value_col}_winsorized"
+    # NULL guard: F.least/F.greatest SKIP NULLs in Spark, so an unguarded
+    # least(greatest(NULL, lo), hi) returns lo — silently imputing the
+    # lower quantile for missing values.  The when() keeps NULL -> NULL,
+    # matching the docstring contract (and the oracle's CASE)
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
     return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+        .withColumn(out, clamped)
         .drop("__lo", "__hi")
     )
 

@@ -410,6 +410,11 @@ def curriculum_buckets(
         expr = F.when(
             F.col(measure_col) <= F.col(f"__q{i}"), F.lit(i)
         ).otherwise(expr)
+    # NULL guard: NULL <= q is NULL, so every WHEN falls through and an
+    # unguarded CASE lands NULL-measure rows in the TOP (hardest) bucket.
+    # A missing difficulty is unknown, not maximal — emit NULL so the
+    # caller routes/rejects explicitly (the oracle replays the same CASE)
+    expr = F.when(F.col(measure_col).isNotNull(), expr)
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(bucket_col, expr.cast("long"))

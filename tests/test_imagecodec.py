@@ -171,3 +171,42 @@ def test_resize_images_real_png_reencodes(real_media, spark):
         img = gradient_image(8 + i, 6, 3)
         expected = len(ic.encode_png(ic.resize_nearest(img, 4, 4)))
         assert out[i]["n_bytes"] == expected
+
+
+def test_png_decompression_bomb_rejected_bounded():
+    """A crafted IDAT whose decompressed size vastly exceeds the IHDR's
+    scanline budget must raise, NOT materialize the payload (advisor
+    finding r5: unbounded zlib.decompress = executor OOM vector).  The
+    bounded decompressobj stops at expected+1 bytes, so this stays O(image
+    size) regardless of the bomb's expansion ratio."""
+    # IHDR claims 2x2 grayscale (expected raw = (2*1+1)*2 = 6 bytes) but
+    # the IDAT inflates to 10 MB of zeros (~10000x expansion from ~10 KB)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (10 * 1024 * 1024), 9)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ic.ImageCodecError, match="scanline size mismatch"):
+        ic.decode_png(data)
+    # and a SHORT stream (less data than the header promises) also raises
+    short = zlib.compress(b"\x00" * 3)
+    data2 = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ic.ImageCodecError, match="scanline size mismatch"):
+        ic.decode_png(data2)

@@ -1456,6 +1456,48 @@ def test_winsorize_clamps_at_exact_quantiles(spark):
         winsorize(df, "v", 0.9, 0.1)
 
 
+def test_winsorize_null_passes_through_null(spark):
+    """NULL must stay NULL — Spark's least/greatest SKIP NULLs, so the
+    unguarded clamp would impute the LOWER quantile for missing values
+    (advisor finding r5)."""
+    from datafusion_ballista_python_spark.operators.quality import winsorize
+
+    rows = [(i, float(i * 10)) for i in range(1, 11)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id: long, v: double")
+    out = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v", 0.1, 0.9).collect()}
+    assert out[99] is None, f"NULL was imputed to {out[99]}"
+    assert out[5] == 50.0  # interior rows unaffected by the guard
+
+
+def test_auc_roc_excludes_null_scores_and_labels(spark):
+    """NULL scores form a NULLS-FIRST group in Spark's window (counted as
+    the LOWEST score) and NULLS LAST in DuckDB — both wrong and divergent.
+    Both NULL labels and NULL scores are excluded (advisor finding r5)."""
+    from datafusion_ballista_python_spark.operators.quality import auc_roc
+
+    clean = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    noisy = clean + [(None, False), (None, True), (0.5, None)]
+    df = spark.createDataFrame(noisy, "s: double, y: boolean")
+    row = auc_roc(df, "s", "y").collect()[0]
+    assert row["auc"] == 1.0 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_curriculum_buckets_null_measure_gets_null_bucket(spark):
+    """NULL <= q is NULL, so every WHEN falls through — the unguarded CASE
+    landed NULL-difficulty rows in the TOP bucket (advisor finding r5).
+    Missing difficulty is unknown, not maximal: bucket must be NULL."""
+    from datafusion_ballista_python_spark.operators.training import (
+        curriculum_buckets,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 101)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, m: double")
+    out = {r["doc_id"]: r["bucket"] for r in
+           curriculum_buckets(df, "m", (0.25, 0.5, 0.75)).collect()}
+    assert out[999] is None
+    assert out[100] == 3  # the genuine top bucket still assigned
+
+
 def test_minhash_against_reference_finds_planted_and_respects_sides(spark):
     from datafusion_ballista_python_spark.operators.dedup import (
         minhash_lsh_pairs_against,
