@@ -70,7 +70,56 @@ HEADLINE = [
 ]
 
 
+def compare(paths: list[str]) -> None:
+    """Mechanical round-over-round comparison from RECORDED artifacts:
+    ``python bench.py --compare BENCH_rN.json BENCH_rM.json`` computes the
+    common-query delta between two checked-in bench JSONs (r5 verdict: perf
+    claims must be reproducible from the artifacts, not from a builder-local
+    run that drifts from the driver's host)."""
+    if len(paths) != 2:
+        raise SystemExit("usage: bench.py --compare OLD.json NEW.json")
+    def load_queries(path: str) -> dict[str, float]:
+        d = json.load(open(path))
+        if "queries" not in d:  # driver-recorded BENCH_r*.json wraps under "parsed"
+            d = d.get("parsed") or {}
+        return {k: v for k, v in d.get("queries", {}).items() if v >= 0}
+
+    oq, nq = load_queries(paths[0]), load_queries(paths[1])
+    common = sorted(set(oq) & set(nq))
+    osum = round(sum(oq[k] for k in common), 3)
+    nsum = round(sum(nq[k] for k in common), 3)
+    deltas = {
+        k: {"old": oq[k], "new": nq[k],
+            "ratio": round(nq[k] / oq[k], 3) if oq[k] > 0 else None}
+        for k in common
+    }
+    worst = sorted(
+        (k for k in common if deltas[k]["ratio"] is not None),
+        key=lambda k: -deltas[k]["ratio"],
+    )[:5]
+    print(
+        json.dumps(
+            {
+                "metric": "common_query_wall_seconds",
+                "n_common": len(common),
+                "old_total": osum,
+                "new_total": nsum,
+                "ratio": round(nsum / osum, 3) if osum > 0 else None,
+                "only_old": sorted(set(oq) - set(nq)),
+                "only_new": sorted(set(nq) - set(oq)),
+                "new_entries_total": round(
+                    sum(v for k, v in nq.items() if k not in oq), 3
+                ),
+                "worst_regressions": {k: deltas[k] for k in worst},
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+        compare(sys.argv[2:])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
