@@ -317,38 +317,70 @@ def train_encode_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _bpe_round_sql(k: int, last: bool) -> str:
-    """One unrolled BPE round: tokenize the round's corpus string (strip
-    the trailing ``|`` marker per token), count adjacent pairs, take the
-    deterministic argmax, and (unless last) produce the next corpus via
-    ONE boundary-anchored REPLACE (space anchors the token start, the
-    marker its end -> leftmost-greedy disjoint merge) — byte-identical
-    to operators/training.bpe_merges's round."""
+def _bpe_round_sql(k: int, m: int, pool: int, last: bool) -> str:
+    """One unrolled BATCHED BPE round: tokenize the round's corpus string
+    (strip the trailing ``|`` marker per token), count adjacent pairs,
+    take the top-``pool`` candidates, greedily select up to ``m``
+    pairwise SYMBOL-DISJOINT pairs in (count desc, lhs, rhs) order
+    (slot j = first candidate disjoint from the symbols of slots < j —
+    exactly operators/training.bpe_merges's driver-side greedy scan),
+    and (unless last) produce the next corpus via the same chained
+    boundary-anchored REPLACE order.  An empty slot's scalar subquery
+    COALESCEs to CHR(1) (never in the corpus) so its REPLACE is the
+    identity, matching Spark applying only the chosen pairs."""
+    # AS MATERIALIZED is load-bearing: the disjoint-slot CTEs reference
+    # their upstream chain many times, and DuckDB's default CTE inlining
+    # would re-expand the whole tokenize+count pipeline per reference
+    # (observed: thousands of parquet re-opens -> fd exhaustion)
     sql = f"""
-t{k} AS (SELECT LIST_TRANSFORM(
+t{k} AS MATERIALIZED (SELECT LIST_TRANSFORM(
              LIST_FILTER(STRING_SPLIT(s, ' '), x -> x <> ''),
              x -> SUBSTRING(x, 1, LENGTH(x) - 1)) AS t FROM s{k}),
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT t[i] AS lhs, t[i+1] AS rhs, CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM t{k}, UNNEST(RANGE(1, LEN(t))) AS r(i) GROUP BY 1, 2
 ),
-b{k} AS (SELECT lhs, rhs, n_pairs FROM p{k}
-         ORDER BY n_pairs DESC, lhs, rhs LIMIT 1)"""
-    if not last:
+c{k} AS MATERIALIZED (SELECT lhs, rhs, n_pairs FROM p{k}
+         ORDER BY n_pairs DESC, lhs, rhs LIMIT {pool}),
+u{k}_0 AS (SELECT CAST(NULL AS VARCHAR) AS sym WHERE 1 = 0)"""
+    for j in range(m):
         sql += f""",
-s{k + 1} AS (
-  SELECT REPLACE(s.s,
-           ' ' || b.lhs || '| ' || b.rhs || '|',
-           ' ' || b.lhs || '+' || b.rhs || '|') AS s
-  FROM s{k} s CROSS JOIN b{k} b
-)"""
+b{k}_{j} AS MATERIALIZED (SELECT lhs, rhs, n_pairs FROM c{k}
+             WHERE lhs NOT IN (SELECT sym FROM u{k}_{j})
+               AND rhs NOT IN (SELECT sym FROM u{k}_{j})
+             ORDER BY n_pairs DESC, lhs, rhs LIMIT 1)"""
+        if j < m - 1:
+            sql += f""",
+u{k}_{j + 1} AS MATERIALIZED (SELECT sym FROM u{k}_{j}
+                 UNION SELECT lhs FROM b{k}_{j}
+                 UNION SELECT rhs FROM b{k}_{j})"""
+    if not last:
+        expr = "s"
+        for j in range(m):
+            pat = f"(SELECT ' ' || lhs || '| ' || rhs || '|' FROM b{k}_{j})"
+            rep = f"(SELECT ' ' || lhs || '+' || rhs || '|' FROM b{k}_{j})"
+            expr = (
+                f"REPLACE({expr}, COALESCE({pat}, CHR(1)),"
+                f" COALESCE({rep}, CHR(1)))"
+            )
+        sql += f""",
+s{k + 1} AS MATERIALIZED (SELECT {expr} AS s FROM s{k})"""
     return sql
 
 
 _BPE_N = 10
+_BPE_BATCH = 5
+_BPE_POOL = 32
+_BPE_ROUNDS = -(-_BPE_N // _BPE_BATCH)
+
+
+def _bpe_slots(k: int) -> int:
+    return min(_BPE_BATCH, _BPE_N - k * _BPE_BATCH)
+
+
 _BPE_ORACLE = (
     """
-WITH s0 AS (
+WITH s0 AS MATERIALIZED (
     SELECT ' ' || ARRAY_TO_STRING(
                LIST_TRANSFORM(
                    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
@@ -356,26 +388,37 @@ WITH s0 AS (
                    x -> x || '|'), ' ') AS s
     FROM documents
 ),"""
-    + ",".join(_bpe_round_sql(k, k == _BPE_N - 1) for k in range(_BPE_N))
-    + "\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_step, lhs, rhs, n_pairs FROM b{k}"
-        for k in range(_BPE_N)
+    + ",".join(
+        _bpe_round_sql(k, _bpe_slots(k), _BPE_POOL, k == _BPE_ROUNDS - 1)
+        for k in range(_BPE_ROUNDS)
     )
-    + "\nORDER BY merge_step"
+    + "\nSELECT CAST(ROW_NUMBER() OVER (ORDER BY rk, slot) - 1 AS BIGINT)"
+    + " AS merge_step, lhs, rhs, n_pairs FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {k} AS rk, {j} AS slot, lhs, rhs, n_pairs FROM b{k}_{j}"
+        for k in range(_BPE_ROUNDS)
+        for j in range(_bpe_slots(k))
+    )
+    + "\n)\nORDER BY merge_step"
 )
 
 
 @query("train_bpe_merges", oracle=_BPE_ORACLE)
 def train_bpe_merges(spark, sf_dir):
-    """Distributed BPE-style merge training (operators/training.bpe_merges,
-    word-level, 10 merges): each round is one corpus-wide pair-count
-    shuffle + a 1-row argmax + a boundary-anchored double-REPLACE merge.
-    The oracle unrolls all 10 rounds — tokenize, count, argmax, merge —
-    so the driver hash certifies the ENTIRE training trajectory (which
-    pair won each round and with what count), not just the final state."""
+    """Distributed BATCHED BPE-style merge training
+    (operators/training.bpe_merges, word-level, 10 merges in 2 rounds of
+    5 symbol-disjoint pairs): each round is one corpus-wide pair-count
+    shuffle + a bounded 32-row candidate collect + ONE chained-REPLACE
+    corpus rewrite — ceil(n/batch) full-corpus materializations instead
+    of n (the r5 verdict's scale watch item).  The oracle unrolls both
+    rounds — tokenize, count, greedy disjoint selection slot by slot,
+    chained merge — so the driver hash certifies the ENTIRE training
+    trajectory (which pairs won each round and with what counts), not
+    just the final state."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    merges = training.bpe_merges(docs, n_merges=_BPE_N)
+    merges = training.bpe_merges(
+        docs, n_merges=_BPE_N, batch=_BPE_BATCH, candidate_pool=_BPE_POOL
+    )
     return spark.createDataFrame(
         [(int(s), l, r, int(n)) for s, l, r, n in merges],
         "merge_step long, lhs string, rhs string, n_pairs long",

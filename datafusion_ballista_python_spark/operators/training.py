@@ -476,6 +476,8 @@ def bpe_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     joiner: str = "+",
+    batch: int = 1,
+    candidate_pool: int = 32,
 ) -> "list[tuple[int, str, str, int]]":
     """Distributed BPE-style merge training at the WORD level (phrase
     vocabulary: the same greedy most-frequent-adjacent-pair algorithm as
@@ -503,9 +505,29 @@ def bpe_merges(
     whole training trajectory bit-for-bit.  Per-round localCheckpoint
     keeps the iterative lineage flat (same contract as the graph
     loops).
+
+    100 TB scaling (``batch > 1``): the dominant cost is the per-round
+    full-corpus rewrite + materialization, so rounds — not merges — are
+    what must stay small.  With ``batch=m`` each round counts pairs ONCE,
+    takes the top ``candidate_pool`` candidates (a bounded ≤pool-row
+    driver collect, the only driver traffic), greedily selects up to m
+    PAIRWISE SYMBOL-DISJOINT pairs in (count desc, lhs, rhs) order, and
+    applies all m as ONE chained-REPLACE projection + ONE checkpoint:
+    ceil(n/m) corpus rewrites instead of n.  Symbol-disjointness (no
+    selected pair shares an lhs/rhs symbol with another) makes the
+    chained replaces commute — pair i's rewrite can neither create nor
+    destroy pair j's boundary-anchored pattern — so the single pass is
+    exact.  Within a batch the counts are the ROUND's counts (standard
+    batched-BPE semantics; the oracle replays the same greedy selection,
+    so the trajectory stays certified).  Rounds are FIXED at
+    ceil(n_merges/batch); a round short on disjoint candidates yields
+    fewer merges rather than extra rounds (keeps the unrolled oracle's
+    round structure deterministic).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch < 1 or candidate_pool < batch:
+        raise ValueError("need batch >= 1 and candidate_pool >= batch")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
         lambda x: x != "",
@@ -516,7 +538,12 @@ def bpe_merges(
     ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     strip = "substring(x, 1, length(x) - 1)"
-    for step in range(n_merges):
+    n_rounds = -(-n_merges // batch)  # ceil
+    for rnd in range(n_rounds):
+        # FIXED per-round slot budget (not n_merges - len(merges)): an
+        # under-filled round must not shift later rounds' slot counts,
+        # or the unrolled oracle's round structure would diverge
+        want = min(batch, n_merges - rnd * batch)
         arr = F.expr(
             f"transform(filter(split(s, ' '), x -> x != ''), x -> {strip})"
         )
@@ -534,16 +561,35 @@ def bpe_merges(
             .groupBy(F.col("__p.lhs").alias("lhs"), F.col("__p.rhs").alias("rhs"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         )
-        best = (
-            pairs.orderBy(F.desc("n_pairs"), "lhs", "rhs").limit(1).collect()
+        cand = (
+            pairs.orderBy(F.desc("n_pairs"), "lhs", "rhs")
+            .limit(candidate_pool)
+            .collect()
         )
-        if not best:
+        if not cand:
             break
-        lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n_pairs"]
-        merges.append((step, lhs, rhs, int(n)))
-        pat = F.lit(f" {lhs}| {rhs}|")
-        rep = F.lit(f" {lhs}{joiner}{rhs}|")
-        corpus = corpus.select(
-            F.replace(F.col("s"), pat, rep).alias("s")
-        ).localCheckpoint()
+        used: set[str] = set()
+        chosen = []
+        for row in cand:
+            if len(chosen) >= want:
+                break
+            if row["lhs"] in used or row["rhs"] in used:
+                continue
+            chosen.append(row)
+            used.add(row["lhs"])
+            used.add(row["rhs"])
+        expr = F.col("s")
+        for row in chosen:
+            merges.append(
+                (len(merges), row["lhs"], row["rhs"], int(row["n_pairs"]))
+            )
+            expr = F.replace(
+                expr,
+                F.lit(f" {row['lhs']}| {row['rhs']}|"),
+                F.lit(f" {row['lhs']}{joiner}{row['rhs']}|"),
+            )
+        # the final round's rewrite has no consumer — skip it (one fewer
+        # full-corpus materialization even at batch=1)
+        if rnd < n_rounds - 1 and len(merges) < n_merges:
+            corpus = corpus.select(expr.alias("s")).localCheckpoint()
     return merges

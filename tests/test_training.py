@@ -301,3 +301,53 @@ def test_bpe_merges_token_boundaries_safe(spark):
     )
     merges = bpe_merges(df, n_merges=1)
     assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "b", 2)
+
+
+def test_bpe_merges_batched_selects_disjoint_pairs(spark):
+    """Batched rounds must select symbol-DISJOINT pairs in greedy
+    (count desc, lhs, rhs) order: with 'x y' dominant and 'y z' second,
+    a batch of 2 must skip 'y z' (shares y) and take the next disjoint
+    pair instead — and apply both merges in ONE corpus rewrite."""
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    text = "x y " * 10 + "y z " * 8 + "p q " * 6
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=2, batch=2)
+    assert (merges[0][1], merges[0][2]) == ("x", "y")
+    # 'y z' (8 or more raw adjacencies) outranks 'p q' but conflicts on y
+    assert (merges[1][1], merges[1][2]) == ("p", "q"), merges
+    assert merges[0][0] == 0 and merges[1][0] == 1
+
+
+def test_bpe_merges_batched_matches_unbatched_on_disjoint_corpus(spark):
+    """When the top pairs are naturally disjoint, batch=m and batch=1
+    learn the SAME merge table (counts included): the batch refinement
+    changes materialization count, not the learned vocabulary."""
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    # each pair occurrence isolated by a unique filler token so merging
+    # one pair creates no new competitive pair (no chaining)
+    rows = (
+        [(i, f"aa bb s{i}") for i in range(9)]
+        + [(100 + i, f"cc dd t{i}") for i in range(7)]
+        + [(200 + i, f"ee ff u{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq = bpe_merges(df, n_merges=3, batch=1)
+    bat = bpe_merges(df, n_merges=3, batch=3)
+    assert seq == bat
+    assert [(m[1], m[2], m[3]) for m in seq] == [
+        ("aa", "bb", 9), ("cc", "dd", 7), ("ee", "ff", 5)
+    ]
+
+
+def test_bpe_merges_batched_validates(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bpe_merges(df, n_merges=2, batch=0)
+    with pytest.raises(ValueError):
+        bpe_merges(df, n_merges=2, batch=4, candidate_pool=2)
