@@ -1359,11 +1359,12 @@ FROM tnodes n LEFT JOIN corners c USING (node) ORDER BY node
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark, sf_dir):
     """Per-node triangle counts over the minhash near-dup graph
-    (operators/graph.triangle_count): oriented-edge wedge enumeration +
-    closing-edge confirm join (Suri-Vassilvitskii shape) — the
-    local-clustering signal that separates tight duplicate blobs from
-    borderline chains.  The oracle replays orientation, wedge join and
-    confirm exactly; integer counts, no rounding anywhere."""
+    (operators/graph.triangle_count): DEGREE-ordered oriented-edge wedge
+    enumeration + closing-edge confirm join (Suri-Vassilvitskii) — whale
+    nodes become orientation sinks, bounding wedge fan-out at O(sqrt(m))
+    out-edges.  Triangle counts are orientation-invariant, so the
+    id-oriented SQL replay certifies the degree-ordered plan; integer
+    counts, no rounding anywhere."""
     docs = load(spark, sf_dir, "documents")["documents"]
     pairs = dedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8

@@ -396,37 +396,82 @@ def pagerank_directed(
     return pr.select("node", "pr")
 
 
+def _oriented_edges(und: DataFrame, orientation: str) -> DataFrame:
+    """Orient a distinct undirected edge set (u, v) from the lower-ranked
+    endpoint: rank = (degree, id) for ``"degree"`` (whale nodes become
+    sinks — bounded wedge fan-out), plain id for ``"id"``.  Returns
+    (src, dst, dk) where ``dk`` is the dst's rank key, kept so the wedge
+    join can order the two far endpoints by the SAME rank the closing
+    edge was oriented by (struct comparison is lexicographic)."""
+    if orientation == "id":
+        # canonical (u, v) already has u < v
+        return und.select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.struct(F.lit(0).alias("d"), F.col("v").alias("n")).alias("dk"),
+        )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        und.join(
+            deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+        ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    lower = ku < kv  # (degree, id) is unique per node, so strict works
+    return ed.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower, kv).otherwise(ku).alias("dk"),
+    )
+
+
 def triangle_count(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    orientation: str = "degree",
 ) -> DataFrame:
     """Exact per-node triangle counts over the undirected pair graph — the
     local-clustering signal that separates tight duplicate blobs (every
     copy near-dups every other copy) from chains of borderline pairs.
 
     Standard distributed formulation (Suri & Vassilvitskii, "Counting
-    Triangles and the Curse of the Last Reducer", WWW 2011, simplified):
-    orient every edge low->high id, self-join oriented edges on the
-    shared low endpoint to enumerate wedges (a<b, a<c, b<c), then one
-    semi-ish join of wedges against the oriented edge set confirms the
-    closing edge (b,c).  Orientation caps wedge fan-out by the node's
-    HIGHER-id degree, which bounds the quadratic term that an unoriented
-    join would pay on hot nodes; at whale-degree scale the next step is
-    degree-ordering orientation (low-degree first) — same plan shape.
+    Triangles and the Curse of the Last Reducer", WWW 2011): orient every
+    edge from its lower-RANKED endpoint, self-join oriented edges on the
+    shared source to enumerate wedges, then one join of wedges against
+    the oriented edge set confirms the closing edge.  With
+    ``orientation="degree"`` (default) the rank is (degree, id): every
+    edge points toward the HIGHER-degree endpoint, so a whale node of
+    degree d contributes out-degree ~0 (its edges all point AT it) and
+    every node's wedge fan-out is bounded by O(sqrt(m)) out-edges — the
+    paper's fix for the "curse of the last reducer".  ``"id"`` keeps the
+    plain low->high id orientation (one fewer degree join; fine when the
+    degree distribution is flat).  Triangle counts are
+    orientation-INVARIANT, so both modes return identical results — the
+    corpus oracle certifies the degree mode against an id-oriented SQL
+    replay.
 
-    Shuffles: wedge join on the apex + confirm join on the closing edge
-    + one count aggregate per corner; all equi-joins, no Python.
+    Shuffles: degree aggregate (+2 rank joins, degree mode only) + wedge
+    join on the apex + confirm join on the closing edge + one count
+    aggregate per corner; all equi-joins, no Python.
     Output: (node, n_triangles) for every node in the pair list
     (zero-triangle nodes included).
     """
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"orientation must be 'degree' or 'id', got {orientation!r}")
     # localCheckpoint (eager), not persist: the operator returns a LAZY
     # frame, so a persist+unpersist pair inside the builder would unmark
     # the cache before any action ran and the oriented-distinct edge set
     # would be recomputed for all four consumers (wedge join both sides,
     # confirm join, node list).  The checkpoint materializes it exactly
     # once; the ContextCleaner reclaims it when the result frame is GC'd.
-    e = (
+    und = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
@@ -435,20 +480,24 @@ def triangle_count(
         .distinct()
         .localCheckpoint()
     )
-    # wedges: a -> (b, c) with a<b<c, both (a,b) and (a,c) edges
+    o = _oriented_edges(und, orientation).localCheckpoint()
+    # wedges: src -> (b, c), both out-edges, dst ranks ordered b < c —
+    # so the closing edge b-c is oriented exactly (b -> c)
     w = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
-        .where(F.col("e1.v") < F.col("e2.v"))
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .where(F.col("e1.dk") < F.col("e2.dk"))
         .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
     )
     tri = w.join(
-        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
     ).select("a", "b", "c")
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
+    nodes = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
     ).distinct()
     corners = (
         tri.select(F.col("a").alias("node"))

@@ -1599,3 +1599,56 @@ def test_brier_score_known_values(spark):
     assert brier_score(worst, "s", "y").collect()[0]["brier"] == 1.0
     half = spark.createDataFrame([(0.5, True), (0.5, False)], ["s", "y"])
     assert brier_score(half, "s", "y").collect()[0]["brier"] == 0.25
+
+
+def test_triangle_count_degree_orientation_bounds_hub_fanout(spark):
+    """Skewed star graph: a hub (lowest ID — the id-orientation worst
+    case) connected to n leaves, plus leaf-leaf chords.  With (degree, id)
+    orientation every star edge must point AT the hub (its out-degree is
+    ~0), so wedge fan-out at the whale is bounded — while id-orientation
+    would give the hub C(n,2) wedges.  Counts must be identical in both
+    modes (orientation-invariant)."""
+    from datafusion_ballista_python_spark.operators.graph import (
+        _oriented_edges,
+        triangle_count,
+    )
+
+    n = 40
+    hub = 0
+    edges = [(hub, i) for i in range(1, n + 1)]  # star, hub has MIN id
+    chords = [(1, 2), (3, 4), (5, 6)]            # 3 triangles through hub
+    df = spark.createDataFrame(edges + chords, ["doc_a", "doc_b"])
+
+    und = (
+        df.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        ).where(F.col("u") != F.col("v")).distinct()
+    )
+    out_deg = {
+        r["src"]: r["c"]
+        for r in _oriented_edges(und, "degree")
+        .groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # degree mode: the whale is a SINK — zero out-edges, zero wedges
+    assert out_deg.get(hub, 0) == 0, f"hub out-degree {out_deg.get(hub)}"
+    assert max(out_deg.values()) <= 2  # leaves: 1 chord + 1 star edge
+    id_out = {
+        r["src"]: r["c"]
+        for r in _oriented_edges(und, "id")
+        .groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert id_out[hub] == n  # the id-orientation pathology being fixed
+
+    got_deg = {r["node"]: r["n_triangles"]
+               for r in triangle_count(df, orientation="degree").collect()}
+    got_id = {r["node"]: r["n_triangles"]
+              for r in triangle_count(df, orientation="id").collect()}
+    assert got_deg == got_id
+    assert got_deg[hub] == 3
+    for a, b in chords:
+        assert got_deg[a] == 1 and got_deg[b] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="orientation"):
+        triangle_count(df, orientation="random")
