@@ -59,18 +59,38 @@ def _driver_history() -> tuple[set[str], set[str]]:
     return seen, failed
 
 
+# Entries that pre-date round 6 but have never received a driver
+# correctness row (r5 verdict "Next round" item #1): they must stay at the
+# head of the fresh tier ahead of any round-6 additions, regardless of
+# module import order, so the 50-entry sample finally reaches them.
+_CERTIFICATION_DEBT = [
+    "q21_suppliers_waiting",
+    "train_ngram_contamination",
+    "train_pack_sequences",
+    "train_repetition_metrics",
+    "train_chunk_documents",
+    "train_mixture_sample",
+    "train_build_vocab",
+    "train_epoch_shards",
+    "train_encode_documents",
+    "train_bpe_merges",
+]
+
+
 def _rotated(reg: dict) -> list[str]:
     """Entries whose LATEST driver row FAILED first (a fix can only earn a
     green row if the sampler reaches it — and the failed tier must lead,
     because the never-sampled tier can exceed the sample size when a round
-    adds many entries), then never-driver-sampled entries, then the rest —
-    relative order preserved within each tier."""
+    adds many entries), then never-driver-sampled entries (oldest
+    certification debt first), then the rest — relative order preserved
+    within each tier."""
     seen, failed = _driver_history()
     names = list(reg)
     refail = [n for n in names if n in failed]
-    fresh = [n for n in names if n not in seen]
+    debt = [n for n in _CERTIFICATION_DEBT if n in reg and n not in seen]
+    fresh = [n for n in names if n not in seen and n not in debt]
     rest = [n for n in names if n in seen and n not in failed]
-    return refail + fresh + rest
+    return refail + debt + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,6 +41,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "ann_ivf_topk",
     "ann_quantized_topk",
+    "ann_ivfpq_topk",
     "mm_frame_sample",
     "text_quality",
     "text_tfidf_topk",

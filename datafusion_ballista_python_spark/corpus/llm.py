@@ -505,6 +505,190 @@ def ann_ivf_topk(spark, sf_dir):
     ).orderBy("qid", F.desc("cos_sim"), "vec_id")
 
 
+# IVF-PQ: pinned seeded codebooks for the same reason as _IVF_CENTROIDS —
+# the TRAINED codebooks are data-dependent; the corpus pins seeded ones so
+# encoding + ADC scoring are statically replayable, while train_pq_codebooks
+# is exercised with recall assertions in tests/test_operators.py
+_PQ_N_SUB = 8
+_PQ_N_CODES = 16
+_PQ_SUB_DIM = 8
+_PQ_CODEBOOKS = [
+    similarity._hyperplanes(_PQ_SUB_DIM, _PQ_N_CODES, seed=7000 + s)
+    for s in range(_PQ_N_SUB)
+]
+_PQ_RERANK = 50
+
+
+def _pq_codebook_values() -> str:
+    return ", ".join(
+        f"({s}, {c}, [{', '.join(repr(x) for x in v)}])"
+        for s, book in enumerate(_PQ_CODEBOOKS)
+        for c, v in enumerate(book)
+    )
+
+
+_IVFPQ_ORACLE = f"""
+WITH cent(cell, cv) AS (VALUES {_ivf_centroid_values()}),
+cb(sub, code, cbv) AS (VALUES {_pq_codebook_values()}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 5),
+ca AS MATERIALIZED (
+    SELECT vec_id, label, ce, cell FROM (
+        SELECT c.*, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY LIST_DOT_PRODUCT(c.ce, cent.cv) DESC, cent.cell) AS rn
+        FROM c CROSS JOIN cent
+    ) WHERE rn = 1
+),
+subv AS (
+    SELECT ca.vec_id, r.s AS sub,
+           ca.ce[r.s * {_PQ_SUB_DIM} + 1 : r.s * {_PQ_SUB_DIM} + {_PQ_SUB_DIM}] AS sv
+    FROM ca, (SELECT UNNEST(RANGE(0, {_PQ_N_SUB})) AS s) r
+),
+enc AS MATERIALIZED (
+    SELECT vec_id, sub, cbv FROM (
+        SELECT sv.vec_id, sv.sub, cb.code, cb.cbv,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY LIST_DOT_PRODUCT(cb.cbv, cb.cbv)
+                            - 2 * LIST_DOT_PRODUCT(sv.sv, cb.cbv), cb.code) AS rn
+        FROM subv sv JOIN cb ON cb.sub = sv.sub
+    ) WHERE rn = 1
+),
+recon AS MATERIALIZED (
+    SELECT vec_id, FLATTEN(LIST(cbv ORDER BY sub)) AS rv
+    FROM enc GROUP BY vec_id
+),
+crc AS (SELECT ca.vec_id, ca.label, ca.cell, r.rv
+        FROM ca JOIN recon r USING (vec_id)),
+qp AS (
+    SELECT qid, qe, cell FROM (
+        SELECT q.*, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY LIST_DOT_PRODUCT(q.qe, cent.cv) DESC, cent.cell) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn <= {_IVF_N_PROBE}
+),
+scored AS (
+    SELECT qp.qid, crc.vec_id, crc.label,
+           ROUND(LIST_DOT_PRODUCT(qp.qe, crc.rv) /
+                 (SQRT(LIST_DOT_PRODUCT(qp.qe, qp.qe)) *
+                  SQRT(LIST_DOT_PRODUCT(crc.rv, crc.rv))), 4) AS cos_sim
+    FROM qp JOIN crc USING (cell)
+),
+short AS (
+    SELECT qid, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_PQ_RERANK}
+),
+rescored AS (
+    SELECT s.qid, s.vec_id, c.label,
+           ROUND(LIST_DOT_PRODUCT(q.qe, c.ce) /
+                 (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe)) *
+                  SQRT(LIST_DOT_PRODUCT(c.ce, c.ce))), 4) AS cos_sim
+    FROM short s JOIN q ON q.qid = s.qid JOIN c ON c.vec_id = s.vec_id
+)
+SELECT qid, vec_id, label, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM rescored
+) WHERE rn <= 10
+ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
+@query("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/similarity.ivfpq_topk) with pinned seeded
+    quantizer + codebooks, fully oracle-checked: DuckDB re-derives cell
+    assignment, the per-subspace PQ ENCODING (argmin L2, ties -> lowest
+    code), the flattened reconstruction, the rounded asymmetric-cosine
+    shortlist of 50, and the exact-cosine refine over it — so
+    the driver hash certifies that the code arrays are bit-identical
+    cross-engine, not just the final ranking.  The float vectors cross
+    the probe join for only the R-row shortlist on the Spark side (codes
+    score the bulk) — the memory-bound 100 TB tier of the ANN ladder.
+    The trained (train_pq_codebooks) path is exercised with recall
+    assertions in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return similarity.ivfpq_topk(
+        cands,
+        queries_df,
+        k=10,
+        n_probe=_IVF_N_PROBE,
+        centroids=_IVF_CENTROIDS,
+        codebooks=_PQ_CODEBOOKS,
+        rerank=_PQ_RERANK,
+    ).orderBy("qid", F.desc("cos_sim"), "vec_id")
+
+
+@query(
+    "eval_pq_recall",
+    oracle=f"""
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM ({_COSINE_TOPK_ORACLE}) e
+    LEFT JOIN ({_IVFPQ_ORACLE}) a
+      ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+)
+def eval_pq_recall(spark, sf_dir):
+    """Recall@10 of IVF-PQ against the brute-force exact baseline — the
+    same measured-recall-is-itself-certified harness shape as
+    eval_ann_recall, closing the ladder: the oracle composes the exact
+    entry's SQL and the IVF-PQ entry's SQL, so the driver hash covers
+    the measurement."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk(cands, queries_df, k=10).select("qid", "vec_id")
+    approx = similarity.ivfpq_topk(
+        cands,
+        queries_df,
+        k=10,
+        n_probe=_IVF_N_PROBE,
+        centroids=_IVF_CENTROIDS,
+        codebooks=_PQ_CODEBOOKS,
+        rerank=_PQ_RERANK,
+    ).select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avid"))
+    joined = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+        "left",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("avid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.when(F.col("avid").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 @query(
     "text_stopwords",
     oracle="""

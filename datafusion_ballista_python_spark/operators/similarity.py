@@ -446,6 +446,204 @@ def quantized_cosine_topk(
     )
 
 
+# -- IVF-PQ: product quantization + asymmetric-distance scoring ------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split the vector into
+    ``n_sub`` contiguous subspaces and train an independent ``n_codes``-
+    entry codebook per subspace — k-means-lite (deterministic first-k
+    init, ``iters`` assign/average rounds) on the SAME bounded ≤
+    ``sample_rows`` sample contract as :func:`train_centroids`.
+    Training cost is O(sample x n_codes x n_sub x iters) regardless of
+    corpus size.  Returns ``codebooks[sub][code] -> list[float]``."""
+    sample = df.orderBy(id_col).limit(sample_rows) if sample_rows else df
+    pdf = sample.select(vec_col).toPandas()
+    mat = _matrix(pdf[vec_col])
+    dim = mat.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        sub = mat[:, s * sd : (s + 1) * sd]
+        k = min(n_codes, sub.shape[0])
+        cb = sub[:k].copy()
+        for _ in range(iters):
+            # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c); ties -> lowest code
+            d2 = (cb * cb).sum(axis=1) - 2.0 * (sub @ cb.T)
+            cells = np.argmin(d2, axis=1)
+            for i in range(k):
+                members = sub[cells == i]
+                if members.shape[0]:
+                    cb[i] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in cb])
+    return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoding: per subspace, nearest codebook entry by
+    L2 (ties -> lowest code via argmin-first).  One (B x sd) @ (sd x
+    n_codes) matmul per subspace per batch."""
+    cbs = [np.array(b, dtype=np.float64) for b in codebooks]
+    sd = cbs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        mat = _matrix(v)
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        codes = np.empty((mat.shape[0], len(cbs)), dtype=np.int32)
+        for s, cb in enumerate(cbs):
+            sub = mat[:, s * sd : (s + 1) * sd]
+            d2 = (cb * cb).sum(axis=1) - 2.0 * (sub @ cb.T)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return _enc
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors as ``n_sub`` small-int codes — dim x 8 bytes of
+    float64 collapse to n_sub bytes of code (the 100 TB memory story:
+    a 64-dim embedding becomes 8 codes + shared codebooks)."""
+    return df.withColumn(out_col, _pq_encode_udf(codebooks)(F.col(vec_col)))
+
+
+def _adc_score_udf(codebooks: list[list[list[float]]]):
+    """Asymmetric distance computation: cosine(query, RECONSTRUCTED
+    candidate).  The query stays exact float; the candidate is looked up
+    from its codes (numpy fancy-index gather, one einsum per batch).
+    ||recon||^2 is exact from the gathered rows because subspaces are
+    disjoint blocks (no cross terms)."""
+    cb = np.stack([np.array(b, dtype=np.float64) for b in codebooks])
+    n_sub = cb.shape[0]
+    sub_idx = np.arange(n_sub)
+
+    @pandas_udf("double")
+    def _adc(qe: pd.Series, code: pd.Series) -> pd.Series:
+        q = _matrix(qe)
+        if q.shape[0] == 0:
+            return pd.Series([], dtype="float64")
+        c = np.array(code.tolist(), dtype=np.int64)
+        recon = cb[sub_idx[None, :], c].reshape(c.shape[0], -1)
+        num = np.einsum("bd,bd->b", q, recon)
+        den = np.sqrt((q * q).sum(axis=1)) * np.sqrt((recon * recon).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _adc
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qe",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the memory-bound tier of the ladder (brute -> int8
+    -> LSH/IVF -> IVF-PQ): coarse-quantize candidates into cells, PQ-
+    encode each candidate to ``n_sub`` codes, and rank probed candidates
+    by asymmetric cosine (exact query vs reconstructed candidate).
+
+    ``rerank=R`` adds the standard refine stage (FAISS's IVFPQ+refine):
+    the PQ scores build a per-query shortlist of R candidates, whose
+    FLOAT vectors are fetched back by one id equi-join and re-scored
+    exactly — PQ noise decides only who makes the shortlist, not the
+    final order.  The exact-score join touches R rows per query, not the
+    corpus, so the memory story stands: codes score the bulk, floats
+    surface for R<<corpus rows.
+
+    Scale shape: cell assign + PQ encode are pure Arrow-batched maps (the
+    centroid matrix and codebooks ride to executors as literals); the
+    probe is the same cell equi-join as :func:`ivf_topk`; scoring reads
+    ONLY the code arrays — the float vectors never cross the shuffle, so
+    an executor holds dim*8/n_sub x more candidates than float64
+    brute-force (64-dim: 512 bytes -> 8 codes).  No residual encoding
+    (codes quantize the raw vector, not x - centroid): one codebook set
+    serves every cell, which is what lets the oracle replay encoding
+    statically.  ``centroids``/``codebooks`` pin the quantizers for
+    reproducible runs; both default to training on the bounded sample.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            candidates, n_centroids, iters, vec_col, id_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            candidates, n_sub, n_codes, iters, vec_col, id_col
+        )
+    extra = [c for c in candidates.columns if c != vec_col]
+    cells = candidates.withColumn(
+        "__cell", _cell_assign_udf(centroids)(F.col(vec_col))
+    )
+    coded = pq_encode(cells, codebooks, vec_col).select(
+        *extra, "__cell", "pq_code"
+    )  # the raw vector column is DROPPED before the join — codes only
+    probes = queries.withColumn(
+        "__cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(query_vec)))
+    )
+    sim = F.round(
+        _adc_score_udf(codebooks)(F.col(query_vec), F.col("pq_code")), 4
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(coded, on="__cell")
+        .select(F.col(query_id), *[F.col(c) for c in extra], sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    topped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= (rerank if rerank is not None else k))
+        .drop("__rn")
+    )
+    if rerank is None:
+        return topped
+    # refine: exact cosine over the R-row shortlist only
+    shortlist = topped.drop("cos_sim").join(
+        F.broadcast(_with_norm(queries, query_vec, "__qn")), on=query_id
+    )
+    refined = shortlist.join(
+        _with_norm(candidates.select(id_col, vec_col), vec_col, "__cn"),
+        on=id_col,
+    )
+    exact_sim = F.round(
+        dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 4
+    )
+    rescored = refined.select(
+        F.col(query_id), *[F.col(c) for c in extra], exact_sim.alias("cos_sim")
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # -- IVF on-disk index: cell-partitioned layout + pruned probes ------------
 
 

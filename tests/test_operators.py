@@ -1652,3 +1652,67 @@ def test_triangle_count_degree_orientation_bounds_hub_fanout(spark):
 
     with pytest.raises(ValueError, match="orientation"):
         triangle_count(df, orientation="random")
+
+
+def test_pq_codebooks_shape_and_determinism(emb):
+    books = similarity.train_pq_codebooks(emb, n_sub=8, n_codes=4, iters=1)
+    books2 = similarity.train_pq_codebooks(emb, n_sub=8, n_codes=4, iters=1)
+    assert books == books2
+    assert len(books) == 8
+    for b in books:
+        assert len(b) == 4 and all(len(v) == 8 for v in b)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.train_pq_codebooks(emb, n_sub=7)
+
+
+def test_pq_encode_codes_in_range_and_exact_on_codewords(spark):
+    """A vector that IS a codebook entry must encode to exactly that code
+    (zero quantization error -> ADC cosine 1.0)."""
+    books = [similarity._hyperplanes(4, 8, seed=50 + s) for s in range(2)]
+    # vector = concat(book0[3], book1[5]) — a pure codeword
+    vec = books[0][3] + books[1][5]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    out = similarity.pq_encode(df, books).collect()[0]
+    assert out["pq_code"] == [3, 5]
+    q = spark.createDataFrame([(0, vec)], ["qid", "qe"])
+    scored = (
+        q.crossJoin(similarity.pq_encode(df, books))
+        .select(
+            similarity._adc_score_udf(books)(F.col("qe"), F.col("pq_code")).alias("s")
+        )
+        .collect()
+    )
+    assert abs(scored[0]["s"] - 1.0) < 1e-12
+
+
+def test_ivfpq_recall_vs_brute_force_trained(emb):
+    """TRAINED codebooks (the non-pinned path), with and without the
+    refine stage.  Pure-ADC ranking is noisy on these near-random
+    synthetic embeddings (PQ's worst case) — the refine stage
+    (rerank=50 exact re-score of the PQ shortlist) must recover recall
+    to near the IVF ceiling for the same probes."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.cosine_topk(cands, queries, k=10).collect()
+    }
+
+    def recall_of(**kw):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.ivfpq_topk(
+                cands, queries, k=10, n_centroids=8, n_probe=4, **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    raw = recall_of()
+    refined = recall_of(rerank=50)
+    assert raw >= 0.2, f"pure-ADC recall collapsed: {raw}"
+    assert refined >= 0.45, f"refined IVF-PQ recall too low: {refined}"
+    assert refined >= raw, (raw, refined)
