@@ -1277,6 +1277,55 @@ def text_repeated_spans(spark, sf_dir):
     return text.repeated_spans(docs, n=8, min_docs=2).orderBy("span")
 
 
+@query(
+    "text_maximal_repeated_spans",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           t -> LENGTH(t) > 0) AS tok
+        FROM documents
+    ),
+    anch AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(tok[i:i+7], ' ') AS span
+        FROM toks, UNNEST(RANGE(1, LEN(tok) - 6)) AS r(i)
+        WHERE LEN(tok) >= 8
+    ),
+    hot AS (SELECT span FROM anch GROUP BY span HAVING COUNT(*) >= 2),
+    hp AS (SELECT a.doc_id, a.pos FROM anch a JOIN hot USING (span)),
+    runs AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS start_pos,
+               CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM hp
+        ) GROUP BY doc_id, g
+    )
+    SELECT r.doc_id, r.start_pos, r.n_tokens,
+           ARRAY_TO_STRING(
+               t.tok[CAST(r.start_pos + 1 AS INT) :
+                     CAST(r.start_pos + r.n_tokens AS INT)], ' ') AS span_text
+    FROM runs r JOIN toks t USING (doc_id)
+    ORDER BY r.doc_id, r.start_pos
+    """,
+)
+def text_maximal_repeated_spans(spark, sf_dir):
+    """MAXIMAL repeated spans (operators/text.maximal_repeated_spans):
+    sorted 8-gram anchors, corpus-wide hot-anchor detection, per-doc
+    gaps-and-islands merge into length-extensible intervals — the Lee
+    et al. exact-substring-dedup upgrade of text_repeated_spans.  The
+    oracle replays tokenization, anchor counting, the hot semi-join,
+    the island merge, and the final token-slice reconstruction, so the
+    driver hash certifies every maximal interval's position, length AND
+    text."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.maximal_repeated_spans(docs, n=8, min_count=2).orderBy(
+        "doc_id", "start_pos"
+    )
+
+
 _SURVIVOR_ORACLE = f"""
 WITH comp AS (
   {_CLUSTER_ORACLE}

@@ -474,6 +474,82 @@ def repeated_spans(
     )
 
 
+def maximal_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL repeated token spans via sorted k-gram anchors +
+    extend-and-merge — the length-extensible upgrade of
+    :func:`repeated_spans` toward Lee et al.'s exact-substring
+    deduplication (fixed-length n-grams only report length-n windows; a
+    500-token verbatim duplicate should surface as ONE span, not 493).
+
+    Semantics: anchor position p in a document is HOT if its word
+    ``n``-gram occurs >= ``min_count`` times corpus-wide (across OR
+    within documents — within-doc verbatim repeats are memorization
+    signal too, unlike repeated_spans' ``min_docs``).  Runs of
+    CONSECUTIVE hot anchors merge per document (gaps-and-islands) into
+    maximal intervals: interval [p, p+m-n] covers m tokens whose every
+    length-n window is corpus-repeated.  This is the k-gram-anchored
+    approximation — it can over-merge where two distinct repeats abut
+    (suffix-array exactness is not a bounded dataflow), but it never
+    under-reports: every truly repeated span of length >= n is covered
+    by exactly one maximal interval.
+
+    Output: ``(doc_id, start_pos, n_tokens, span_text)``, start_pos
+    0-based in token coordinates.
+
+    Scale shape: anchor assembly is codegen (the _ngrams
+    sequence/slice); ONE shuffle on the span key counts occurrences
+    (map-side partials, Zipf head collapses early); hot positions come
+    back via one span equi-join; the merge is a per-DOCUMENT window
+    (bounded by doc length, never a global sort); the final text slice
+    is one id equi-join against the re-derived token arrays.
+    """
+    from .training import _ngrams, _token_array
+
+    if n < 2 or min_count < 2:
+        raise ValueError("need n >= 2 and min_count >= 2")
+    toks = df.select(F.col(id_col), _token_array(text_col).alias("__t"))
+    anchors = toks.select(
+        F.col(id_col),
+        F.posexplode(_ngrams(F.col("__t"), n)).alias("__pos", "__span"),
+    )
+    hot = (
+        anchors.groupBy("__span")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__span")
+    )
+    hot_pos = anchors.join(hot, "__span").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        hot_pos.withColumn("__g", F.col("__pos") - F.row_number().over(w))
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("__pos").cast("long").alias("start_pos"),
+            (F.max("__pos") - F.min("__pos") + n).cast("long").alias("n_tokens"),
+        )
+        .drop("__g")
+    )
+    return runs.join(toks, id_col).select(
+        F.col(id_col),
+        "start_pos",
+        "n_tokens",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__t"),
+                (F.col("start_pos") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 # -- corpus-level boilerplate line removal (C4-style) ----------------------
 
 

@@ -1716,3 +1716,51 @@ def test_ivfpq_recall_vs_brute_force_trained(emb):
     assert raw >= 0.2, f"pure-ADC recall collapsed: {raw}"
     assert refined >= 0.45, f"refined IVF-PQ recall too low: {refined}"
     assert refined >= raw, (raw, refined)
+
+
+def test_maximal_repeated_spans_merges_long_duplicate(spark):
+    """A 20-token verbatim block shared by two docs must surface as ONE
+    maximal 20-token interval per doc (not 13 separate 8-grams), with
+    correct position and reconstructed text; unique text stays silent."""
+    from datafusion_ballista_python_spark.operators.text import (
+        maximal_repeated_spans,
+    )
+
+    block = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, "unique alpha preamble here today " + block + " tail one"),
+        (2, block + " totally different ending text"),
+        (3, "no shared material in this document at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_id"], r["start_pos"]): r
+           for r in maximal_repeated_spans(df, n=8, min_count=2).collect()}
+    assert len(out) == 2, out
+    r1 = out[(1, 5)]   # block starts after the 5-token preamble
+    r2 = out[(2, 0)]
+    assert r1["n_tokens"] == 20 and r2["n_tokens"] == 20
+    assert r1["span_text"] == block and r2["span_text"] == block
+
+
+def test_maximal_repeated_spans_counts_within_doc_repeats(spark):
+    """The SAME doc repeating a block twice is memorization signal: both
+    occurrences must be reported (min_count counts total occurrences,
+    not distinct docs)."""
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.text import (
+        maximal_repeated_spans,
+    )
+
+    block = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, block + " middle filler words go here now " + block)],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["start_pos"], r["n_tokens"])
+        for r in maximal_repeated_spans(df, n=8, min_count=2).collect()
+    )
+    assert out == [(0, 10), (16, 10)]
+    with pytest.raises(ValueError):
+        maximal_repeated_spans(df, n=1)
