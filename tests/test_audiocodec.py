@@ -97,3 +97,30 @@ def test_audio_features_real_wav_via_spark(spark):
     fs = [b - 128 for b in payload]
     assert fb["sample_rate"] == 16000 and fb["n_samples"] == len(payload)
     assert fb["rms"] == round(math.sqrt(sum(s * s for s in fs) / len(fs)), 4)
+
+
+import pytest as _pytest
+
+from datafusion_ballista_python_spark.operators import audiocodec as _ac
+
+
+@_pytest.mark.skipif(_ac._soundfile is None, reason="soundfile not installed")
+def test_soundfile_fast_path_bit_identical():
+    """With soundfile present, 16/32-bit PCM decodes must match the
+    stdlib path sample-for-sample (dtype pinned to the container width)."""
+    saved = _ac._soundfile
+    for width in (2, 4):
+        audio = _ac.Audio(8000, 2, width, [i * 3 - 40 for i in range(64)])
+        data = _ac.encode_wav(audio)
+        fast = _ac.decode_wav(data)
+        try:
+            _ac._soundfile = None
+            slow = _ac.decode_wav(data)
+        finally:
+            _ac._soundfile = saved
+        assert fast == slow
+
+
+def test_soundfile_gate_falls_back_cleanly_when_absent():
+    audio = _ac.Audio(16000, 1, 2, [100, -100, 32000, -32000])
+    assert _ac.decode_wav(_ac.encode_wav(audio)) == audio
