@@ -423,3 +423,73 @@ def train_bpe_merges(spark, sf_dir):
         [(int(s), l, r, int(n)) for s, l, r, n in merges],
         "merge_step long, lhs string, rhs string, n_pairs long",
     ).orderBy("merge_step")
+
+
+def _bpe_apply_replace_chain() -> str:
+    """Nested REPLACE applying every learned slot in learning order
+    (round-major, slot-minor) — the SQL twin of bpe_apply's chained
+    projection; empty slots COALESCE to the CHR(1) identity."""
+    expr = "d0.s"
+    for k in range(_BPE_ROUNDS):
+        for j in range(_bpe_slots(k)):
+            pat = f"(SELECT ' ' || lhs || '| ' || rhs || '|' FROM b{k}_{j})"
+            rep = f"(SELECT ' ' || lhs || '+' || rhs || '|' FROM b{k}_{j})"
+            expr = (
+                f"REPLACE({expr}, COALESCE({pat}, CHR(1)),"
+                f" COALESCE({rep}, CHR(1)))"
+            )
+    return expr
+
+
+_BPE_APPLY_ORACLE = (
+    """
+WITH s0 AS MATERIALIZED (
+    SELECT ' ' || ARRAY_TO_STRING(
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x || '|'), ' ') AS s
+    FROM documents
+),"""
+    + ",".join(
+        _bpe_round_sql(k, _bpe_slots(k), _BPE_POOL, k == _BPE_ROUNDS - 1)
+        for k in range(_BPE_ROUNDS)
+    )
+    + f""",
+d0 AS (
+    SELECT doc_id, ' ' || ARRAY_TO_STRING(
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x || '|'), ' ') AS s
+    FROM documents
+),
+applied AS (SELECT doc_id, {_bpe_apply_replace_chain()} AS s FROM d0)
+SELECT doc_id,
+       ARRAY_TO_STRING(
+           LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT(s, ' '), x -> x <> ''),
+               x -> SUBSTRING(x, 1, LENGTH(x) - 1)), ' ') AS bpe_text
+FROM applied
+ORDER BY doc_id"""
+)
+
+
+@query("train_bpe_encode", oracle=_BPE_APPLY_ORACLE)
+def train_bpe_encode(spark, sf_dir):
+    """Tokenizer SERVING path (operators/training.bpe_apply): learn the
+    10-merge table (same batched trainer as train_bpe_merges), then
+    encode every document by replaying the merges as one chained-REPLACE
+    projection — zero shuffles, zero iteration; encoding rides the scan.
+    The oracle relearns the merges (the full unrolled trainer chain) and
+    applies the same nested REPLACEs per document, so the driver hash
+    certifies the complete learn->apply pipeline's per-document
+    segmentation."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    merges = training.bpe_merges(
+        docs, n_merges=_BPE_N, batch=_BPE_BATCH, candidate_pool=_BPE_POOL
+    )
+    out = training.bpe_apply(docs, merges)
+    return out.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text")
+    ).orderBy("doc_id")

@@ -593,3 +593,44 @@ def bpe_merges(
         if rnd < n_rounds - 1 and len(merges) < n_merges:
             corpus = corpus.select(expr.alias("s")).localCheckpoint()
     return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "+",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned :func:`bpe_merges` merge table: tokenize, then
+    replay every merge as a chained boundary-anchored REPLACE in ONE
+    projection — encoding is a pure map riding the scan (no shuffle, no
+    iteration, no Python), which is the whole point of BPE at serving
+    time: training pays the corpus-wide counting; application is free.
+
+    Sequential chained application reproduces the trained segmentation
+    exactly: within a training round the selected pairs are symbol-
+    disjoint (the replaces commute), and across rounds the chain applies
+    them in learning order.  Output: ``(id_col, out_col)`` with the
+    merged symbol array (tokens joined by ``joiner`` where merged).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    marked = F.transform(toks, lambda x: F.concat(x, F.lit("|")))
+    expr = F.concat(F.lit(" "), F.array_join(marked, " "))
+    for _step, lhs, rhs, _n in merges:
+        expr = F.replace(
+            expr,
+            F.lit(f" {lhs}| {rhs}|"),
+            F.lit(f" {lhs}{joiner}{rhs}|"),
+        )
+    strip = "substring(x, 1, length(x) - 1)"
+    tokens = F.expr(
+        f"transform(filter(split(__bpe_s, ' '), x -> x != ''), x -> {strip})"
+    )
+    return df.withColumn("__bpe_s", expr).select(
+        F.col(id_col), tokens.alias(out_col)
+    )

@@ -351,3 +351,37 @@ def test_bpe_merges_batched_validates(spark):
         bpe_merges(df, n_merges=2, batch=0)
     with pytest.raises(ValueError):
         bpe_merges(df, n_merges=2, batch=4, candidate_pool=2)
+
+
+def test_bpe_apply_reproduces_trained_segmentation(spark):
+    """Applying the learned merge table must reproduce the trainer's
+    final corpus state: chained one-projection application == the
+    trainer's round-by-round rewrites (disjoint batches commute)."""
+    from datafusion_ballista_python_spark.operators.training import (
+        bpe_apply,
+        bpe_merges,
+    )
+
+    rows = [(i, "new york city " * 3 + f"unique{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_merges(df, n_merges=3, batch=2)
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_apply(df, merges).collect()}
+    # "new york" merges first (18 occurrences)
+    learned = {(m[1], m[2]) for m in merges}
+    assert ("new", "york") in learned
+    for i in range(6):
+        toks = out[i]
+        assert any(t.startswith("new+york") for t in toks), toks
+        # the trained-state invariant: no learned pair may survive as an
+        # adjacent unmerged bigram after application
+        for a, b in zip(toks, toks[1:]):
+            assert (a, b) not in learned, (a, b, toks)
+
+
+def test_bpe_apply_empty_merge_table_is_plain_tokenize(spark):
+    from datafusion_ballista_python_spark.operators.training import bpe_apply
+
+    df = spark.createDataFrame([(1, "Alpha, beta GAMMA!")], ["doc_id", "text"])
+    out = bpe_apply(df, []).collect()[0]
+    assert out["bpe_tokens"] == ["alpha", "beta", "gamma"]
