@@ -1326,6 +1326,85 @@ def text_maximal_repeated_spans(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_exact_substrings",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           t -> LENGTH(t) > 0) AS tok
+        FROM documents
+    ),
+    anch AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(tok[i:i+7], ' ') AS span
+        FROM toks, UNNEST(RANGE(1, LEN(tok) - 6)) AS r(i)
+        WHERE LEN(tok) >= 8
+    ),
+    hot AS (SELECT span FROM anch GROUP BY span HAVING COUNT(*) >= 2),
+    hp AS (SELECT a.doc_id, a.pos FROM anch a JOIN hot USING (span)),
+    runs AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS start_pos,
+               CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM hp
+        ) GROUP BY doc_id, g
+    ),
+    spans AS MATERIALIZED (
+        SELECT r.doc_id, r.start_pos, r.n_tokens,
+               ARRAY_TO_STRING(
+                   t.tok[CAST(r.start_pos + 1 AS INT) :
+                         CAST(r.start_pos + r.n_tokens AS INT)], ' ') AS span_text
+        FROM runs r JOIN toks t USING (doc_id)
+    ),
+    losers AS (
+        SELECT doc_id, start_pos, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY span_text ORDER BY doc_id, start_pos) AS rn
+            FROM spans
+        ) WHERE rn > 1
+    ),
+    droppos AS (
+        SELECT doc_id, UNNEST(RANGE(start_pos, start_pos + n_tokens)) AS pos
+        FROM losers
+    ),
+    tokrows AS (
+        SELECT doc_id, i - 1 AS pos, tok[i] AS t
+        FROM toks, UNNEST(RANGE(1, LEN(tok) + 1)) AS r(i)
+    ),
+    kept AS (
+        SELECT tr.doc_id, tr.pos, tr.t
+        FROM tokrows tr LEFT JOIN droppos d
+          ON d.doc_id = tr.doc_id AND d.pos = tr.pos
+        WHERE d.pos IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, ARRAY_TO_STRING(LIST(t ORDER BY pos), ' ') AS text_dedup,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(reb.text_dedup, '') AS text_dedup,
+           COALESCE(reb.n_tokens_kept, 0) AS n_tokens_kept
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN reb USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_exact_substrings(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (operators/text.remove_repeated_spans):
+    each maximal repeated span keeps its first (doc_id, start_pos)
+    occurrence and is cut everywhere else — the Lee et al. pipeline step
+    that text_maximal_repeated_spans only reports.  The oracle replays
+    span detection, keep-first survivor selection, position expansion,
+    the anti-join cut and per-doc reassembly, so the driver hash
+    certifies every surviving token of every document."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.remove_repeated_spans(docs, n=8, min_count=2).orderBy("doc_id")
+
+
 _SURVIVOR_ORACLE = f"""
 WITH comp AS (
   {_CLUSTER_ORACLE}

@@ -550,6 +550,77 @@ def maximal_repeated_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Exact-substring DEDUP REMOVAL (Lee et al.'s actual pipeline step):
+    every maximal repeated span keeps its FIRST occurrence (lowest
+    (doc_id, start_pos) among occurrences of the identical span text) and
+    is CUT from all others — duplicated boilerplate survives exactly once
+    corpus-wide instead of being memorized from every copy.
+
+    Built on :func:`maximal_repeated_spans`; survivor selection is one
+    window over identical span texts (partition sizes = occurrence
+    counts, Zipf-bounded); the cut expands loser intervals to (doc, pos)
+    rows — bounded by total duplicated tokens, not corpus size — and one
+    left-anti equi-join drops them (NO range join: interval containment
+    is pre-exploded to positions precisely so the anti-join stays
+    hash-partitioned).  Reassembly is the order-restoring
+    collect-struct-sort used by remove_boilerplate_lines, per document —
+    never a global sort.
+
+    Output: ``(id_col, out_col, n_tokens_kept)`` for EVERY input
+    document (documents losing all tokens come back empty, not missing).
+    """
+    from .training import _token_array
+
+    spans = maximal_repeated_spans(df, n, min_count, text_col, id_col)
+    w = Window.partitionBy("span_text").orderBy(id_col, "start_pos")
+    losers = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_pos"),
+                    F.col("start_pos") + F.col("n_tokens") - 1,
+                )
+            ).alias("__pos"),
+        )
+    )
+    tok_rows = df.select(
+        F.col(id_col), _token_array(text_col).alias("__t")
+    ).select(F.col(id_col), F.posexplode("__t").alias("__pos", "__tok"))
+    kept = tok_rows.join(losers, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
 # -- corpus-level boilerplate line removal (C4-style) ----------------------
 
 

@@ -1764,3 +1764,27 @@ def test_maximal_repeated_spans_counts_within_doc_repeats(spark):
     assert out == [(0, 10), (16, 10)]
     with pytest.raises(ValueError):
         maximal_repeated_spans(df, n=1)
+
+
+def test_remove_repeated_spans_keeps_first_occurrence_only(spark):
+    """The shared block survives in the lowest-(doc_id, start_pos)
+    occurrence and is cut from the other; untouched docs pass through;
+    a doc that is ENTIRELY duplicate text comes back empty."""
+    from datafusion_ballista_python_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    block = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "intro words go here five " + block),
+        (2, block + " extra trailing material kept"),
+        (3, block),                              # pure duplicate
+        (4, "completely unrelated text with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=8).collect()}
+    assert out[1]["text_dedup"] == "intro words go here five " + block
+    assert out[2]["text_dedup"] == "extra trailing material kept"
+    assert out[3]["text_dedup"] == "" and out[3]["n_tokens_kept"] == 0
+    assert out[4]["n_tokens_kept"] == 9
+    assert out[1]["n_tokens_kept"] == 17 and out[2]["n_tokens_kept"] == 4
