@@ -68,6 +68,9 @@ HEADLINE = [
     "graph_triangle_count",
     "pipeline_scd2_pointintime",
     "train_bpe_merges",
+    "train_bpe_encode",
+    "text_maximal_repeated_spans",
+    "dedup_exact_substrings",
 ]
 
 
