@@ -589,6 +589,11 @@ def ivfpq_topk(
     statically.  ``centroids``/``codebooks`` pin the quantizers for
     reproducible runs; both default to training on the bounded sample.
     """
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank ({rerank}) must be >= k ({k}): the refine stage can "
+            "only reorder the shortlist, not extend it"
+        )
     if centroids is None:
         centroids = train_centroids(
             candidates, n_centroids, iters, vec_col, id_col

@@ -60,3 +60,18 @@ print("gated:", gated.count(), "balanced:", balanced.count(),
       "hashed cells:", feats.count())
 print("splits:", sorted((r[0], r[1]) for r in
                         split.groupBy("split").count().collect()))
+
+# 7. (round 6) tokenizer prep + exact-substring dedup: learn a word-level
+#    BPE merge table (batched disjoint rounds), encode the corpus with it
+#    (zero-shuffle chained replace), and cut duplicated maximal spans
+#    (keep-first survivor, Lee et al. style)
+from datafusion_ballista_python_spark.operators import text
+
+merges = training.bpe_merges(clean, n_merges=6, batch=3)
+print("learned merges:", [(l, r, n) for _, l, r, n in merges])
+bpe = training.bpe_apply(clean, merges)
+print("bpe-encoded docs:", bpe.count())
+
+deduped = text.remove_repeated_spans(clean, n=8, min_count=2)
+cut = deduped.where("n_tokens_kept = 0").count()
+print("docs after span dedup:", deduped.count(), "(fully cut:", cut, ")")

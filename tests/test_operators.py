@@ -1788,3 +1788,14 @@ def test_remove_repeated_spans_keeps_first_occurrence_only(spark):
     assert out[3]["text_dedup"] == "" and out[3]["n_tokens_kept"] == 0
     assert out[4]["n_tokens_kept"] == 9
     assert out[1]["n_tokens_kept"] == 17 and out[2]["n_tokens_kept"] == 4
+
+
+def test_ivfpq_rerank_validates(emb):
+    import pytest
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 2)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_topk(cands, queries, k=10, rerank=5)
