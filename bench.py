@@ -83,7 +83,8 @@ def compare(paths: list[str]) -> None:
     if len(paths) != 2:
         raise SystemExit("usage: bench.py --compare OLD.json NEW.json")
     def load_queries(path: str) -> dict[str, float]:
-        d = json.load(open(path))
+        with open(path) as fh:
+            d = json.load(fh)
         if "queries" not in d:  # driver-recorded BENCH_r*.json wraps under "parsed"
             d = d.get("parsed") or {}
         return {k: v for k, v in d.get("queries", {}).items() if v >= 0}
@@ -97,8 +98,11 @@ def compare(paths: list[str]) -> None:
             "ratio": round(nq[k] / oq[k], 3) if oq[k] > 0 else None}
         for k in common
     }
+    # only true regressions (ratio > 1) qualify — an all-improved round
+    # must report an empty dict, not relabel its best improvements
     worst = sorted(
-        (k for k in common if deltas[k]["ratio"] is not None),
+        (k for k in common
+         if deltas[k]["ratio"] is not None and deltas[k]["ratio"] > 1),
         key=lambda k: -deltas[k]["ratio"],
     )[:5]
     print(

@@ -49,6 +49,7 @@ def decode_wav(data: bytes) -> Audio:
     pos = 12
     fmt = None
     pcm = None
+    n_data_chunks = 0
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -68,20 +69,37 @@ def decode_wav(data: bytes) -> Audio:
             fmt = (channels, rate, bits // 8)
         elif cid == b"data":
             pcm = body
+            n_data_chunks += 1
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise AudioCodecError("missing fmt/data chunk")
     channels, rate, width = fmt
-    if _soundfile is not None and width in (2, 4):
+    # Fast path only where it is provably bit-identical to the stdlib
+    # parse below: exactly ONE data chunk (libsndfile decodes the FIRST,
+    # we keep the LAST) and a whole number of frames (we keep a dangling
+    # partial-frame sample, libsndfile drops it) — otherwise fall through.
+    if (
+        _soundfile is not None
+        and width in (2, 4)
+        and n_data_chunks == 1
+        and channels > 0
+        and len(pcm) % (channels * width) == 0
+    ):
         try:
             arr, sf_rate = _soundfile.read(
                 io.BytesIO(data),
                 dtype="int16" if width == 2 else "int32",
                 always_2d=True,
             )
-            if sf_rate == rate and arr.shape[1] == channels:
-                # row-major (frames x channels) flatten == interleaved order
-                return Audio(rate, channels, width, [int(s) for s in arr.reshape(-1)])
+            if (
+                sf_rate == rate
+                and arr.shape[1] == channels
+                and arr.size == len(pcm) // width
+            ):
+                # row-major (frames x channels) flatten == interleaved
+                # order; tolist() is one C-level pass (a per-sample
+                # Python int() loop would eat the native-decode win)
+                return Audio(rate, channels, width, arr.reshape(-1).tolist())
         except Exception:
             pass  # fall through to the stdlib path (it raises precisely)
     n = len(pcm) // width

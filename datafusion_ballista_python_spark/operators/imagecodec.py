@@ -43,6 +43,13 @@ _PIL_MODES = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decompression budget: IHDR dimensions are attacker-controlled, so a cap
+# derived ONLY from them still admits a 65536x65536 RGBA declaration
+# (~17 GB of "expected" output from a few-KB zlib stream).  Bound total
+# pixels so the worst-case inflate budget is ~84 MB (RGBA + filter bytes)
+# — far above any training-corpus thumbnail, far below executor OOM.
+MAX_PIXELS = 1 << 24  # 16.7M px (4096 x 4096)
+
 # PNG color types -> channel count (8-bit depth only; palette unsupported)
 _COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -105,13 +112,37 @@ def decode_png(data: bytes) -> Image:
             if interlace != 0:
                 raise ImageCodecError("interlaced PNG unsupported")
             channels = _COLOR_CHANNELS[color]
+            if width * height > MAX_PIXELS:
+                raise ImageCodecError(
+                    f"image too large ({width}x{height} > {MAX_PIXELS} px)"
+                )
         elif ctype == b"IDAT":
             idat += body
     if width is None or not idat:
         raise ImageCodecError("missing IHDR/IDAT")
+    stride = width * channels
+    expected = (stride + 1) * height
+    # bounded decompress: dimensions are validated from IHDR (incl. the
+    # MAX_PIXELS budget above — the cap must not come from attacker-
+    # controlled dims alone), but the IDAT stream itself is untrusted —
+    # an unbounded zlib.decompress on a crafted payload could demand GBs
+    # (decompression bomb) and OOM the executor task instead of raising.
+    # Cap output at expected + 1: one extra byte distinguishes "too much
+    # data" from an exact match.  This strict inflate runs on BOTH paths
+    # so the accepted subset is identical with and without Pillow
+    # (Pillow tolerates surplus IDAT data; the stdlib path rejects it).
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ImageCodecError("scanline size mismatch")
+    if not d.eof:
+        # exactly `expected` bytes came out but the deflate stream never
+        # terminated: truncated input (zlib.decompress would have raised;
+        # a max_length-bounded decompressobj returns quietly instead)
+        raise ImageCodecError("incomplete or truncated IDAT stream")
     if _PILImage is not None:
-        # IHDR already validated above, so this payload is inside the
-        # stdlib subset; Pillow's lossless decode returns the same bytes
+        # payload is now validated to the exact stdlib subset (IHDR +
+        # strict inflate); Pillow's lossless decode returns the same bytes
         try:
             pil = _PILImage.open(io.BytesIO(data))
             pil.load()
@@ -120,16 +151,6 @@ def decode_png(data: bytes) -> Image:
                 return Image(width, height, channels, bytearray(pil.tobytes()))
         except Exception:
             pass  # fall through to the stdlib path (it raises precisely)
-    stride = width * channels
-    expected = (stride + 1) * height
-    # bounded decompress: dimensions are validated from IHDR, but the
-    # IDAT stream itself is untrusted — an unbounded zlib.decompress on a
-    # crafted payload could demand GBs (decompression bomb) and OOM the
-    # executor task instead of raising.  Cap output at expected + 1: one
-    # extra byte distinguishes "too much data" from an exact match
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:
-        raise ImageCodecError("scanline size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
     bpp = channels

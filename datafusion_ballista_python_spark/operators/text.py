@@ -507,13 +507,41 @@ def maximal_repeated_spans(
     (map-side partials, Zipf head collapses early); hot positions come
     back via one span equi-join; the merge is a per-DOCUMENT window
     (bounded by doc length, never a global sort); the final text slice
-    is one id equi-join against the re-derived token arrays.
+    is one id equi-join against the SAME materialized token arrays the
+    anchors came from (localCheckpoint — corpus-wide tokenization runs
+    once, not once per consumer).
     """
-    from .training import _ngrams, _token_array
-
     if n < 2 or min_count < 2:
         raise ValueError("need n >= 2 and min_count >= 2")
-    toks = df.select(F.col(id_col), _token_array(text_col).alias("__t"))
+    return _maximal_spans_from_toks(
+        _tokens_frame(df, text_col, id_col), n, min_count, id_col
+    )
+
+
+def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __t) token-array frame, materialized ONCE.
+
+    localCheckpoint (eager), not persist, for the same reason as
+    triangle_count's oriented-edge frame: the span pipelines consume the
+    tokenization 2-3 times (anchor explode, span-text slice join,
+    position explode), and a lazily returned persist would re-tokenize
+    the whole corpus per consumer until the cache materializes.
+    """
+    from .training import _token_array
+
+    return df.select(
+        F.col(id_col), _token_array(text_col).alias("__t")
+    ).localCheckpoint()
+
+
+def _maximal_spans_from_toks(
+    toks: DataFrame, n: int, min_count: int, id_col: str
+) -> DataFrame:
+    """maximal_repeated_spans body over a pre-materialized (id, __t)
+    token frame — shared with remove_repeated_spans so the corpus-wide
+    tokenization is paid once across both span derivation and removal."""
+    from .training import _ngrams
+
     anchors = toks.select(
         F.col(id_col),
         F.posexplode(_ngrams(F.col("__t"), n)).alias("__pos", "__span"),
@@ -577,9 +605,10 @@ def remove_repeated_spans(
     Output: ``(id_col, out_col, n_tokens_kept)`` for EVERY input
     document (documents losing all tokens come back empty, not missing).
     """
-    from .training import _token_array
-
-    spans = maximal_repeated_spans(df, n, min_count, text_col, id_col)
+    if n < 2 or min_count < 2:
+        raise ValueError("need n >= 2 and min_count >= 2")
+    toks = _tokens_frame(df, text_col, id_col)
+    spans = _maximal_spans_from_toks(toks, n, min_count, id_col)
     w = Window.partitionBy("span_text").orderBy(id_col, "start_pos")
     losers = (
         spans.withColumn("__rn", F.row_number().over(w))
@@ -594,9 +623,7 @@ def remove_repeated_spans(
             ).alias("__pos"),
         )
     )
-    tok_rows = df.select(
-        F.col(id_col), _token_array(text_col).alias("__t")
-    ).select(F.col(id_col), F.posexplode("__t").alias("__pos", "__tok"))
+    tok_rows = toks.select(F.col(id_col), F.posexplode("__t").alias("__pos", "__tok"))
     kept = tok_rows.join(losers, [id_col, "__pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

@@ -124,3 +124,48 @@ def test_soundfile_fast_path_bit_identical():
 def test_soundfile_gate_falls_back_cleanly_when_absent():
     audio = _ac.Audio(16000, 1, 2, [100, -100, 32000, -32000])
     assert _ac.decode_wav(_ac.encode_wav(audio)) == audio
+
+
+def _riff(chunks: bytes) -> bytes:
+    import struct
+
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _fmt_chunk(channels=2, rate=8000, width=2) -> bytes:
+    import struct
+
+    block = channels * width
+    body = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, width * 8)
+    return b"fmt " + struct.pack("<I", len(body)) + body
+
+
+def test_partial_frame_keeps_dangling_sample_stdlib():
+    """A data chunk whose byte length is NOT a multiple of channels*width:
+    the stdlib contract keeps the dangling partial-frame sample (libsndfile
+    drops it — which is exactly why the fast-path gate requires whole
+    frames; review finding r6)."""
+    import struct
+
+    pcm = struct.pack("<5h", 10, -10, 20, -20, 30)  # 2ch x 16-bit, 2.5 frames
+    data = _riff(
+        _fmt_chunk() + b"data" + struct.pack("<I", len(pcm)) + pcm + b"\x00"
+    )
+    a = ac.decode_wav(data)
+    assert a.samples == [10, -10, 20, -20, 30]  # 5 samples, not 4
+
+
+def test_multiple_data_chunks_keep_last_stdlib():
+    """Two data chunks: the stdlib parser keeps the LAST (libsndfile decodes
+    the FIRST — the fast-path gate rejects multi-data containers so the two
+    parses can never silently disagree)."""
+    import struct
+
+    first = struct.pack("<2h", 1, 2)
+    second = struct.pack("<2h", 7, 8)
+    data = _riff(
+        _fmt_chunk(channels=1)
+        + b"data" + struct.pack("<I", len(first)) + first
+        + b"data" + struct.pack("<I", len(second)) + second
+    )
+    assert ac.decode_wav(data).samples == [7, 8]

@@ -235,3 +235,79 @@ def test_pil_gate_falls_back_cleanly_when_absent():
     transparently — same results, no errors."""
     img = gradient_image(6, 4, 3)
     assert ic.decode_png(ic.encode_png(img)) == img
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_huge_declared_dims_rejected():
+    """The inflate budget is derived from IHDR dims, which are attacker-
+    controlled: a 65536x65536 RGBA declaration would budget ~17 GB for a
+    few-KB zlib stream (review finding r6).  MAX_PIXELS caps total pixel
+    count BEFORE any allocation happens."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    data = (
+        ic.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ic.ImageCodecError, match="too large"):
+        ic.decode_png(data)
+    # just inside the budget still validates dims (fails later, on data)
+    ihdr_ok = struct.pack(">IIBBBBB", 4096, 4096, 8, 0, 0, 0, 0)
+    data_ok = (
+        ic.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr_ok)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ic.ImageCodecError, match="scanline size mismatch"):
+        ic.decode_png(data_ok)
+
+
+def test_png_truncated_idat_stream_rejected():
+    """A deflate stream cut AFTER the final output byte but before the
+    stream-end marker used to slip through the bounded decompressobj
+    (zlib.decompress raised on it; max_length-bounded decompress returns
+    quietly) — corrupt data must not decode as a valid image."""
+    img = gradient_image(4, 3, 1)
+    stride = 4
+    raw = b"".join(b"\x00" + bytes(img.pixels[y * stride:(y + 1) * stride])
+                   for y in range(3))
+    full = zlib.compress(raw, 9)
+    # find the shortest prefix that still yields ALL expected bytes: that
+    # prefix is a truncated-but-complete-output stream (drops the trailer)
+    cut = None
+    for k in range(len(full) - 1, 0, -1):
+        d = zlib.decompressobj()
+        try:
+            if len(d.decompress(full[:k], len(raw) + 1)) == len(raw) and not d.eof:
+                cut = full[:k]
+                break
+        except zlib.error:
+            continue
+    assert cut is not None, "could not build a truncated stream"
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    data = (
+        ic.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", cut)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ic.ImageCodecError, match="truncated IDAT"):
+        ic.decode_png(data)
+    # the untruncated stream still decodes exactly
+    good = (
+        ic.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", full)
+        + _chunk(b"IEND", b"")
+    )
+    assert ic.decode_png(good) == img
