@@ -371,3 +371,177 @@ def test_salted_topk_matches_plain_window(spark, rows):
         .where(F.col("rn") <= 3).collect()
     }
     assert got == {(g, int(rn), i) for g, rn, i in want}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_maximal_repeated_spans_matches_bruteforce(spark, docs):
+    """k-gram-anchored maximal spans == a direct Python transcription of
+    the spec (hot anchors by corpus-wide occurrence count, consecutive
+    runs merged per doc) on arbitrary tiny corpora — guards the
+    gaps-and-islands window and the tokenize-once refactor."""
+    from collections import Counter
+
+    from datafusion_ballista_python_spark.operators.text import (
+        maximal_repeated_spans,
+    )
+
+    n, min_count = 2, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cnt = Counter()
+    grams = {}
+    for did, toks in enumerate(docs):
+        g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        grams[did] = g
+        cnt.update(g)
+    want = set()
+    for did, toks in enumerate(docs):
+        hot = [i for i, s in enumerate(grams[did]) if cnt[s] >= min_count]
+        runs = []
+        for p in hot:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for a, b in runs:
+            want.add((did, a, b - a + n, " ".join(toks[a : b + n])))
+
+    got = {
+        (r["doc_id"], r["start_pos"], r["n_tokens"], r["span_text"])
+        for r in maximal_repeated_spans(df, n=n, min_count=min_count).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_remove_repeated_spans_matches_bruteforce(spark, docs):
+    """Keep-first exact-substring removal == the Python reference: derive
+    maximal spans, keep the lowest (doc_id, start_pos) occurrence of each
+    identical span text, cut every other occurrence's token positions,
+    reassemble in order.  Every input doc must come back."""
+    from collections import Counter, defaultdict
+
+    from datafusion_ballista_python_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    n, min_count = 2, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cnt = Counter()
+    grams = {}
+    for did, toks in enumerate(docs):
+        g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        grams[did] = g
+        cnt.update(g)
+    by_text = defaultdict(list)
+    for did, toks in enumerate(docs):
+        hot = [i for i, s in enumerate(grams[did]) if cnt[s] >= min_count]
+        runs = []
+        for p in hot:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for a, b in runs:
+            by_text[" ".join(toks[a : b + n])].append((did, a, b - a + n))
+    cut = defaultdict(set)
+    for occ in by_text.values():
+        occ.sort()
+        for did, sp, nt in occ[1:]:
+            cut[did].update(range(sp, sp + nt))
+    want = {}
+    for did, toks in enumerate(docs):
+        kept = [t for i, t in enumerate(toks) if i not in cut[did]]
+        want[did] = (" ".join(kept), len(kept))
+
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens_kept"])
+        for r in remove_repeated_spans(df, n=n, min_count=min_count).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cvecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=8, max_size=8)
+        .filter(lambda v: any(v)),
+        min_size=4,
+        max_size=8,
+    ),
+    qvecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=8, max_size=8)
+        .filter(lambda v: any(v)),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_ivfpq_full_rerank_is_exact_topk(spark, cvecs, qvecs):
+    """IVF-PQ with every cell probed and the whole corpus reranked must
+    return EXACTLY brute-force cosine top-k: PQ noise decides only who
+    makes the shortlist, and a full shortlist leaves nothing for it to
+    decide.  Replicates the engine's float semantics (left-to-right dot
+    fold, HALF_UP round at 4 digits on the shortest-repr decimal)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_ballista_python_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    k = 3
+    cands = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(qvecs)],
+        "qid long, qe array<double>",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["cos_sim"])
+        for r in ivfpq_topk(
+            cands, queries, k=k, n_centroids=2, n_probe=2, n_sub=4,
+            n_codes=4, iters=1, rerank=max(k, len(cvecs)),
+        ).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def rnd(v):  # Spark Round(double, 4): HALF_UP on shortest-repr decimal
+        return float(Decimal(str(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    want = set()
+    for qi, q in enumerate(qvecs):
+        qn = math.sqrt(fold_dot(q, q))
+        sims = [
+            (rnd(fold_dot(q, c) / (qn * math.sqrt(fold_dot(c, c)))), ci)
+            for ci, c in enumerate(cvecs)
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want |= {(qi, ci, s) for s, ci in sims[:k]}
+    assert got == want
