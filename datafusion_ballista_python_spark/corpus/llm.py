@@ -299,6 +299,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+_LSH_RECALL_ORACLE = f"""
+WITH truth_words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w FROM documents
+),
+truth_shingles AS MATERIALIZED (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                                        i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
+    FROM truth_words
+),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM truth_shingles a JOIN truth_shingles b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+          (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.8
+),
+lsh AS (SELECT doc_a, doc_b, 1 AS hit FROM ({_MINHASH_ORACLE}))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COALESCE(SUM(l.hit), 0) AS BIGINT) AS n_found,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(COALESCE(SUM(l.hit), 0) AS DOUBLE) / COUNT(*), 6)
+       END AS recall
+FROM truth t LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+"""
+
+
+@query("eval_lsh_dedup_recall", oracle=_LSH_RECALL_ORACLE)
+def eval_lsh_dedup_recall(spark, sf_dir):
+    """Certified pair-recall of the banded-LSH dedup path
+    (operators/dedup.lsh_recall): exact all-pairs shingle Jaccard is the
+    ground truth, dedup_minhash_lsh's verified pairs are the measured set,
+    and the oracle composes the SAME minhash-pipeline SQL as the
+    standalone dedup_minhash_lsh entry plus a fresh all-pairs truth —
+    so the driver hash certifies the recall MEASUREMENT itself, closing
+    the eval ladder for dedup the way eval_ann_recall/eval_pq_recall do
+    for ANN.  The truth side is the documented guarded exact baseline
+    (sf0.01 is far under the guard); the scale path being measured is
+    the LSH pipeline."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.lsh_recall(docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8)
+
+
 _SIMHASH_ORACLE = f"""
 WITH w AS (
     SELECT doc_id,

@@ -409,6 +409,80 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_recall(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: "int | None" = 10_000,
+) -> DataFrame:
+    """Measured pair-recall of banded MinHash-LSH against the EXACT
+    all-pairs shingle-Jaccard ground truth — the dedup arm of the
+    eval_ann_recall pattern: the measurement itself is an oracle-checkable
+    dataflow, so a driver hash certifies the reported recall, not just
+    that some number came out.
+
+    Returns ONE row ``(n_true, n_found, recall)``: truth = every pair with
+    exact shingle Jaccard >= threshold; found = the subset that
+    :func:`minhash_lsh_pairs` (same shingles, same threshold) surfaces.
+    The verify stage makes the LSH output a subset of truth, so recall is
+    a plain count ratio and misses are exactly the band-collision misses.
+    ``recall`` is NULL when the corpus has no true pairs.
+
+    Scale guard: the truth side is an O(n^2) nested-loop self-join — the
+    labeled exact baseline for MEASUREMENT on a bounded sample, never the
+    scale path (that is minhash_lsh_pairs itself).  More than ``max_docs``
+    rows raises (limit+count probe, cheap); at corpus scale measure recall
+    on a hash-sampled slice (sampling.hash_sample) instead.  The
+    set-similarity length filter (J >= t implies size ratio >= t) prunes
+    pairs inside the join condition before any intersection is computed.
+    """
+    if max_docs is not None:
+        probe = df.limit(max_docs + 1).count()
+        if probe > max_docs:
+            from ..errors import BallistaError
+
+            raise BallistaError(
+                f"lsh_recall's ground truth is the O(n^2) exact all-pairs "
+                f"baseline; input exceeds max_docs={max_docs}. Measure on a "
+                f"hash-sampled slice, or pass max_docs=None to force."
+            )
+    sh = with_shingles(df, text_col, shingle_n, "grams").select(
+        F.col(id_col), F.col("grams")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
+    sa, sb = F.size("ga"), F.size("gb")
+    cond = (
+        (F.col("doc_a") < F.col("doc_b"))
+        & (sa.cast("double") >= F.lit(threshold) * sb)
+        & (sb.cast("double") >= F.lit(threshold) * sa)
+    )
+    joined = a.join(b, on=cond, how="inner").withColumn(
+        "__is", F.size(F.array_intersect("ga", "gb"))
+    )
+    jac = F.col("__is").cast("double") / (sa + sb - F.col("__is"))
+    truth = joined.where(jac >= threshold).select("doc_a", "doc_b")
+    found = minhash_lsh_pairs(
+        df, num_hashes, bands, shingle_n, threshold, text_col, id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("__hit"))
+    n_true = F.count(F.lit(1))
+    n_found = F.coalesce(F.sum("__hit"), F.lit(0))
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            n_true.cast("long").alias("n_true"),
+            n_found.cast("long").alias("n_found"),
+            F.when(
+                n_true > 0, F.round(n_found.cast("double") / n_true, 6)
+            ).alias("recall"),
+        )
+    )
+
+
 _SIMHASH_BITS = 60  # 15 hex chars of md5 -> 60 hash bits per token
 
 

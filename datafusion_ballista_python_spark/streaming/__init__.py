@@ -500,8 +500,6 @@ def incremental_dedup_sink(
 
     Returns the StreamingQuery; callers stop it or await termination.
     """
-    from ..operators.text import normalized_text
-
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:

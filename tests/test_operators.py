@@ -44,6 +44,36 @@ def test_minhash_detects_exact_duplicates(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_lsh_recall_measurement(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup -> true pair
+        (3, "totally different words nothing shared here at all"),
+        (4, "yet another unrelated document with private vocabulary only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.lsh_recall(df, num_hashes=8, bands=2, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    # one true pair (1,2); verified LSH output is a subset of truth, and
+    # an exact dup collides in every band, so it must be found
+    assert (r["n_true"], r["n_found"], r["recall"]) == (1, 1, 1.0)
+
+
+def test_lsh_recall_no_true_pairs_is_null(spark):
+    rows = [(1, "completely distinct alpha"), (2, "other words entirely beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.lsh_recall(df, num_hashes=8, bands=2, threshold=0.9).collect()[0]
+    assert (r["n_true"], r["n_found"], r["recall"]) == (0, 0, None)
+
+
+def test_lsh_recall_size_guard(spark, docs):
+    from datafusion_ballista_python_spark.errors import BallistaError
+
+    with pytest.raises(BallistaError, match="max_docs"):
+        dedup.lsh_recall(docs, max_docs=5)
+
+
 def test_simhash_identical_for_exact_dup(spark):
     rows = [(1, "one two three four"), (2, "one two three four"), (3, "five six seven eight")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
