@@ -778,6 +778,47 @@ def train_split_assign(spark, sf_dir):
 
 
 @query(
+    "train_split_groupwise",
+    oracle="""
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT source,
+               CASE WHEN h < 'cccd' THEN 'train'
+                    WHEN h < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source,
+                   SUBSTRING(MD5('gsplit:' || source), 1, 4) AS h
+            FROM documents
+        )
+    ) GROUP BY source, split ORDER BY source, split
+    """,
+)
+def train_split_groupwise(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: the split key is the document's
+    SOURCE (host/domain), not its id, so every document of a source —
+    including its near-duplicates, which overwhelmingly live within one
+    host — lands in the same split; a doc-keyed split lets near-dup pairs
+    straddle train and test and silently inflate eval scores.  Same
+    operator as train_split_assign (operators/sampling.split_assign),
+    different key + salt.  The result is the per-(source, split) count:
+    one row per source in the hash proves co-assignment itself — a source
+    straddling splits would surface as two rows and fail the row-count
+    and hash compare.  Map-only assignment plus one aggregation; zero
+    extra shuffle at any scale."""
+    from ..operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        split_assign(docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="gsplit")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
     "dq_psi_drift",
     oracle="""
     WITH ref AS (
