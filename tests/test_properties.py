@@ -545,3 +545,50 @@ def test_ivfpq_full_rerank_is_exact_topk(spark, cvecs, qvecs):
         sims.sort(key=lambda t: (-t[0], t[1]))
         want |= {(qi, ci, s) for s, ci in sims[:k]}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                 min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_lsh_recall_truth_matches_bruteforce(spark, docs):
+    """lsh_recall's ground-truth count == a direct Python transcription of
+    the shingle-Jaccard spec on arbitrary tiny corpora, and the measured
+    side obeys the subset contract (n_found <= n_true, recall is the plain
+    ratio, NULL on an empty truth set) — guards the all-pairs truth join,
+    its length-filter pruning, and the one-row aggregate."""
+    import re
+
+    from datafusion_ballista_python_spark.operators.dedup import lsh_recall
+
+    n, threshold = 3, 0.8
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(text):
+        w = re.split(r"\s+", text.strip().lower())
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want_true = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i]) + len(sh[j]) - inter
+            if union and inter / union >= threshold:
+                want_true += 1
+
+    r = lsh_recall(df, num_hashes=8, bands=4, shingle_n=n,
+                   threshold=threshold).collect()[0]
+    assert r["n_true"] == want_true
+    assert 0 <= r["n_found"] <= r["n_true"]
+    if want_true == 0:
+        assert r["recall"] is None
+    else:
+        assert r["recall"] == round(r["n_found"] / want_true, 6)
