@@ -75,3 +75,15 @@ print("bpe-encoded docs:", bpe.count())
 deduped = text.remove_repeated_spans(clean, n=8, min_count=2)
 cut = deduped.where("n_tokens_kept = 0").count()
 print("docs after span dedup:", deduped.count(), "(fully cut:", cut, ")")
+
+# 8. (round 6) measure the dedup pipeline and split leakage-safely:
+#    certified LSH pair-recall vs the exact all-pairs ground truth, then
+#    a HOST-keyed train/val/test split so near-dups (which live within a
+#    host) can never straddle train and test
+from datafusion_ballista_python_spark.operators import dedup
+
+r = dedup.lsh_recall(clean, threshold=0.8).collect()[0]
+print("lsh recall:", r["n_found"], "/", r["n_true"], "=", r["recall"])
+gsplit = sampling.split_assign(balanced, "source", salt="gsplit")
+print("host-keyed splits:", sorted((row[0], row[1]) for row in
+                                   gsplit.groupBy("split").count().collect()))
