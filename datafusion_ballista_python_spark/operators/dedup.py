@@ -450,8 +450,14 @@ def lsh_recall(
                 f"baseline; input exceeds max_docs={max_docs}. Measure on a "
                 f"hash-sampled slice, or pass max_docs=None to force."
             )
-    sh = with_shingles(df, text_col, shingle_n, "grams").select(
-        F.col(id_col), F.col("grams")
+    # persisted: BOTH sides of the O(n^2) self-join below would otherwise
+    # recompute the full upstream scan -> tokenize -> shingle DAG (same
+    # self-join-recompute reason minhash_lsh_pairs persists its banded
+    # frame); bounded at <=max_docs rows by the guard above
+    sh = (
+        with_shingles(df, text_col, shingle_n, "grams")
+        .select(F.col(id_col), F.col("grams"))
+        .persist()
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))

@@ -584,10 +584,32 @@ def test_lsh_recall_truth_matches_bruteforce(spark, docs):
             if union and inter / union >= threshold:
                 want_true += 1
 
+    truth_pairs = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i]) + len(sh[j]) - inter
+            if union and inter / union >= threshold:
+                truth_pairs.add((i, j))
+
     r = lsh_recall(df, num_hashes=8, bands=4, shingle_n=n,
                    threshold=threshold).collect()[0]
-    assert r["n_true"] == want_true
-    assert 0 <= r["n_found"] <= r["n_true"]
+    assert r["n_true"] == want_true == len(truth_pairs)
+    # REAL subset check (the one-row aggregate's left join would silently
+    # drop non-truth LSH pairs, so asserting n_found <= n_true alone is
+    # vacuous): the verified LSH output itself must be within truth
+    from datafusion_ballista_python_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    found_pairs = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_lsh_pairs(
+            df, num_hashes=8, bands=4, shingle_n=n, threshold=threshold
+        ).collect()
+    }
+    assert found_pairs <= truth_pairs
+    assert r["n_found"] == len(found_pairs)
     if want_true == 0:
         assert r["recall"] is None
     else:
