@@ -37,6 +37,7 @@ HEADLINE = [
     "session_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_exact_jaccard_join",
     "dedup_semantic",
     "embed_cosine_topk",
     "ann_ivf_topk",

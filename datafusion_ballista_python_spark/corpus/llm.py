@@ -328,17 +328,57 @@ FROM truth t LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
 @query("eval_lsh_dedup_recall", oracle=_LSH_RECALL_ORACLE)
 def eval_lsh_dedup_recall(spark, sf_dir):
     """Certified pair-recall of the banded-LSH dedup path
-    (operators/dedup.lsh_recall): exact all-pairs shingle Jaccard is the
-    ground truth, dedup_minhash_lsh's verified pairs are the measured set,
-    and the oracle composes the SAME minhash-pipeline SQL as the
-    standalone dedup_minhash_lsh entry plus a fresh all-pairs truth —
-    so the driver hash certifies the recall MEASUREMENT itself, closing
-    the eval ladder for dedup the way eval_ann_recall/eval_pq_recall do
-    for ANN.  The truth side is the documented guarded exact baseline
-    (sf0.01 is far under the guard); the scale path being measured is
-    the LSH pipeline."""
+    (operators/dedup.lsh_recall): exact shingle Jaccard is the ground
+    truth, dedup_minhash_lsh's verified pairs are the measured set, and
+    the oracle composes the SAME minhash-pipeline SQL as the standalone
+    dedup_minhash_lsh entry plus an independent ALL-PAIRS truth — so the
+    driver hash certifies the recall MEASUREMENT itself, closing the
+    eval ladder for dedup the way eval_ann_recall/eval_pq_recall do for
+    ANN.  The Spark truth side is the prefix-filtered EXACT join
+    (dedup.jaccard_join, shuffle-bounded); the DuckDB oracle derives
+    truth by brute-force all-pairs — the hash match doubles as a
+    completeness certificate for the prefix filter on real data."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return dedup.lsh_recall(docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8)
+
+
+@query(
+    "dedup_exact_jaccard_join",
+    oracle="""
+    WITH jw AS (
+        SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w
+        FROM documents
+    ),
+    jsh AS MATERIALIZED (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                                            i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
+        FROM jw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                 (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM jsh a JOIN jsh b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+          (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_exact_jaccard_join(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity self-join
+    (operators/dedup.jaccard_join, Bayardo et al. WWW'07): ALL pairs with
+    shingle Jaccard >= 0.7, no LSH misses.  The oracle derives the same
+    pair set by brute-force all-pairs in DuckDB, so the driver hash is a
+    completeness + exactness certificate for the prefix filter (candidate
+    generation is an equi-join on each doc's first |g|-ceil(t|g|)+1
+    sorted shingles — a candidate SUPERSET of every qualifying pair).
+    Threshold 0.7 sits below the minhash entry's 0.8 so this surfaces
+    pairs the LSH entry never has to."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.jaccard_join(docs, threshold=0.7, shingle_n=3).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 _SIMHASH_ORACLE = f"""

@@ -409,6 +409,64 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT set-similarity self-join: ALL pairs with shingle Jaccard >=
+    threshold — no misses, unlike :func:`minhash_lsh_pairs` — via prefix
+    filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07): with shingles in a global total order, J(A,B) >= t implies
+    |A∩B| >= ceil(t*|A|), and two sets with overlap >= a must share a
+    token within the first |A|-a+1 of each — so emitting only each doc's
+    first ``|grams| - ceil(t*|grams|) + 1`` sorted shingles and
+    equi-joining on the shingle yields a candidate SUPERSET of every
+    qualifying pair, each then verified with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Scale shape: one map-side sort per doc, a prefix explode emitting
+    ~(1-t)|grams|+1 rows per doc, ONE equi-join shuffled on the shingle
+    key, then the semi-join-pruned exact verify — candidate volume is
+    bounded by shared-prefix-token pairs, never n^2.  Skew escalation:
+    a corpus-frequency shingle ordering (rarest first) instead of the
+    lexicographic order both shrinks prefixes and cools hot-token
+    reducers; lexicographic needs no frequency pass and is exact either
+    way (ordering affects pruning power only, never the result)."""
+    sh = (
+        with_shingles(df, text_col, shingle_n, "grams")
+        .select(F.col(id_col), F.sort_array("grams").alias("grams"))
+        # consumed by both prefix sides; persisting avoids recomputing the
+        # scan -> tokenize -> shingle DAG per side (same reason
+        # minhash_lsh_pairs persists its banded frame)
+        .persist()
+    )
+    plen = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + F.lit(1)
+    )
+    pref = sh.select(
+        F.col(id_col), F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok")
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("doc_a"), "__tok")
+        .join(pref.select(F.col(id_col).alias("doc_b"), "__tok"), "__tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        # consumed by three frames in the verify stage
+        .persist()
+    )
+    return _verify_exact_jaccard(
+        cands, df, "doc_a", "doc_b", threshold, text_col, shingle_n, id_col
+    ).select("doc_a", "doc_b", F.round(F.col("jaccard"), round_digits).alias("jaccard"))
+
+
 def lsh_recall(
     df: DataFrame,
     num_hashes: int = 16,
@@ -417,61 +475,25 @@ def lsh_recall(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_docs: "int | None" = 10_000,
 ) -> DataFrame:
     """Measured pair-recall of banded MinHash-LSH against the EXACT
-    all-pairs shingle-Jaccard ground truth — the dedup arm of the
-    eval_ann_recall pattern: the measurement itself is an oracle-checkable
-    dataflow, so a driver hash certifies the reported recall, not just
-    that some number came out.
+    shingle-Jaccard ground truth — the dedup arm of the eval_ann_recall
+    pattern: the measurement itself is an oracle-checkable dataflow, so a
+    driver hash certifies the reported recall, not just that some number
+    came out.
 
     Returns ONE row ``(n_true, n_found, recall)``: truth = every pair with
-    exact shingle Jaccard >= threshold; found = the subset that
+    exact shingle Jaccard >= threshold, computed by :func:`jaccard_join`
+    (prefix-filtered EXACT join — shuffle-bounded, so the measurement
+    itself scales; 5000 docs at sf0.1 dropped 472s -> seconds vs the
+    nested-loop all-pairs truth this replaced); found = the subset that
     :func:`minhash_lsh_pairs` (same shingles, same threshold) surfaces.
     The verify stage makes the LSH output a subset of truth, so recall is
     a plain count ratio and misses are exactly the band-collision misses.
-    ``recall`` is NULL when the corpus has no true pairs.
-
-    Scale guard: the truth side is an O(n^2) nested-loop self-join — the
-    labeled exact baseline for MEASUREMENT on a bounded sample, never the
-    scale path (that is minhash_lsh_pairs itself).  More than ``max_docs``
-    rows raises (limit+count probe, cheap); at corpus scale measure recall
-    on a hash-sampled slice (sampling.hash_sample) instead.  The
-    set-similarity length filter (J >= t implies size ratio >= t) prunes
-    pairs inside the join condition before any intersection is computed.
-    """
-    if max_docs is not None:
-        probe = df.limit(max_docs + 1).count()
-        if probe > max_docs:
-            from ..errors import BallistaError
-
-            raise BallistaError(
-                f"lsh_recall's ground truth is the O(n^2) exact all-pairs "
-                f"baseline; input exceeds max_docs={max_docs}. Measure on a "
-                f"hash-sampled slice, or pass max_docs=None to force."
-            )
-    # persisted: BOTH sides of the O(n^2) self-join below would otherwise
-    # recompute the full upstream scan -> tokenize -> shingle DAG (same
-    # self-join-recompute reason minhash_lsh_pairs persists its banded
-    # frame); bounded at <=max_docs rows by the guard above
-    sh = (
-        with_shingles(df, text_col, shingle_n, "grams")
-        .select(F.col(id_col), F.col("grams"))
-        .persist()
-    )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
-    sa, sb = F.size("ga"), F.size("gb")
-    cond = (
-        (F.col("doc_a") < F.col("doc_b"))
-        & (sa.cast("double") >= F.lit(threshold) * sb)
-        & (sb.cast("double") >= F.lit(threshold) * sa)
-    )
-    joined = a.join(b, on=cond, how="inner").withColumn(
-        "__is", F.size(F.array_intersect("ga", "gb"))
-    )
-    jac = F.col("__is").cast("double") / (sa + sb - F.col("__is"))
-    truth = joined.where(jac >= threshold).select("doc_a", "doc_b")
+    ``recall`` is NULL when the corpus has no true pairs."""
+    truth = jaccard_join(
+        df, threshold, shingle_n, text_col, id_col
+    ).select("doc_a", "doc_b")
     found = minhash_lsh_pairs(
         df, num_hashes, bands, shingle_n, threshold, text_col, id_col
     ).select("doc_a", "doc_b", F.lit(1).alias("__hit"))

@@ -67,11 +67,32 @@ def test_lsh_recall_no_true_pairs_is_null(spark):
     assert (r["n_true"], r["n_found"], r["recall"]) == (0, 0, None)
 
 
-def test_lsh_recall_size_guard(spark, docs):
-    from datafusion_ballista_python_spark.errors import BallistaError
+def test_jaccard_join_finds_all_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),   # near dup of 1/2
+        (4, "totally different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_join(df, threshold=0.5, shingle_n=3).collect()
+    }
+    # 6 distinct 3-shingles each; docs 1/3 share 5 of them -> J = 5/7
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == got[(2, 3)] == round(5 / 7, 6)
+    assert not any(4 in p for p in got)
 
-    with pytest.raises(BallistaError, match="max_docs"):
-        dedup.lsh_recall(docs, max_docs=5)
+
+def test_jaccard_join_threshold_excludes(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # J = 5/7 ~ 0.714
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.jaccard_join(df, threshold=0.8, shingle_n=3).count() == 0
+    assert dedup.jaccard_join(df, threshold=0.7, shingle_n=3).count() == 1
 
 
 def test_simhash_identical_for_exact_dup(spark):

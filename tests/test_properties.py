@@ -614,3 +614,48 @@ def test_lsh_recall_truth_matches_bruteforce(spark, docs):
         assert r["recall"] is None
     else:
         assert r["recall"] == round(r["n_found"] / want_true, 6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                 min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_join_matches_bruteforce(spark, docs, threshold):
+    """Prefix-filtered exact join == brute-force all-pairs shingle Jaccard
+    on arbitrary tiny corpora and thresholds — guards the prefix-length
+    arithmetic (|g| - ceil(t|g|) + 1) and the candidate-superset lemma
+    (COMPLETENESS is the failure mode a threshold/ordering bug causes;
+    soundness is enforced by the shared exact-verify stage)."""
+    import re
+
+    from datafusion_ballista_python_spark.operators.dedup import jaccard_join
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(text):
+        w = re.split(r"\s+", text.strip().lower())
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i]) + len(sh[j]) - inter
+            if union and inter / union >= threshold:
+                want[(i, j)] = round(inter / union, 6)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_join(df, threshold=threshold, shingle_n=n).collect()
+    }
+    assert got == want
