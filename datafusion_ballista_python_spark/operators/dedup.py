@@ -416,6 +416,7 @@ def jaccard_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_digits: int = 6,
+    order: str = "lex",
 ) -> DataFrame:
     """EXACT set-similarity self-join: ALL pairs with shingle Jaccard >=
     threshold — no misses, unlike :func:`minhash_lsh_pairs` — via prefix
@@ -432,19 +433,49 @@ def jaccard_join(
     Scale shape: one map-side sort per doc, a prefix explode emitting
     ~(1-t)|grams|+1 rows per doc, ONE equi-join shuffled on the shingle
     key, then the semi-join-pruned exact verify — candidate volume is
-    bounded by shared-prefix-token pairs, never n^2.  Skew escalation:
-    a corpus-frequency shingle ordering (rarest first) instead of the
-    lexicographic order both shrinks prefixes and cools hot-token
-    reducers; lexicographic needs no frequency pass and is exact either
-    way (ordering affects pruning power only, never the result)."""
-    sh = (
-        with_shingles(df, text_col, shingle_n, "grams")
-        .select(F.col(id_col), F.sort_array("grams").alias("grams"))
-        # consumed by both prefix sides; persisting avoids recomputing the
-        # scan -> tokenize -> shingle DAG per side (same reason
-        # minhash_lsh_pairs persists its banded frame)
-        .persist()
+    bounded by shared-prefix-token pairs, never n^2.
+
+    ``order`` picks the global total order the prefixes are taken under —
+    it changes PRUNING POWER only, never the result set:
+    - ``"lex"`` (default): lexicographic; zero extra passes.
+    - ``"frequency"``: corpus document-frequency ascending (rarest
+      first, ties lexicographic) — the AllPairs-paper ordering.  Costs
+      one token-count aggregate + one re-sort join, and buys the skew
+      cure: prefixes hold each doc's RAREST shingles, so a corpus-wide
+      boilerplate shingle (the hot reducer key AND the candidate-pair
+      explosion under "lex") is pushed out of every prefix that has
+      anything rarer.  The right setting for any real crawl corpus.
+    """
+    base = with_shingles(df, text_col, shingle_n, "grams").select(
+        F.col(id_col), F.col("grams")
     )
+    if order == "frequency":
+        tok = base.select(F.col(id_col), F.explode("grams").alias("__tok"))
+        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        ordered = (
+            tok.join(freq, "__tok")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__df", "__tok"))),
+                    lambda s: s["__tok"],
+                ).alias("grams")
+            )
+        )
+    elif order == "lex":
+        ordered = base.select(
+            F.col(id_col), F.sort_array("grams").alias("grams")
+        )
+    else:
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"unknown prefix order {order!r}: expected 'lex' or 'frequency'"
+        )
+    # consumed by both prefix sides; persisting avoids recomputing the
+    # scan -> tokenize -> shingle (-> frequency re-sort) DAG per side
+    # (same reason minhash_lsh_pairs persists its banded frame)
+    sh = ordered.persist()
     plen = (
         F.size("grams")
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")

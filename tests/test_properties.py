@@ -626,13 +626,15 @@ def test_lsh_recall_truth_matches_bruteforce(spark, docs):
         max_size=6,
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    order=st.sampled_from(["lex", "frequency"]),
 )
-def test_jaccard_join_matches_bruteforce(spark, docs, threshold):
+def test_jaccard_join_matches_bruteforce(spark, docs, threshold, order):
     """Prefix-filtered exact join == brute-force all-pairs shingle Jaccard
     on arbitrary tiny corpora and thresholds — guards the prefix-length
     arithmetic (|g| - ceil(t|g|) + 1) and the candidate-superset lemma
     (COMPLETENESS is the failure mode a threshold/ordering bug causes;
-    soundness is enforced by the shared exact-verify stage)."""
+    soundness is enforced by the shared exact-verify stage) — under BOTH
+    global orders, since the ordering must never change the result."""
     import re
 
     from datafusion_ballista_python_spark.operators.dedup import jaccard_join
@@ -656,6 +658,7 @@ def test_jaccard_join_matches_bruteforce(spark, docs, threshold):
 
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in jaccard_join(df, threshold=threshold, shingle_n=n).collect()
+        for r in jaccard_join(df, threshold=threshold, shingle_n=n,
+                              order=order).collect()
     }
     assert got == want
