@@ -26,9 +26,11 @@ WITH cand AS (
     -- re-idified copies of reference docs: must be pruned as duplicates
     SELECT doc_id + 100000, text, lang, n_chars FROM documents WHERE doc_id < 40
 ),
-ref AS (SELECT DISTINCT MD5(text) AS f FROM documents WHERE doc_id < 250)
+ref AS (SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents WHERE doc_id < 250)
 SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars
-FROM cand c LEFT JOIN ref r ON MD5(c.text) = r.f
+FROM cand c LEFT JOIN ref r
+  ON MD5(REGEXP_REPLACE(LOWER(TRIM(c.text)), '\\s+', ' ', 'g')) = r.f
 WHERE r.f IS NULL
 ORDER BY c.doc_id
 """

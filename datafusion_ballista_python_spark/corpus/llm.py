@@ -806,7 +806,7 @@ _WINNOW_POWERS = [pow(257, _WINNOW_K - 1 - j, 1_000_000_007) for j in range(_WIN
 # winnow-Jaccard pair entry (mins.m = the distinct fingerprint set per doc)
 _WINNOW_MINS_CTES = f"""t AS (
         SELECT doc_id, LOWER(TRIM(text)) AS txt FROM documents
-        WHERE LENGTH(TRIM(text)) >= {_WINNOW_K + _WINNOW_W}
+        WHERE LENGTH(TRIM(text)) >= {_WINNOW_K + _WINNOW_W - 1}
     ),
     codes AS (
         SELECT doc_id,

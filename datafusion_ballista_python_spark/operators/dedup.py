@@ -780,7 +780,7 @@ def novel_against_reference_prefiltered(
 ) -> DataFrame:
     """Cross-corpus novelty (candidates NOT present in the reference
     corpus) with a bloom-style two-stage prune — the 100 TB shape of
-    :func:`against_reference` when the reference itself is huge.
+    :func:`dedup_against_reference` when the reference itself is huge.
 
     Stage 1 (map-side): the reference collapses to its DISTINCT
     ``prefix_chars``-hex fingerprint prefixes — bounded by 16^prefix
@@ -806,7 +806,12 @@ def novel_against_reference_prefiltered(
     dominate columnar scan cost; at cache-friendly scale, localCheckpoint
     the candidate frame before calling if the double scan matters.
     """
-    fp = F.md5(F.col(text_col))
+    # SAME normalized fingerprint as dedup_against_reference — the two
+    # must agree on what "duplicate" means, or swapping to this scale
+    # shape would silently change dedup results (review-pass fix: this
+    # hashed RAW text while the sibling hashed normalized text, so a
+    # case/whitespace variant was "duplicate" there and "novel" here)
+    fp = F.md5(normalized_text(text_col))
     cand = candidates.withColumn("__fp", fp).withColumn(
         "__pfx", F.substring(F.col("__fp"), 1, prefix_chars)
     )
@@ -842,7 +847,7 @@ def minhash_lsh_pairs_against(
     """Cross-corpus NEAR-dup detection: banded MinHash-LSH candidates
     between a new ``batch`` and an existing ``reference`` corpus, verified
     with exact shingle Jaccard — the near-duplicate upgrade of
-    :func:`against_reference` (which only catches exact fingerprints).
+    :func:`dedup_against_reference` (which only catches exact fingerprints).
     Returns ``(doc_id, ref_id, jaccard)``: batch docs with a reference
     near-dup at or above the threshold (anti-join the batch against the
     distinct ``doc_id`` output to keep only novel docs).

@@ -86,7 +86,22 @@ def connected_components(
         .select("src", F.least(F.col("src"), F.col("mn")).alias("label"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    # Convergence fingerprint: decimal sum of xxhash64(label), NOT a raw
+    # F.sum(label) — a raw sum silently casts string labels to double
+    # (NULL sum -> instant false convergence and WRONG components) and can
+    # overflow a long for 64-bit hash-derived ids; the decimal(38,0) hash
+    # sum is exact for any label type (same guard the star variant uses).
+    # A hash-sum COLLISION could still fake convergence, so an equal
+    # fingerprint is confirmed with an exact per-node label comparison
+    # before returning — one extra join only on the final round.
+    def fingerprint(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]["h"]
+
+    prev_labels = labels
+    prev_sum = fingerprint(labels)
 
     for _ in range(max_iterations):
         # propagate each node's label to its neighbors, keep the min seen
@@ -99,13 +114,25 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         labels = labels.localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = fingerprint(labels)
         if cur_sum == prev_sum:
-            edges.unpersist()
-            return labels.select(
-                F.col("src").alias(node_col), F.col("label").alias(comp_col)
+            n_changed = (
+                labels.join(
+                    prev_labels.select(
+                        "src", F.col("label").alias("__prev_label")
+                    ),
+                    "src",
+                )
+                .where(~F.col("label").eqNullSafe(F.col("__prev_label")))
+                .count()
             )
+            if n_changed == 0:
+                edges.unpersist()
+                return labels.select(
+                    F.col("src").alias(node_col), F.col("label").alias(comp_col)
+                )
         prev_sum = cur_sum
+        prev_labels = labels
 
     edges.unpersist()
     raise RuntimeError(

@@ -226,6 +226,14 @@ def decode_bmp(data: bytes) -> Image:
     height = abs(height)
     if not (0 < width <= 1 << 16) or not (0 < height <= 1 << 16):
         raise ImageCodecError(f"bad dimensions {width}x{height}")
+    # same attacker-controlled-header cap as PNG: without it a ~60-byte
+    # payload declaring 65535x65535 would allocate ~12.9 GB below and OOM
+    # the executor task instead of falling back (MemoryError is not in
+    # decode_image's caught-exception tuple, by design)
+    if width * height > MAX_PIXELS:
+        raise ImageCodecError(
+            f"image too large ({width}x{height} > {MAX_PIXELS} px)"
+        )
     row = width * 3
     padded = (row + 3) & ~3
     out = bytearray(row * height)

@@ -94,10 +94,17 @@ def check_constraints(
     if fk is not None:
         cols, ref_df, ref_cols = fk
         cols, ref_cols = list(cols), list(ref_cols)
-        cond = [F.col(a) == F.col(b) for a, b in zip(cols, ref_cols)]
-        orphans = df.na.drop(subset=cols).join(
-            ref_df.select(*ref_cols), on=cond, how="left_anti"
+        # reference columns renamed to reserved names BEFORE the join: the
+        # common FK shape has the same column name on both sides, and an
+        # unqualified F.col("user_id") == F.col("user_id") condition raises
+        # AMBIGUOUS_REFERENCE at resolution instead of counting orphans
+        ref = ref_df.select(
+            *[F.col(rc).alias(f"__fk_ref_{i}") for i, rc in enumerate(ref_cols)]
         )
+        cond = [
+            F.col(a) == F.col(f"__fk_ref_{i}") for i, a in enumerate(cols)
+        ]
+        orphans = df.na.drop(subset=cols).join(ref, on=cond, how="left_anti")
         frames.append(
             orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
                 F.lit("fk:" + ",".join(cols) + "->" + ",".join(ref_cols)).alias("rule"),
@@ -281,6 +288,29 @@ def linear_score(
     return df.withColumn(out_col, score)
 
 
+def _zscore_std_degenerate(var_num, n) -> bool:
+    """True when the (quantized) variance numerator leaves the gate
+    meaningless.  Two regimes, both of which must be REJECTED loudly:
+
+    - ``var_num <= 0`` — constant column; the decimal(…,6) probe casts
+      round, so a truly constant column can land slightly NEGATIVE, and
+      std = sqrt(negative) = NaN would silently flag EVERY row (NaN
+      sorts greater-than-all in Spark).
+    - tiny-but-POSITIVE ``var_num`` whose ``sqrt(var_num/(n-1))`` falls
+      below 0.5e-6 — the runtime divides by ``ROUND(sqrt(var), 6)``,
+      which half-up-rounds anything under 0.5e-6 to std = 0.0, making
+      z = v/0 NULL for every row: the silent nothing-flagged output
+      this guard exists to reject.  Reachable when quantization noise
+      in the decimal sums lands the numerator in (0, 2.5e-13 * (n-1))
+      — e.g. multi-million-row near-constant feeds (review-pass fix:
+      the old guard only tested ``var_num <= 0``)."""
+    import math
+
+    if var_num is None or var_num <= 0:
+        return True
+    return math.sqrt(float(var_num) / (n - 1)) < 0.5e-6
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,
@@ -326,11 +356,7 @@ def zscore_outliers(
             f"zscore_outliers needs >= 2 non-null values in {value_col!r} "
             f"(got {probe['__n']})"
         )
-    # <= 0, NOT == 0: the decimal(…,6) casts round, so a constant column
-    # can land a slightly NEGATIVE variance numerator — which would make
-    # std = sqrt(negative) = NaN, and under Spark's NaN-greater-than-all
-    # ordering abs(NaN) > k is TRUE, silently flagging EVERY row
-    if probe["__var_num"] <= 0:
+    if _zscore_std_degenerate(probe["__var_num"], probe["__n"]):
         raise ValueError(
             f"zscore_outliers: column {value_col!r} is constant (zero "
             "variance at 6-decimal precision) — a z-score gate is "

@@ -32,7 +32,24 @@ def range_join(
     columns; ``bin_width`` in the same units (seconds for timestamps).
 
     Both sides are binned JVM-side; the only shuffle is the bin equi-join.
+
+    Only ``how="inner"`` is supported: the exact range predicate must run
+    as a post-join filter, which would silently drop the null-padded rows
+    any outer join emits (degrading every outer ``how`` to inner — the
+    bug this guard replaced), and outer intervals would additionally
+    surface once per exploded bin.  For left-outer point retention,
+    compose: inner range_join + a left_anti on your point key, unioned
+    back null-padded.
     """
+    if how != "inner":
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"range_join supports how='inner' only (got {how!r}): the exact "
+            "range predicate is a post-join filter that would drop outer "
+            "null-padded rows. Compose inner + left_anti on your point key "
+            "for left-outer semantics."
+        )
     p_sec = F.col(point_col).cast("double")
     s_sec = F.col(start_col).cast("double")
     e_sec = F.col(end_col).cast("double")

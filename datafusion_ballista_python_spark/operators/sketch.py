@@ -103,8 +103,14 @@ def frequent_items(
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
-    summaries = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
-        _partition_mg(capacity, item_col), schema=_SUMMARY_SCHEMA
+    # persisted: the per-item aggregate AND the broadcast error aggregate
+    # both consume this frame; unpersisted, the full scan + per-partition
+    # Python MG pass (the expensive part) would run twice per action
+    # (review-pass fix).  partitions x capacity summary rows — tiny.
+    summaries = (
+        df.select(F.col(item_col).cast("string").alias(item_col))
+        .mapInPandas(_partition_mg(capacity, item_col), schema=_SUMMARY_SCHEMA)
+        .persist()
     )
     items = (
         summaries.where(F.col("item").isNotNull())

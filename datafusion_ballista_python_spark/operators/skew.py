@@ -89,7 +89,14 @@ def key_skew_report(
     deterministic.
     """
     keys = list(keys)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    # persisted: both the stats aggregate and the top-k consume this frame,
+    # and without it each action pays the full key-count shuffle twice —
+    # on the 100 TB table being DIAGNOSED (review-pass fix)
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .persist()
+    )
     stats = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("n_rows").cast("long").alias("total_rows"),
@@ -125,7 +132,21 @@ def salted_join(
     n_salts copies beat one straggler task.  Probe rows get a random salt,
     so rows of a hot key land in different partitions of the
     (key, salt)-shuffle.
+
+    ``how`` must be probe-sided (inner/left/left_semi/left_anti): the
+    exploded build side makes right/full outer joins emit every unmatched
+    build row ``n_salts`` times (one null-padded duplicate per salt copy),
+    so those are rejected rather than silently wrong.
     """
+    if how.replace("outer", "").strip("_") in ("right", "full", ""):
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"salted_join cannot run how={how!r}: the build side is "
+            f"replicated per salt, so an unmatched build row would emit "
+            f"{n_salts} null-padded duplicates. Use inner/left/left_semi/"
+            "left_anti, or salt the other side."
+        )
     on = list(on)
     salted_probe = with_salt(probe, n_salts)
     salted_build = build.withColumn(

@@ -208,8 +208,13 @@ def winnow_fingerprints(
     position regardless of document length.
     """
     txt = F.lower(_trimmed(text_col))
+    # >= k + window - 1, the minimum length holding ONE full winnowing
+    # window (L-k+1 >= window grams); the earlier >= k + window pre-filter
+    # was off by one and dropped boundary-length docs the documented
+    # shared-substring guarantee covers (review-pass fix; the window math
+    # below always handled L = k+window-1 correctly)
     d = df.select(F.col(id_col), txt.alias("__t")).filter(
-        F.length("__t") >= k + window
+        F.length("__t") >= k + window - 1
     )
     codes = d.withColumn(
         "__c",

@@ -311,3 +311,18 @@ def test_png_truncated_idat_stream_rejected():
         + _chunk(b"IEND", b"")
     )
     assert ic.decode_png(good) == img
+
+
+def test_bmp_dimension_bomb_rejected():
+    """A ~60-byte BMP declaring 65535x65535 passes the per-axis dim check
+    but must hit the pixel cap BEFORE the ~12.9 GB allocation (the PNG
+    path had this cap; BMP was left unbounded)."""
+    import struct
+
+    w = h = 65535
+    header = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ic.ImageCodecError, match="too large"):
+        ic.decode_bmp(header + b"\x00" * 8)

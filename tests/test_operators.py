@@ -304,6 +304,25 @@ def test_salted_agg_rejects_non_mergeable(spark):
         skew.salted_agg(df, ["id"], {"a": ("id", "avg")})
 
 
+def test_salted_join_rejects_build_sided_outer(spark):
+    from datafusion_ballista_python_spark.errors import BallistaError
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "outer", "rightouter"):
+        with pytest.raises(BallistaError, match="salted_join cannot"):
+            skew.salted_join(a, b, ["k"], n_salts=4, how=how)
+    # probe-sided joins stay allowed
+    assert skew.salted_join(a, b, ["k"], n_salts=4, how="left").count() == 5
+
+
+def test_key_skew_report_shape(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = skew.key_skew_report(o, ["o_custkey"], top_k=3).collect()
+    assert len(rep) == 3
+    assert all(r["share"] <= 1.0 and r["skew_ratio"] > 0 for r in rep)
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # docs sharing a substring of length >= k+w-1 must share a fingerprint
     shared = "the quick brown fox jumps over it"
@@ -315,6 +334,23 @@ def test_winnow_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared substring must yield shared fingerprint"
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_winnow_boundary_length_doc_fingerprinted(spark):
+    # exactly k+window-1 chars = one full winnowing window; the old
+    # pre-filter (>= k+window) dropped these and broke the documented
+    # shared-substring guarantee at the boundary length
+    k, w = 8, 4
+    boundary = "abcdefghijk"  # 11 chars = k+w-1
+    assert len(boundary) == k + w - 1
+    df = spark.createDataFrame(
+        [(1, boundary), (2, boundary), (3, "zzzzzzzzzzz")], ["doc_id", "text"]
+    )
+    by_doc = {}
+    for r in text.winnow_fingerprints(df, k=k, window=w).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(1) and by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc.get(3)
 
 
 def test_stopword_stats_bounds(docs):
@@ -356,6 +392,18 @@ def test_asof_join_semantics(spark):
     assert strict[(1, 20)] == 150.0
 
 
+def test_range_join_rejects_outer_how(spark):
+    """Outer `how` used to silently degrade to inner (the post-join exact
+    filter drops null-padded rows) — now rejected loudly."""
+    from datafusion_ballista_python_spark.errors import BallistaError
+    from datafusion_ballista_python_spark.operators.rangejoin import range_join
+
+    p = spark.createDataFrame([(1, 5.0)], ["pid", "ts"])
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+    with pytest.raises(BallistaError, match="inner"):
+        range_join(p, iv, "ts", "lo", "hi", bin_width=10, how="left")
+
+
 def test_range_join_matches_nested_loop(spark):
     from datafusion_ballista_python_spark.operators.rangejoin import range_join
 
@@ -392,6 +440,24 @@ def test_connected_components_two_clusters_and_chain(spark):
         for r in graph.connected_components(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_string_ids_chain(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    # string node ids: the old sum-of-labels convergence probe cast the
+    # label column to double -> NULL sum -> instant false convergence
+    # after one round, leaving chain tails mislabeled
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    for algo in ("minlabel", "star"):
+        out = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(pairs, algorithm=algo).collect()
+        }
+        assert out == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "x": "x", "y": "x"}, algo
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -702,6 +768,22 @@ def test_check_constraints_counts_violations(spark):
     assert out["not_null:ref"] == 1
     assert out["unique:k"] == 1  # k=1 appears twice -> surplus of 1
     assert out["fk:ref->r"] == 1  # ref=99 is an orphan (null exempt)
+
+
+def test_check_constraints_fk_same_column_name(spark):
+    """The common FK shape where both sides use the SAME column name —
+    the unqualified join condition used to raise AMBIGUOUS_REFERENCE."""
+    from datafusion_ballista_python_spark.operators import quality
+
+    df = spark.createDataFrame([(10,), (20,), (99,)], ["user_id"])
+    ref = spark.createDataFrame([(10,), (20,)], ["user_id"])
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in quality.check_constraints(
+            df, fk=(["user_id"], ref, ["user_id"])
+        ).collect()
+    }
+    assert out["fk:user_id->user_id"] == 1  # only 99 is an orphan
 
 
 def test_connected_components_self_loops_agree(spark):
@@ -1251,6 +1333,27 @@ def test_zscore_outliers_flags_planted_spike(spark):
     df2 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, None)], ["id", "v"])
     row = {r["id"]: r for r in zscore_outliers(df2, "v").collect()}[3]
     assert row["z_score"] is None and not row["is_outlier"]
+
+
+def test_zscore_std_degenerate_guard_branches():
+    """The guard's decision helper directly, since the rounded-zero
+    regime needs knife-edge quantization noise (positive numerator under
+    2.5e-13 * (n-1)) that only arises probabilistically at multi-million
+    n: non-positive numerators reject, tiny-positive-rounding-to-zero
+    numerators reject (the regime the old var_num <= 0 guard silently
+    passed through to all-NULL output), healthy variance passes."""
+    from datafusion_ballista_python_spark.operators.quality import (
+        _zscore_std_degenerate,
+    )
+
+    assert _zscore_std_degenerate(None, 50)
+    assert _zscore_std_degenerate(0.0, 50)
+    assert _zscore_std_degenerate(-5e-11, 50)        # quantized-constant
+    # std = sqrt(1e-7/4.9e6) ~ 1.4e-7 < 0.5e-6 -> ROUND(.,6) gives 0.0
+    assert _zscore_std_degenerate(1e-7, 5_000_001)
+    # just above Spark's half-up boundary: std ~ 0.6e-6 rounds to 1e-6
+    assert not _zscore_std_degenerate((0.6e-6) ** 2 * 49, 50)
+    assert not _zscore_std_degenerate(1.0, 50)       # healthy variance
 
 
 def test_auc_invariant_under_monotone_transform(spark):
