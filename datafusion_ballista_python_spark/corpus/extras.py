@@ -185,8 +185,8 @@ def fn_array_struct_ops(spark, sf_dir):
     "fn_regexp_ops",
     oracle="""
     SELECT doc_id,
-           COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+ing'), ','), '')
-             AS ing_words,
+           COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[A-Za-z]{7,}'), ','), '')
+             AS long_words,
            CAST(REGEXP_MATCHES(text, '[0-9]') AS BOOLEAN) AS has_digit,
            REGEXP_EXTRACT(text, '^([A-Za-z]+)', 1) AS first_word
     FROM documents WHERE doc_id < 200 ORDER BY doc_id
@@ -195,16 +195,21 @@ def fn_array_struct_ops(spark, sf_dir):
 def fn_regexp_ops(spark, sf_dir):
     """regexp_match list semantics (extract-all), regexp_like, and group
     extraction (reference regexp_match src/functions.rs:222 returns a
-    LIST — Spark's regexp_extract_all is the parity mapping).  The match
-    list is serialized to a csv string at the result boundary (driver
+    LIST — Spark's regexp_extract_all with EXPLICIT group 0 is the parity
+    mapping for group-less patterns; Spark's 2-arg default is group 1,
+    which throws REGEX_GROUP_INDEX the moment a row matches).  The old
+    '[A-Za-z]+ing' pattern matched ZERO documents in this corpus, so the
+    extract-all arm was vacuous — and vacuously hid that crash
+    (review-pass fix; '[A-Za-z]{7,}' matches broadly).  The match list is
+    serialized to a csv string at the result boundary (driver
     canonicalizer can't hash array cells); the matches themselves contain
-    no commas ([A-Za-z]+ing), so the join is lossless."""
+    no commas, so the join is lossless."""
     d = load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
         F.array_join(
-            F.regexp_extract_all("text", F.lit("[A-Za-z]+ing")), ","
-        ).alias("ing_words"),
+            F.regexp_extract_all("text", F.lit("[A-Za-z]{7,}"), 0), ","
+        ).alias("long_words"),
         F.col("text").rlike("[0-9]").alias("has_digit"),
         F.regexp_extract("text", "^([A-Za-z]+)", 1).alias("first_word"),
     ).orderBy("doc_id")

@@ -349,8 +349,11 @@ WITH s AS (
 ),
 q AS (
     SELECT l_orderkey, l_linenumber,
-           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((CAST(l_partkey AS BIGINT) - mn0) * 255 AS DOUBLE) / (mx0 - mn0)) AS BIGINT))) AS q0,
-           LEAST(255, GREATEST(0, CAST(FLOOR(CAST((CAST(l_suppkey AS BIGINT) - mn1) * 255 AS DOUBLE) / (mx1 - mn1)) AS BIGINT))) AS q1
+           -- integer division, mirroring the operator's exact
+           -- IntegralDivide path (review-pass fix: both sides were
+           -- double-division FLOOR, losing bit-exactness past 2^53)
+           LEAST(255, GREATEST(0, ((CAST(l_partkey AS BIGINT) - mn0) * 255) // (mx0 - mn0))) AS q0,
+           LEAST(255, GREATEST(0, ((CAST(l_suppkey AS BIGINT) - mn1) * 255) // (mx1 - mn1))) AS q1
     FROM lineitem CROSS JOIN s
 )
 SELECT l_orderkey, l_linenumber, CAST({_Z_TERMS} AS BIGINT) AS zval

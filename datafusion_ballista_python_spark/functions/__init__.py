@@ -139,7 +139,12 @@ def log(*args) -> Expression:
     if len(args) == 1:
         return Expression(F.log10(_c(args[0])))
     base, x = args
-    return Expression(F.log(float(base) if not isinstance(base, (Expression, Column)) else base, _c(x)))
+    if isinstance(base, (Expression, Column)):
+        # F.log's two-arg form only takes a FLOAT base; a column base is
+        # ln(x)/ln(base) (the identity F.log applies internally) — the
+        # old pass-through of the raw Expression crashed in py4j
+        return Expression(F.log(_c(x)) / F.log(_c(base)))
+    return Expression(F.log(float(base), _c(x)))
 
 
 @_export
@@ -246,8 +251,23 @@ def rpad(s, n, pad=" ") -> Expression:
 @_export
 def regexp_match(s, pattern) -> Expression:
     """All regexp matches as an array (documented deviation: DataFusion's
-    regexp_match returns first-match capture groups, Postgres-style)."""
-    return Expression(F.call_function("regexp_extract_all", _c(s), _l(pattern)))
+    regexp_match returns first-match capture groups, Postgres-style).
+
+    The group index is chosen from the pattern itself: group-less
+    patterns extract the WHOLE match (index 0 — Spark's 2-arg
+    regexp_extract_all defaults to index 1 and throws REGEX_GROUP_INDEX
+    on any group-less pattern the moment a row matches), patterns with a
+    capturing group extract group 1 (Postgres regexp_match-style)."""
+    idx = 0
+    if isinstance(pattern, str):
+        import re as _re
+
+        # an unescaped '(' not starting a (?: (?= (?! … construct
+        if _re.search(r"(?<!\\)\((?!\?)", pattern):
+            idx = 1
+    return Expression(
+        F.call_function("regexp_extract_all", _c(s), _l(pattern), F.lit(idx))
+    )
 
 
 @_export
@@ -334,6 +354,14 @@ def digest(value, method) -> Expression:
         return Expression(F.unhex(F.md5(c)))
     if m in ("sha224", "sha256", "sha384", "sha512"):
         return Expression(F.unhex(F.sha2(c, int(m[3:]))))
+    # binary inputs hash their RAW bytes, matching the JVM md5/sha arms —
+    # str(v).encode() on bytes would hash the Python repr ("b'\\x00…'"),
+    # silently diverging from the other digest methods on the same column
+    def _raw(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return str(v).encode()
+
     if m in ("blake2b", "blake2s"):
         import warnings
 
@@ -341,7 +369,7 @@ def digest(value, method) -> Expression:
             import hashlib
 
             h = getattr(hashlib, m)
-            return s.map(lambda v: None if v is None else h(str(v).encode()).digest())
+            return s.map(lambda v: None if v is None else h(_raw(v)).digest())
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
@@ -353,9 +381,7 @@ def digest(value, method) -> Expression:
         def _b3(s):
             from .blake3 import blake3_digest
 
-            return s.map(
-                lambda v: None if v is None else blake3_digest(str(v).encode())
-            )
+            return s.map(lambda v: None if v is None else blake3_digest(_raw(v)))
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")

@@ -83,12 +83,26 @@ def read_avro(spark: SparkSession, path: str) -> SparkDataFrame:
     one-task-per-file, null/deflate codecs."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # spark-avro absent in this deployment
-        if "avro" not in str(e).lower() and "Failed to find" not in str(e):
+    except Exception as e:
+        if not _avro_datasource_missing(str(e)):
             raise
         from .avro import read_avro_fallback
 
         return read_avro_fallback(spark, path)
+
+
+def _avro_datasource_missing(msg: str) -> bool:
+    """Fallback trigger for :func:`read_avro`: ONLY the spark-avro
+    datasource-missing signature routes to the pure-Python reader.  The
+    old trigger matched the substring 'avro' anywhere in the message —
+    including in the PATH of an ordinary file-not-found — so real errors
+    (missing paths, corrupt files under spark-avro) were swallowed and
+    re-surfaced as confusing fallback failures."""
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source" in msg
+        or "Failed to find the data source" in msg
+    )
 
 
 def read_json(spark: SparkSession, path: str) -> SparkDataFrame:

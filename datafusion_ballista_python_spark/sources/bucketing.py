@@ -42,7 +42,17 @@ def write_bucketed(
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        shutil.rmtree(f"{warehouse}/{table.split('.')[-1]}", ignore_errors=True)
+        # the managed location is LOWERCASED and db-qualified tables live
+        # under <warehouse>/<db>.db/<table> — the bare table.split('.')[-1]
+        # path missed both shapes, so the orphaned dir survived and
+        # saveAsTable still failed with LOCATION_ALREADY_EXISTS
+        parts = table.lower().split(".")
+        loc = (
+            f"{warehouse}/{parts[-2]}.db/{parts[-1]}"
+            if len(parts) > 1
+            else f"{warehouse}/{parts[-1]}"
+        )
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

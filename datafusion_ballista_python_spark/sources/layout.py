@@ -114,12 +114,21 @@ def _quantized(col: F.Column, mn: F.Column, mx: F.Column, bits: int, is_int: boo
     """
     top = (1 << bits) - 1
     if is_int:
-        # widen to long BEFORE the multiply: (x - mn) * 255 in a 32-bit
-        # column whose range exceeds ~2^31/top silently wraps in non-ANSI
-        # mode, mis-clustering every file past ~8.4M distinct values
-        c, lo, hi = col.cast("long"), mn.cast("long"), mx.cast("long")
-        q = F.when(mx > mn, (c - lo) * top / (hi - lo)).otherwise(F.lit(0))
-        q = F.floor(q).cast("long")
+        # EXACT integer path, as the docstring promises: decimal(38,0)
+        # widening makes (x - mn) * top overflow-free for the full long
+        # range (a long widen still wrapped past ~2^63/top, e.g.
+        # ns-since-epoch spans), and IntegralDivide (`div`) replaces the
+        # old `/` — which was DOUBLE division, losing bit-for-bit engine
+        # reproducibility for ranges past 2^53
+        c, lo, hi = (
+            col.cast("decimal(38,0)"),
+            mn.cast("decimal(38,0)"),
+            mx.cast("decimal(38,0)"),
+        )
+        q = F.when(
+            mx > mn, F.call_function("div", (c - lo) * top, (hi - lo))
+        ).otherwise(F.lit(0))
+        q = q.cast("long")
     else:
         q = F.when(
             mx > mn,
@@ -153,6 +162,13 @@ def with_zorder(
     skewed columns get unbalanced z-ranges — for those, pre-bucket with
     ``F.percent_rank`` or feed rank-quantized columns in directly.
     """
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"z-value needs {len(cols)} cols x {bits} bits = "
+            f"{len(cols) * bits} bits, exceeding a signed long (63): the "
+            "interleave's 1 << position literal would overflow. Lower "
+            "`bits` (e.g. 63 // n_cols) or z-order fewer columns."
+        )
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     aggs = []
     for c in cols:

@@ -119,8 +119,19 @@ def merge_into_path(
         .distinct()
         .collect()
     )
-    touched = sorted(upd_parts | {r[0] for r in current})
-    target = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
+    # NULL partition values are real (Spark writes them as
+    # __HIVE_DEFAULT_PARTITION__): sorted() on a mixed None/str set
+    # raises TypeError, and isin([... None ...]) is NULL (never true) —
+    # the stale null-partition rows would survive every merge.  Sort
+    # None-first explicitly and read nulls back with an isNull branch.
+    touched = sorted(
+        upd_parts | {r[0] for r in current}, key=lambda p: (p is not None, p)
+    )
+    non_null = [p for p in touched if p is not None]
+    read_cond = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(touched):
+        read_cond = read_cond | F.col(partition_col).isNull()
+    target = spark.read.parquet(path).where(read_cond)
     merged = merge_frames(target, updates, key, delete_col=delete_col)
     # Spark refuses to overwrite a path it is still lazily reading
     # (read-before-write hazard); localCheckpoint materializes the merged
@@ -139,7 +150,10 @@ def merge_into_path(
     surviving = {
         r[0] for r in merged.select(partition_col).distinct().collect()
     }
-    _delete_partition_dirs(spark, path, partition_col, sorted(set(touched) - surviving))
+    _delete_partition_dirs(
+        spark, path, partition_col,
+        sorted(set(touched) - surviving, key=lambda p: (p is not None, p)),
+    )
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -161,6 +175,9 @@ _ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(32)}
 
 
 def _escape_partition_value(v, spark=None) -> str:
+    if v is None:
+        # Spark writes NULL partition values to this reserved dir name
+        return "__HIVE_DEFAULT_PARTITION__"
     s = str(v)
     if spark is not None:
         try:

@@ -154,19 +154,27 @@ def _update_user_stats(
         state.get if state.exists else (0, 0, float("-inf"), 0)
     )
     for pdf in pdfs:
-        n += len(pdf)
-        # round half AWAY FROM ZERO (trunc(x + sign*0.5)) to match the
-        # oracle's CAST(value AS DECIMAL(25,6)) — np.round's half-to-even
-        # diverges on exact midpoints like 2.5e-6
-        scaled = pdf["value"].values * 1e6
-        total_us6 += int(
-            np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
-        )
-        mx = max(mx, float(pdf["value"].max()))
+        n += len(pdf)  # COUNT(*) semantics: null-value rows still count
+        # NULL values arrive as NaN; they must be EXCLUDED before the
+        # int64 cast (np.trunc(NaN).astype('int64') is undefined —
+        # INT64_MIN on most platforms, ~-9.2e18 added to the total) and
+        # before max (NaN would pin mx forever) — SQL SUM/MAX semantics
+        vals = pdf["value"].values[pd.notna(pdf["value"].values)]
+        if len(vals):
+            # round half AWAY FROM ZERO (trunc(x + sign*0.5)) to match the
+            # oracle's CAST(value AS DECIMAL(25,6)) — np.round's
+            # half-to-even diverges on exact midpoints like 2.5e-6
+            scaled = vals * 1e6
+            total_us6 += int(
+                np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
+            )
+            mx = max(mx, float(vals.max()))
         # unit-safe: pandas may hold ts as datetime64[ns] or [us] depending
         # on the Arrow source unit; normalize to us before taking the max
-        batch_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        last_us = max(last_us, int(batch_us.max()))
+        ts_vals = pdf["ts"].values[pd.notna(pdf["ts"].values)]
+        if len(ts_vals):
+            batch_us = ts_vals.astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(batch_us.max()))
     state.update((n, total_us6, mx, last_us))
     yield pd.DataFrame(
         {
@@ -232,15 +240,22 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             )
             for pdf in rows:
                 n += len(pdf)
-                # half-away-from-zero rounding, matching the batch oracle's
-                # CAST(value AS DECIMAL(25,6)) — see _update_user_stats
-                scaled = pdf["value"].values * 1e6
-                total_us6 += int(
-                    np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
-                )
-                mx = max(mx, float(pdf["value"].max()))
-                batch_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-                last_us = max(last_us, int(batch_us.max()))
+                # NULL handling + half-away-from-zero rounding, matching
+                # the batch oracle's SUM/MAX over CAST(value AS
+                # DECIMAL(25,6)) — see _update_user_stats
+                vals = pdf["value"].values[pd.notna(pdf["value"].values)]
+                if len(vals):
+                    scaled = vals * 1e6
+                    total_us6 += int(
+                        np.trunc(scaled + np.copysign(0.5, scaled))
+                        .astype("int64")
+                        .sum()
+                    )
+                    mx = max(mx, float(vals.max()))
+                ts_vals = pdf["ts"].values[pd.notna(pdf["ts"].values)]
+                if len(ts_vals):
+                    batch_us = ts_vals.astype("datetime64[us]").astype("int64")
+                    last_us = max(last_us, int(batch_us.max()))
             self._state.update((n, total_us6, mx, last_us))
             yield pd.DataFrame(
                 {
@@ -410,22 +425,17 @@ def incremental_rollup_sink(
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         partial = windowed_counts(batch, window=window, watermark=None)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                partial.withColumn("__batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("__batch_id")
-                .parquet(store_path)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            partial.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            # per-writer option, not the session conf: a conf flip would
+            # race with any concurrent write in the same session during
+            # the micro-batch window (same pattern as sources/merge.py)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(store_path)
+        )
 
     writer = events_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True
@@ -728,7 +738,13 @@ def incremental_near_dedup_sink(
                 shingle_n=shingle_n, threshold=threshold,
                 text_col=text_col, id_col=id_col,
             )
-            fresh = fresh.join(near.select(id_col), id_col, "left_anti")
+            # the pairs frame's batch-side column is ALWAYS named doc_id
+            # (minhash_lsh_pairs_against's output contract), regardless of
+            # id_col — selecting id_col here crashed for any non-default
+            # id column (review-pass fix)
+            fresh = fresh.join(
+                near.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+            )
         fresh.write.mode("append").parquet(store_path)
         # release the LSH operators' internal persists: they are sized for
         # one-shot batch jobs, and a long-running stream would otherwise

@@ -166,3 +166,22 @@ def test_decimal_fixed_decode():
     raw = encode_file(schema, rows, codec="null")
     _, got = decode_file(raw)
     assert got == rows
+
+
+def test_read_avro_fallback_trigger_is_specific():
+    """Only the datasource-missing signature may route to the pure-Python
+    reader — the old trigger matched the substring 'avro' anywhere in the
+    message (e.g. in the PATH of an ordinary file-not-found), swallowing
+    real errors.  This env has no spark-avro, so the classifier is tested
+    directly."""
+    from datafusion_ballista_python_spark.sources import _avro_datasource_missing
+
+    assert _avro_datasource_missing(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro."
+    )
+    assert not _avro_datasource_missing(
+        "[PATH_NOT_FOUND] Path does not exist: file:/data/events.avro"
+    )
+    assert not _avro_datasource_missing(
+        "Malformed records in file /x/corrupt.avro"
+    )

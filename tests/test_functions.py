@@ -157,3 +157,58 @@ def test_nested_access(mini):
     df = mini.select(col("i"), f.struct(col("i"), col("x")).alias("st"))
     out = pa.Table.from_batches(df.select(col("i"), df["st"]["x"].alias("inner_x")).collect()).sort_by("i")
     assert out.column("inner_x").to_pylist()[0] == 1.5
+
+
+def test_regexp_match_groupless_pattern(mini):
+    # Spark's 2-arg regexp_extract_all defaults to group 1 and throws
+    # REGEX_GROUP_INDEX for group-less patterns the moment a row matches;
+    # regexp_match must extract the WHOLE match (group 0) for them
+    out = pa.Table.from_batches(
+        mini.filter(col("s").is_null() == lit(False))
+        .select(col("i"), f.regexp_match(lit("ab12 cd34"), "[0-9]+").alias("m"))
+        .collect()
+    )
+    assert out.column("m").to_pylist()[0] == ["12", "34"]
+
+
+def test_regexp_match_grouped_pattern_keeps_group_one(mini):
+    out = pa.Table.from_batches(
+        mini.filter(col("s").is_null() == lit(False))
+        .select(col("i"), f.regexp_match(lit("ab12 cd34"), "([a-z]+)[0-9]+").alias("m"))
+        .collect()
+    )
+    assert out.column("m").to_pylist()[0] == ["ab", "cd"]
+    # non-capturing groups do NOT count as capture groups
+    out2 = pa.Table.from_batches(
+        mini.filter(col("s").is_null() == lit(False))
+        .select(col("i"), f.regexp_match(lit("ab12 cd34"), "(?:[a-z]+)[0-9]+").alias("m"))
+        .collect()
+    )
+    assert out2.column("m").to_pylist()[0] == ["ab12", "cd34"]
+
+
+def test_log_with_expression_base(mini):
+    # fn.log(expr, x): a column base crashed in py4j (F.log's two-arg
+    # form only takes a float base); now ln(x)/ln(base)
+    out = pa.Table.from_batches(
+        mini.filter(col("s") == lit("a"))
+        .select(col("i"), f.log(lit(2.0), lit(8.0)).alias("l"))
+        .collect()
+    )
+    assert abs(out.column("l").to_pylist()[0] - 3.0) < 1e-12
+
+
+def test_digest_blake_binary_hashes_raw_bytes(mini):
+    # binary input must hash the RAW bytes like the md5/sha arms, not the
+    # Python repr of the bytes object
+    import hashlib
+
+    payload = b"\x00\x01\xff"
+    for method in ("blake2b", "blake2s"):
+        out = pa.Table.from_batches(
+            mini.filter(col("s") == lit("a"))
+            .select(f.digest(lit(payload), method).alias("d"))
+            .collect()
+        )
+        want = getattr(hashlib, method)(payload).digest()
+        assert out.column("d").to_pylist()[0] == want

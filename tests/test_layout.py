@@ -344,3 +344,61 @@ def test_merge_into_path_nondeterministic_updates_pinned(spark, tmp_path):
     assert merged.count() == 30
     dup = merged.groupBy("doc_id").count().where("count > 1").collect()
     assert dup == [], f"duplicate keys after merge: {dup}"
+
+
+def test_merge_into_path_null_partition_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__): the old code
+    crashed sorting a mixed None/str touched set, and isin() could never
+    read the null-partition rows back — stale copies survived merges."""
+    from datafusion_ballista_python_spark.sources.merge import merge_into_path
+
+    base = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", None), (3, "c", None), (4, "d", "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "null_parts")
+    base.write.partitionBy("lang").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2", None, False), (4, "D2", None, False)],
+        "doc_id long, text string, lang string, is_delete boolean",
+    )
+    touched = merge_into_path(
+        spark, path, updates, key="doc_id", partition_col="lang",
+        delete_col="is_delete",
+    )
+    assert touched[0] is None and set(touched[1:]) == {"de"}
+    out = {r["doc_id"]: (r["text"], r["lang"])
+           for r in spark.read.parquet(path).collect()}
+    # updated in place (2) and moved across partitions into NULL (4),
+    # with no stale duplicate left behind
+    assert out == {1: ("a", "en"), 2: ("B2", None), 3: ("c", None),
+                   4: ("D2", None)}
+
+
+def test_write_bucketed_overwrite_db_qualified(spark, sf_dir, tmp_path):
+    """Orphan-location cleanup must target <warehouse>/<db>.db/<table>
+    (lowercased) — the old bare-table path missed it and saveAsTable
+    failed with LOCATION_ALREADY_EXISTS on re-runs."""
+    from datafusion_ballista_python_spark.sources.bucketing import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tmpdb")
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    try:
+        for _ in range(2):  # second overwrite exercises the cleanup path
+            write_bucketed(df, "tmpdb.RegionBuck", ["r_regionkey"],
+                           n_buckets=2, mode="overwrite")
+        assert spark.table("tmpdb.RegionBuck").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tmpdb.RegionBuck")
+        spark.sql("DROP DATABASE IF EXISTS tmpdb")
+
+
+def test_zorder_interleave_width_guard(spark):
+    from datafusion_ballista_python_spark.sources.layout import with_zorder
+
+    df = spark.range(4).selectExpr(*[f"id as c{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="exceeding a signed long"):
+        with_zorder(df, [f"c{i}" for i in range(8)], bits=8)
+    # 8 cols at 7 bits = 56 positions: fine
+    assert with_zorder(df, [f"c{i}" for i in range(8)], bits=7).count() == 4

@@ -535,3 +535,66 @@ def test_near_dedup_sink_handles_reused_ids_and_releases_cache(spark, tmp_path):
     # no cached frames left behind by the per-batch LSH internals
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, f"{after - before} persisted RDDs leaked"
+
+
+def test_stateful_user_stats_null_values(spark, tmp_path):
+    """NULL values/ts in a batch: NaN must be EXCLUDED before the int64
+    cast (np.trunc(NaN).astype(int64) is INT64_MIN, ~-9.2e18 added to the
+    total) and before max; COUNT(*) still counts the rows — SQL SUM/MAX
+    semantics, same as the DuckDB oracle."""
+    import datetime as dt
+
+    src_dir = tmp_path / "null_events"
+    t0 = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [
+            (1, t0, 2.5),
+            (1, t0 + dt.timedelta(minutes=1), None),
+            (1, t0 + dt.timedelta(minutes=2), 1.5),
+            (2, t0, None),  # user with ONLY null values
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    batch.write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src_dir))
+    )
+    out = {
+        r["user_id"]: r
+    for r in streaming.run_available_now(
+            streaming.stateful_user_stats(stream), "t_sus_null", "update"
+        ).collect()
+    }
+    assert out[1]["n_events"] == 3
+    assert out[1]["total_value"] == 4.0
+    assert out[1]["max_value"] == 2.5
+    assert out[2]["n_events"] == 1
+    assert out[2]["total_value"] == 0.0
+
+
+def test_incremental_near_dedup_sink_custom_id_col(spark, tmp_path):
+    """Non-default id_col: the store-near-dup prune selected id_col from
+    a pairs frame whose batch-side column is ALWAYS doc_id — the query
+    died with UNRESOLVED_COLUMN on the second batch (review-pass fix)."""
+    from datafusion_ballista_python_spark import streaming as S
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    src_a, src_b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    store = str(tmp_path / "cstore")
+    spark.createDataFrame([(1, base)], ["uid", "text"]).write.parquet(src_a)
+    spark.createDataFrame(
+        [(10, base + " phi"),  # near-dup of stored 1 -> dropped
+         (20, "entirely new content with nothing shared at all here")],
+        ["uid", "text"],
+    ).write.parquet(src_b)
+    schema = "uid long, text string"
+    for src in (src_a, src_b):  # second batch exercises the store path
+        q = S.incremental_near_dedup_sink(
+            spark.readStream.schema(schema).parquet(src), store,
+            threshold=0.8, id_col="uid",
+        )
+        q.awaitTermination()
+    stored = {r["uid"] for r in spark.read.parquet(store).collect()}
+    assert stored == {1, 20}
