@@ -22,8 +22,13 @@ PROMPT = "ballista> "
 CONT_PROMPT = "       -> "
 
 
-def _split_statements(text: str) -> list[str]:
-    """Split on ';' outside single-quoted strings; drop '--' comments."""
+def _split_statements(text: str, with_tail: bool = False):
+    """Split on ';' outside single-quoted strings; drop '--' comments.
+
+    ``with_tail=True`` returns ``(complete_statements, unterminated_tail)``
+    — the REPL form: only ';'-terminated statements execute, the tail stays
+    in the buffer for the continuation prompt.  The default appends the
+    tail as a final statement (script/-c form, where trailing text runs)."""
     out: list[str] = []
     cur: list[str] = []
     in_str = False
@@ -49,7 +54,12 @@ def _split_statements(text: str) -> list[str]:
         else:
             cur.append(ch)
         i += 1
-    tail = "".join(cur).strip()
+    raw_tail = "".join(cur)
+    tail = raw_tail.strip()
+    if with_tail:
+        # raw (unstripped) tail: a string literal continuing on the next
+        # line must keep its internal newlines when the buffer re-scans
+        return out, (raw_tail if tail else "")
     if tail:
         out.append(tail)
     return out
@@ -73,14 +83,18 @@ def _repl(ctx, num_rows: int, lines: Iterable[str]) -> None:
         if not buf and line.strip().lower() in ("quit", "exit", r"\q"):
             break
         buf.append(line)
-        if ";" in line:
-            text = "".join(buf)
-            buf = []
-            for stmt in _split_statements(text):
-                try:
-                    _execute(ctx, stmt, num_rows)
-                except Exception as e:  # keep the shell alive on bad SQL
-                    print(f"Error: {e}", file=sys.stderr)
+        # quote-aware: only COMPLETE (';'-terminated, outside strings)
+        # statements execute; an unterminated tail — a quoted string or a
+        # clause continuing on the next line — stays buffered under the
+        # continuation prompt (the old `';' in line` flush executed
+        # incomplete fragments and split inside string literals)
+        stmts, tail = _split_statements("".join(buf), with_tail=True)
+        buf = [tail] if tail else []
+        for stmt in stmts:
+            try:
+                _execute(ctx, stmt, num_rows)
+            except Exception as e:  # keep the shell alive on bad SQL
+                print(f"Error: {e}", file=sys.stderr)
         sys.stdout.write(PROMPT if not buf else CONT_PROMPT)
         sys.stdout.flush()
     print()

@@ -29,7 +29,7 @@ class BallistaContext:
         host: str = "localhost",
         port: int = 50050,
         shuffle_partitions: int = 16,
-        batch_size: int = 8192,
+        batch_size: "Optional[int]" = None,
         spark: Optional[SparkSession] = None,
         master: Optional[str] = None,
     ):
@@ -38,10 +38,19 @@ class BallistaContext:
         if spark is not None:
             self.spark = ensure_session_confs(spark)
             self.spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            # an EXPLICIT batch_size must land on provided sessions too —
+            # it was silently ignored, leaving the two constructor knobs
+            # asymmetric for injected sessions.  None (the default) leaves
+            # the injected session's batch shape alone.
+            if batch_size is not None:
+                self.spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+                )
         else:
+            # reference default batch_size = 8192 when building our own
             self.spark = build_session(
                 shuffle_partitions=shuffle_partitions,
-                batch_size=batch_size,
+                batch_size=8192 if batch_size is None else batch_size,
                 master=master,
             )
 
@@ -101,6 +110,13 @@ class BallistaContext:
         df = sources.read_parquet(self.spark, path)
         df = sources.normalize_ns_timestamps(df)
         df.createOrReplaceTempView(name)
+
+    def register_udtf(self, fn, name=None) -> None:
+        """Register a :func:`datafusion_ballista_python_spark.udtf.udtf`
+        table function for SQL use (``SELECT * FROM name(...)``)."""
+        from .udtf import register_udtf
+
+        register_udtf(self.spark, fn, name=name)
 
     def register_avro(self, name: str, path: str) -> None:
         sources.read_avro(self.spark, path).createOrReplaceTempView(name)

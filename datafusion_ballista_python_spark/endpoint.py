@@ -65,17 +65,26 @@ def start_sql_endpoint(
             jsql
         )
     except Exception as e:
-        # the server is a JVM singleton: a repeat start throws — treat it
-        # as success iff the endpoint is actually serving
-        try:
-            with socket.create_connection(("127.0.0.1", port), timeout=1.0):
-                return port
-        except OSError:
-            pass
-        raise BallistaError(
-            "SQL endpoint requires Spark's hive-thriftserver classes "
-            f"(bundled with full pyspark distributions): {e}"
-        ) from e
+        # classify BEFORE probing: the old blanket probe accepted ANY
+        # listener on the port (a foreign process would read as success),
+        # and misattributed every other failure to missing classes
+        msg = str(e)
+        if any(s in msg for s in ("ClassNotFound", "NoClassDefFound",
+                                  "has no attribute", "does not exist in the JVM")):
+            raise BallistaError(
+                "SQL endpoint requires Spark's hive-thriftserver classes "
+                f"(bundled with full pyspark distributions): {e}"
+            ) from e
+        if "already" in msg.lower():
+            # the server is a JVM singleton: a repeat start in THIS
+            # process throws already-started/address-in-use — success iff
+            # the endpoint is actually serving
+            try:
+                with socket.create_connection(("127.0.0.1", port), timeout=1.0):
+                    return port
+            except OSError:
+                pass
+        raise BallistaError(f"SQL endpoint failed to start: {e}") from e
     deadline = time.monotonic() + wait_secs
     while time.monotonic() < deadline:
         try:

@@ -115,10 +115,15 @@ class Expression:
 
     def div(self, other):
         """Integer (truncating, toward zero) division — DataFusion's
-        int/int `/`.  (a - a % b) is exactly divisible by b, and Spark's %
-        takes the dividend's sign, so this truncates like the reference."""
+        int/int `/`, via Spark's IntegralDivide (`div`), which truncates
+        toward zero exactly like the reference (verified: -7 div 2 = -3).
+        Requires integral operands, same as the reference's int/int form.
+
+        The previous (a - a%b)/b formulation routed through DOUBLE
+        division, silently losing exactness for |values| > 2^53 (e.g.
+        2^62+1 came back off by one after the long cast)."""
         a, b = self._col, _unwrap(other)
-        return Expression(((a - a % b) / b).cast("long"))
+        return Expression(F.call_function("div", a, b))
 
     def __mod__(self, other):
         return Expression(self._col % _unwrap(other))

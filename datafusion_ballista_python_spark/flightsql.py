@@ -434,15 +434,34 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         # plan time, so the result is cached under a one-shot handle and
         # DoGet serves the cache instead of executing a second time
         self._command_results: "OrderedDict[bytes, pa.Table]" = OrderedDict()
+        # eager statements planned by GetSchema, keyed by query text —
+        # consumed by the next GetFlightInfo for the same text so the
+        # GetSchema -> GetFlightInfo -> DoGet sequence executes ONCE
+        self._planned_by_text: "OrderedDict[str, tuple]" = OrderedDict()
 
     # -- helpers -----------------------------------------------------------
 
-    def _plan_statement(self, query: str) -> tuple[pa.Schema, bytes]:
+    def _plan_statement(
+        self, query: str, for_schema: bool = False
+    ) -> tuple[pa.Schema, bytes]:
         """Plan (and for eager commands: execute exactly once) a SQL
         statement; returns (result schema, DoGet handle).  SELECTs get the
         STATELESS query-text handle; commands get a cached-result handle
         because re-executing them on DoGet would apply their side effects
-        twice."""
+        twice.
+
+        ``for_schema`` is the GetSchema path: an eager command planned for
+        its schema is cached BY QUERY TEXT and the next GetFlightInfo for
+        the same text consumes that entry instead of re-executing —
+        GetSchema -> GetFlightInfo -> DoGet applies side effects exactly
+        once (previously GetSchema executed AND GetFlightInfo executed
+        again).  Two plain GetFlightInfo calls still execute twice, as a
+        client re-running the same statement expects."""
+        cached = self._planned_by_text.get(query)
+        if cached is not None:
+            if not for_schema:
+                self._planned_by_text.pop(query)
+            return cached
         df = self.spark.sql(query)
         if _is_command(df):
             table = df.toArrow()  # command output is tiny (acks/row counts)
@@ -450,6 +469,10 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             self._command_results[handle] = table
             while len(self._command_results) > 128:
                 self._command_results.popitem(last=False)
+            if for_schema:
+                self._planned_by_text[query] = (table.schema, handle)
+                while len(self._planned_by_text) > 128:
+                    self._planned_by_text.popitem(last=False)
             return table.schema, handle
         return _to_arrow_schema(df), query.encode()
 
@@ -602,6 +625,14 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         raise BallistaError(f"unsupported FlightSQL command: {type_name or 'empty'}")
 
     def get_schema(self, context, descriptor):
+        type_name, payload = unpack_any(bytes(descriptor.command))
+        if type_name == _SQL_NS + "CommandStatementQuery":
+            # schema probe for a statement: route through the by-text
+            # cache so an eager DDL/DML is not executed a second time by
+            # the GetFlightInfo that follows
+            query = _str_field(_parse(payload), 1) or ""
+            schema, _handle = self._plan_statement(query, for_schema=True)
+            return flight.SchemaResult(schema)
         return flight.SchemaResult(self.get_flight_info(context, descriptor).schema)
 
     def do_get(self, context, ticket):
@@ -660,10 +691,13 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
             # no FK constraint metadata in the Spark catalog either
             return flight.RecordBatchStream(_GET_KEYS_SCHEMA.empty_table())
         if type_name == _SQL_NS + "CommandGetXdbcTypeInfo":
-            # optional int32 data_type filter at proto field 1
+            # optional int32 data_type filter at proto field 1 — SIGN-decode
+            # it: negative java.sql.Types codes (TINYINT -6, BIGINT -5,
+            # BINARY -2) arrive as two's-complement varints, and the raw
+            # int() decode made every negative filter match zero rows
             dt = fields.get(1)
             return flight.RecordBatchStream(
-                _xdbc_type_info_table(int(dt[0]) if dt else None)
+                _xdbc_type_info_table(_signed64(dt[0]) if dt else None)
             )
         raise BallistaError(f"unsupported FlightSQL ticket: {type_name or 'empty'}")
 

@@ -111,6 +111,25 @@ def apply_udafs(
         u.input_col.alias(n) for u, n in zip(udafs, in_names)
     ]
     base = df.select(*proj)
+
+    # FLOAT/DOUBLE group keys cross the pandas boundary as strings: pandas
+    # represents a NULL float key as NaN, so a genuine NaN key and a NULL
+    # key would merge into ONE group (Spark/DataFusion keep them distinct).
+    # Java Double.toString is shortest-round-trip, and the string->double
+    # cast at the end restores the exact value ('NaN' -> NaN, NULL -> NULL).
+    float_keys = [
+        k
+        for k in key_names
+        if isinstance(base.schema[k].dataType, (T.FloatType, T.DoubleType))
+    ]
+    orig_key_types = {k: base.schema[k].dataType for k in float_keys}
+    if float_keys:
+        base = base.select(
+            *[
+                F.col(c).cast("string").alias(c) if c in float_keys else F.col(c)
+                for c in base.columns
+            ]
+        )
     key_schema = [base.schema[k] for k in key_names]
 
     # ---- phase 1: map-side partial accumulation --------------------------
@@ -322,10 +341,25 @@ def apply_udafs(
     if plain_aggs:
         plain_cols = [to_column(a) for a in plain_aggs]
         if n_keys:
+            # group the plain side on the SAME (possibly string-encoded)
+            # keys as the UDAF side so NaN groups line up, and join
+            # NULL-SAFELY: the old null-unsafe equi-join silently dropped
+            # every NULL-keyed group from the combined result
             plain_df = df.groupBy(
-                *[g.alias(k) for g, k in zip(group_cols, key_names)]
+                *[
+                    (g.cast("string") if k in float_keys else g).alias(k)
+                    for g, k in zip(group_cols, key_names)
+                ]
             ).agg(*plain_cols)
-            finals = finals.join(plain_df, on=key_names, how="inner")
+            for k in key_names:
+                plain_df = plain_df.withColumnRenamed(k, f"__pl_{k}")
+            cond = None
+            for k in key_names:
+                c = F.col(k).eqNullSafe(F.col(f"__pl_{k}"))
+                cond = c if cond is None else (cond & c)
+            finals = finals.join(plain_df, on=cond, how="inner").drop(
+                *[f"__pl_{k}" for k in key_names]
+            )
         else:
             finals = finals.crossJoin(df.agg(*plain_cols))
 
@@ -339,4 +373,11 @@ def apply_udafs(
             pass
     for old, new in renames.items():
         finals = finals.withColumnRenamed(old, new)
+    # decode string-encoded float keys back to their original type
+    # ('NaN' -> NaN, NULL -> NULL, values exact — shortest-round-trip)
+    for k in float_keys:
+        out_name = renames.get(k, k)
+        finals = finals.withColumn(
+            out_name, F.col(out_name).cast(orig_key_types[k])
+        )
     return finals

@@ -53,22 +53,43 @@ class ScalarUDF:
 
         in_types = self.input_types
 
-        def _vectorized(*series):
-            import pandas as pd
-
-            arrays = [
-                pa.Array.from_pandas(s, type=t) for s, t in zip(series, in_types)
-            ]
-            out = func(*arrays)
+        def _coerce_out(out):
             if isinstance(out, pa.ChunkedArray):
                 out = out.combine_chunks()
             if not isinstance(out, pa.Array):
                 out = pa.array(out, type=return_type)
-            return out.to_pandas()
+            elif out.type != return_type:
+                out = out.cast(return_type)
+            return out
+
+        def _arrow_vectorized(*arrays):
+            # native Arrow batches (pyspark >= 4.1 arrow_udf): the
+            # reference's exact pyarrow-Array contract — float NaN and
+            # NULL stay DISTINCT (the pandas path folds NaN into null at
+            # the series boundary, so a NaN-vs-null-sensitive udf saw
+            # different inputs than the reference engine)
+            cast = [
+                a.cast(t) if a.type != t else a
+                for a, t in zip(arrays, in_types)
+            ]
+            return _coerce_out(func(*cast))
+
+        def _vectorized(*series):
+            arrays = [
+                pa.Array.from_pandas(s, type=t) for s, t in zip(series, in_types)
+            ]
+            return _coerce_out(func(*arrays)).to_pandas()
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            pudf = F.pandas_udf(_vectorized, returnType=arrow_to_spark(return_type))
+            if hasattr(F, "arrow_udf"):
+                pudf = F.arrow_udf(
+                    _arrow_vectorized, returnType=arrow_to_spark(return_type)
+                )
+            else:  # pyspark < 4.1: pandas boundary (NaN folds to null)
+                pudf = F.pandas_udf(
+                    _vectorized, returnType=arrow_to_spark(return_type)
+                )
         if volatility == "volatile":
             pudf = pudf.asNondeterministic()
         self._pudf = pudf

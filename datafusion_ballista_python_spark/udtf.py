@@ -49,5 +49,21 @@ def udtf(cls=None, *, returnType: Optional[str] = None, name: Optional[str] = No
 
 
 def register_udtf(spark, fn, name: Optional[str] = None) -> None:
-    """Register a udtf for SQL use: ``SELECT * FROM name(...)``."""
-    spark.udtf.register(name or getattr(fn, "__udtf_name__", fn.__name__), fn)
+    """Register a udtf for SQL use: ``SELECT * FROM name(...)``.
+
+    Name resolution: explicit ``name`` > the ``__udtf_name__`` stamped by
+    :func:`udtf` > the function's ``__name__``.  (The old eager
+    ``fn.__name__`` default raised AttributeError for EVERY nameless call
+    — pyspark's UserDefinedTableFunction has no ``__name__``, and the
+    eager default evaluated before getattr could fall back.)"""
+    resolved = (
+        name
+        or getattr(fn, "__udtf_name__", None)
+        or getattr(fn, "__name__", None)
+    )
+    if not resolved:
+        raise BallistaError(
+            "register_udtf needs a name: pass name=... or register a "
+            "udtf()-wrapped class (which carries __udtf_name__)"
+        )
+    spark.udtf.register(resolved, fn)

@@ -81,3 +81,30 @@ def test_cli_serves_flightsql_and_metrics(ctx, capsys):
         f"http://127.0.0.1:{api.group(1)}/api/metrics", timeout=10
     ) as r:
         assert "job_submitted_total" in r.read().decode()
+
+
+def test_repl_buffers_incomplete_statements(ctx, capsys, monkeypatch):
+    """Only ';'-terminated statements execute; a quoted string or clause
+    continuing on the next line stays buffered (the old `';' in line`
+    flush executed incomplete fragments and split inside literals)."""
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO("SELECT 'a;\nb' AS s;\nSELECT 1; SELECT\n2 AS t;\nquit\n"),
+    )
+    rc = cli.main([], ctx=ctx)
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "Error:" not in captured.err
+    # the literal survived intact (show() renders its newline as \n)
+    assert "a;\\nb" in captured.out
+    assert "| 2" in captured.out or "2 " in captured.out
+
+
+def test_split_statements_with_tail():
+    stmts, tail = cli._split_statements("SELECT 1; SELECT 'x;", with_tail=True)
+    assert stmts == ["SELECT 1"]
+    assert tail.strip() == "SELECT 'x;"
+    stmts2, tail2 = cli._split_statements("SELECT 1;", with_tail=True)
+    assert stmts2 == ["SELECT 1"] and tail2 == ""

@@ -178,3 +178,36 @@ def test_write_parquet_roundtrip(ctx, li, tmp_path):
     li.limit(50).write_parquet(dest)
     back = ctx.read_parquet(dest)
     assert back.count() == 50
+
+
+def test_div_exact_beyond_double_precision(ctx):
+    """Expression.div must be exact integer division: the old
+    (a - a%b)/b form routed through DOUBLE and came back off by one for
+    |values| > 2^53 (verified with 2^62 + 1)."""
+    import pyarrow as pa
+
+    big = 2**62 + 1
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([big]), pa.array([1])], names=["a", "b"]
+    )
+    df = ctx.create_dataframe([[batch]])
+    out = pa.Table.from_batches(
+        df.select(col("a").div(col("b")).alias("d")).collect()
+    )
+    assert out.column("d").to_pylist() == [big]
+
+
+def test_context_batch_size_applies_to_provided_session(spark):
+    from ballista import BallistaContext
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        BallistaContext(spark=spark, batch_size=4321)
+        assert spark.conf.get(key) == "4321"
+    finally:
+        # shared session: restore so later tests keep their batch shape
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -371,3 +371,37 @@ def test_adbc_client_roundtrip(server):
             tbl = cur.fetch_arrow_table()
     assert tbl.column("one").to_pylist() == [1]
     assert tbl.column("s").to_pylist() == ["x"]
+
+
+def test_get_xdbc_type_info_negative_filter(client):
+    """Negative java.sql.Types codes (TINYINT -6) arrive as
+    two's-complement varints; the server must sign-decode the filter —
+    the raw decode made every negative filter match zero rows."""
+    info = client.get_flight_info(
+        flightsql.metadata_descriptor("CommandGetXdbcTypeInfo", data_type=-6)
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("type_name").to_pylist() == ["TINYINT"]
+
+
+def test_get_schema_then_info_executes_eager_statement_once(client, ctx):
+    """GetSchema on an eager statement must not add a second execution on
+    the GetFlightInfo that follows (the spec-supported schema probe);
+    previously GetSchema executed AND GetFlightInfo executed again."""
+    spark = ctx.spark
+    spark.sql("DROP TABLE IF EXISTS gsonce")
+    spark.sql("CREATE TABLE gsonce (v INT) USING parquet")
+    try:
+        desc = flightsql.statement_query_descriptor(
+            "INSERT INTO gsonce VALUES (1)"
+        )
+        client.get_schema(desc)          # schema probe: executes once
+        info = client.get_flight_info(desc)  # must CONSUME, not re-execute
+        client.do_get(info.endpoints[0].ticket).read_all()
+        assert spark.sql("SELECT COUNT(*) c FROM gsonce").collect()[0]["c"] == 1
+        # a plain second GetFlightInfo (no schema probe) executes again
+        info2 = client.get_flight_info(desc)
+        client.do_get(info2.endpoints[0].ticket).read_all()
+        assert spark.sql("SELECT COUNT(*) c FROM gsonce").collect()[0]["c"] == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gsonce")

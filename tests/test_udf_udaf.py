@@ -310,3 +310,100 @@ def test_udaf_nan_float_state_distinct_from_null(ctx):
     res = dict(zip(out.column("g").to_pylist(), out.column("s").to_pylist()))
     assert res["a"] != res["a"]  # NaN: group a saw a null input -> poisoned
     assert res["b"] == pytest.approx(7.0)
+
+
+def test_scalar_udf_nan_vs_null_inputs_distinct(ctx):
+    """The reference's pyarrow contract: float NaN and NULL are DISTINCT
+    inputs.  The pandas_udf boundary folded NaN into null; the arrow_udf
+    path (pyspark >= 4.1) preserves both."""
+    import math
+
+    def classify(arr):
+        return pa.array(
+            [
+                "null" if not v.is_valid
+                else ("nan" if math.isnan(v.as_py()) else "num")
+                for v in arr
+            ],
+            type=pa.string(),
+        )
+
+    u = udf(classify, [pa.float64()], pa.string(), name="classify")
+    df = ctx.spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, None)], "i long, x double"
+    )
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    out = pa.Table.from_batches(
+        BDF(df).select(col("i"), u(col("x")).alias("c")).sort(col("i").sort()).collect()
+    )
+    assert out.column("c").to_pylist() == ["num", "nan", "null"]
+
+
+def test_udaf_null_key_group_survives_mixed_plain_aggs(ctx):
+    """A NULL group key must survive the UDAF + plain-agg combination:
+    the old null-unsafe join dropped the NULL-key group entirely."""
+    s = udaf(SumAcc, pa.float64(), pa.float64(), [pa.float64()])
+    df = ctx.spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 10.0), (None, 20.0)],
+        "k string, v double",
+    )
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    out = pa.Table.from_batches(
+        BDF(df).aggregate(
+            [col("k")], [s(col("v")).alias("s"), f.count_star().alias("n")]
+        ).collect()
+    )
+    rows = {r["k"]: (r["s"], r["n"]) for r in out.to_pylist()}
+    assert rows["a"] == (3.0, 2)
+    assert rows[None] == (30.0, 2)
+
+
+def test_udaf_nan_float_group_key_distinct_from_null(ctx):
+    """Spark/DataFusion group NaN and NULL keys separately; the pandas
+    crossing folded a NaN double key into the NULL group (both are NaN in
+    pandas).  Float keys now cross as strings and decode back exactly."""
+    import math
+
+    s = udaf(SumAcc, pa.float64(), pa.float64(), [pa.float64()])
+    df = ctx.spark.createDataFrame(
+        [(1.5, 1.0), (float("nan"), 2.0), (None, 4.0), (float("nan"), 8.0)],
+        "k double, v double",
+    )
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    out = pa.Table.from_batches(
+        BDF(df).aggregate([col("k")], [s(col("v")).alias("s")]).collect()
+    ).to_pylist()
+    by_kind = {}
+    for r in out:
+        kind = ("null" if r["k"] is None
+                else "nan" if math.isnan(r["k"]) else "num")
+        assert kind not in by_kind, f"duplicate {kind} group"
+        by_kind[kind] = r["s"]
+    assert by_kind == {"num": 1.0, "nan": 10.0, "null": 4.0}
+    # mixed with plain aggs: same three groups, null-safe join keeps all
+    out2 = pa.Table.from_batches(
+        BDF(df).aggregate(
+            [col("k")], [s(col("v")).alias("s"), f.count_star().alias("n")]
+        ).collect()
+    ).to_pylist()
+    assert len(out2) == 3
+    assert sorted(r["n"] for r in out2) == [1, 1, 2]
+
+
+def test_register_udtf_uses_stamped_name(spark):
+    """register_udtf without an explicit name must use the __udtf_name__
+    stamped by udtf() — the old eager fn.__name__ default raised
+    AttributeError for every nameless call."""
+    from datafusion_ballista_python_spark.udtf import register_udtf, udtf as u_
+
+    @u_(returnType="w string")
+    class EchoWord:
+        def eval(self, text: str):
+            yield (text,)
+
+    register_udtf(spark, EchoWord)  # no name: must resolve __udtf_name__
+    got = spark.sql("SELECT * FROM EchoWord('hi')").collect()
+    assert [r["w"] for r in got] == ["hi"]
