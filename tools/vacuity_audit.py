@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Vacuity audit: run every corpus entry and flag degenerate result shapes.
+
+A corpus entry whose oracle hash-matches can still be VACUOUS — the
+round-6 review found `fn_regexp_ops` matching zero documents, which made
+its extract-all arm trivially green while hiding a real crash.  This tool
+mechanically hunts that class across all entries:
+
+  - empty result (0 rows)
+  - columns that are entirely NULL
+  - boolean columns that are constant (a flag arm never exercised)
+  - string columns that are entirely empty
+  - numeric columns that are constant zero
+
+Findings are a report, not failures: some shapes are legitimately constant
+(1-row aggregates, an `exact` flag on a lossless sketch).  Inspect, then
+pin real invariants in tests/test_vacuity.py.
+
+Usage: python tools/vacuity_audit.py [sf_dir] [entry ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(sf_dir: str, only: list[str] | None = None) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_ballista_python_spark.corpus import load_all
+    from datafusion_ballista_python_spark.session import ensure_session_confs
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .appName("vacuity-audit")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_session_confs(spark)
+
+    registry = load_all()
+    names = [n for n in registry if only is None or n in only]
+    report: dict[str, dict] = {}
+    for name in names:
+        spec = registry[name]
+        entry: dict = {"rows": None, "flags": []}
+        try:
+            df = spec.fn(spark, sf_dir)
+            # one aggregate pass computes rowcount + per-column degeneracy
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for f in df.schema.fields:
+                c = F.col(f.name)
+                aggs.append(F.count(c).alias(f"nn::{f.name}"))
+                if isinstance(f.dataType, T.BooleanType):
+                    aggs.append(
+                        F.count_distinct(c).alias(f"bd::{f.name}")
+                    )
+                elif isinstance(f.dataType, T.StringType):
+                    aggs.append(
+                        F.max(F.length(c)).alias(f"sl::{f.name}")
+                    )
+                elif isinstance(
+                    f.dataType,
+                    (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                     T.DecimalType, T.ShortType),
+                ):
+                    aggs.append(F.count_distinct(c).alias(f"nd::{f.name}"))
+                    aggs.append(F.max(F.abs(c)).alias(f"mx::{f.name}"))
+            row = df.agg(*aggs).collect()[0].asDict()
+            n = row["__n"]
+            entry["rows"] = n
+            if n == 0:
+                entry["flags"].append("EMPTY_RESULT")
+            else:
+                for k, v in row.items():
+                    if "::" not in k:
+                        continue
+                    kind, col = k.split("::", 1)
+                    if kind == "nn" and v == 0:
+                        entry["flags"].append(f"ALL_NULL:{col}")
+                    elif kind == "bd" and row[f"nn::{col}"] > 1 and v <= 1:
+                        entry["flags"].append(f"CONST_BOOL:{col}")
+                    elif kind == "sl" and v == 0:
+                        entry["flags"].append(f"ALL_EMPTY_STR:{col}")
+                    elif (
+                        kind == "nd"
+                        and n > 1
+                        and row[f"nn::{col}"] > 1
+                        and v <= 1
+                        and (row.get(f"mx::{col}") or 0) == 0
+                    ):
+                        entry["flags"].append(f"CONST_ZERO:{col}")
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            entry["flags"].append(f"ERROR:{type(e).__name__}:{e}")
+        report[name] = entry
+    spark.stop()
+    return report
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = args[1:] if args and os.path.isdir(args[0]) else (args or None)
+    report = audit(sf_dir, only or None)
+    flagged = {k: v for k, v in report.items() if v["flags"]}
+    print(json.dumps({"sf_dir": sf_dir, "n_entries": len(report),
+                      "n_flagged": len(flagged), "flagged": flagged}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
