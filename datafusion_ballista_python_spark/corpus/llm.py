@@ -381,6 +381,45 @@ def dedup_exact_jaccard_join(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_containment_join",
+    oracle="""
+    WITH cw AS (
+        SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+') AS w
+        FROM documents
+    ),
+    csh AS MATERIALIZED (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(w)-2,1)),
+                                            i -> ARRAY_TO_STRING(w[i+1:i+3], ' '))) AS sh
+        FROM cw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh), 6)
+             AS containment
+    FROM csh a JOIN csh b ON a.doc_id <> b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_join(spark, sf_dir):
+    """EXACT containment self-join (operators/dedup.containment_join):
+    every DIRECTED pair with shingle containment |A∩B|/|A| >= 0.9 — the
+    asymmetric signal that catches a short doc quoted whole inside a long
+    one, which a Jaccard threshold structurally misses (J -> |A|/|B| -> 0
+    as the container grows).  Spark generates candidates with the
+    one-sided prefix filter (contained side explodes only its first
+    |g|-ceil(t|g|)+1 sorted shingles, container side its full set, one
+    equi-join) then verifies exactly; the oracle derives the same
+    directed pair set by brute-force all-pairs, so the driver hash is a
+    completeness certificate for the one-sided prefix filter on real
+    data."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dedup.containment_join(docs, threshold=0.9, shingle_n=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 _SIMHASH_ORACLE = f"""
 WITH w AS (
     SELECT doc_id,

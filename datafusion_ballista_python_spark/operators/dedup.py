@@ -498,6 +498,84 @@ def jaccard_join(
     ).select("doc_a", "doc_b", F.round(F.col("jaccard"), round_digits).alias("jaccard"))
 
 
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT containment self-join: every DIRECTED pair (doc_a, doc_b)
+    with shingle containment C(A→B) = |A∩B| / |A| >= threshold — the
+    asymmetric set-similarity that symmetric Jaccard structurally misses:
+    a short document quoted whole inside a long one has high containment
+    but a Jaccard diluted toward |A|/|B| (→0 as B grows), so the
+    quote-inclusion / subset-duplicate class survives every
+    Jaccard-thresholded dedup pass.  The training-data use is boilerplate
+    and wholesale-quotation pruning (Lee et al.'s exact-substring work
+    motivates the same signal at the substring level; this is the
+    set-level operator).
+
+    Prefix filter (one-sided, the standard containment adaptation of
+    Bayardo et al.'s AllPairs): |A∩B| >= a = ceil(t*|A|) implies A shares
+    a shingle within its first |A| - a + 1 SORTED shingles with B's FULL
+    set — if none of those first |A|-a+1 were shared, at most a-1 of A's
+    remaining shingles could be, a contradiction.  So the contained side
+    explodes only its prefix, the container side explodes everything, one
+    equi-join on the shingle key yields a provable candidate SUPERSET,
+    and exact |A∩B|/|A| verifies.  Returns (doc_a, doc_b, containment),
+    doc_a != doc_b, doc_a the contained side; mutual near-equality
+    legitimately emits both directions.
+
+    Scale shape: the full-side explode is the same row volume the
+    tokenize stage already produced (one row per distinct shingle per
+    doc); candidates shuffle ONCE on the shingle key and are bounded by
+    sum_token(prefix_df(token) * df(token)), never n^2 — a corpus-wide
+    boilerplate shingle is the hot key here exactly as in
+    :func:`jaccard_join`, and the same frequency-ordering cure applies
+    upstream (drop top-df shingles before calling, or extend with the
+    AllPairs ordering if a crawl corpus needs it)."""
+    base = with_shingles(df, text_col, shingle_n, "grams").select(
+        F.col(id_col), F.sort_array("grams").alias("grams")
+    )
+    # consumed by the prefix side, the full side, and the verify stage
+    sh = base.persist()
+    plen = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + F.lit(1)
+    )
+    pref = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok"),
+    )
+    full = sh.select(
+        F.col(id_col).alias("doc_b"), F.explode("grams").alias("__tok")
+    )
+    cands = (
+        pref.join(full, "__tok")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = (
+        cands.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")),
+            "doc_b",
+        )
+        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
+    )
+    cont = F.col("__is").cast("double") / F.size("ga")
+    return pairs.where(cont >= threshold).select(
+        "doc_a", "doc_b", F.round(cont, round_digits).alias("containment")
+    )
+
+
 def lsh_recall(
     df: DataFrame,
     num_hashes: int = 16,

@@ -95,6 +95,39 @@ def test_jaccard_join_threshold_excludes(spark):
     assert dedup.jaccard_join(df, threshold=0.7, shingle_n=3).count() == 1
 
 
+def test_containment_join_catches_quote_inclusion(spark):
+    # doc 1 is quoted WHOLE inside doc 2: containment(1 -> 2) = 1.0, but
+    # Jaccard is diluted by the container's extra shingles — the exact
+    # asymmetric class the operator exists for
+    quoted = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quoted),
+        (2, quoted + " plus many extra trailing words here making it long"),
+        (3, "totally different content nothing shared with anyone at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_join(df, threshold=0.9, shingle_n=3).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: contained -> container only
+    # the symmetric join misses it at the same threshold
+    assert dedup.jaccard_join(df, threshold=0.9, shingle_n=3).count() == 0
+
+
+def test_containment_join_mutual_dup_emits_both_directions(spark):
+    rows = [
+        (1, "one two three four five six"),
+        (2, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_join(df, threshold=0.9, shingle_n=3).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
 def test_simhash_identical_for_exact_dup(spark):
     rows = [(1, "one two three four"), (2, "one two three four"), (3, "five six seven eight")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

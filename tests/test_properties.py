@@ -662,3 +662,49 @@ def test_jaccard_join_matches_bruteforce(spark, docs, threshold, order):
                               order=order).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                 min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.9]),
+)
+def test_containment_join_matches_bruteforce(spark, docs, threshold):
+    """One-sided prefix-filtered containment join == brute-force directed
+    all-pairs |A∩B|/|A| on arbitrary tiny corpora — COMPLETENESS guards
+    the asymmetric prefix-length lemma (only the contained side may be
+    prefix-truncated; a bug that truncated the container side would drop
+    pairs silently since the verify stage enforces soundness only)."""
+    import re
+
+    from datafusion_ballista_python_spark.operators.dedup import containment_join
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(text):
+        w = re.split(r"\s+", text.strip().lower())
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            if i == j:
+                continue
+            cont = len(sh[i] & sh[j]) / len(sh[i])
+            if cont >= threshold:
+                want[(i, j)] = round(cont, 6)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_join(df, threshold=threshold, shingle_n=n).collect()
+    }
+    assert got == want
