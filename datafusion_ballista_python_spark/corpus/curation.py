@@ -782,6 +782,59 @@ def dq_winsorize_totalprice(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+@query(
+    "dq_benford_totalprice",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM base),
+    cnt AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM base GROUP BY 1
+    ),
+    d AS (SELECT UNNEST(RANGE(1, 10)) AS digit),
+    j AS (
+        SELECT d.digit, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+               CASE d.digit
+                   WHEN 1 THEN 0.301029995664 WHEN 2 THEN 0.176091259056
+                   WHEN 3 THEN 0.124938736608 WHEN 4 THEN 0.096910013008
+                   WHEN 5 THEN 0.079181246048 WHEN 6 THEN 0.066946789631
+                   WHEN 7 THEN 0.057991946978 WHEN 8 THEN 0.051152522447
+                   WHEN 9 THEN 0.045757490561
+               END AS p
+        FROM d LEFT JOIN cnt USING (digit)
+    ),
+    scored AS (
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE) / n_total, 6) AS share,
+               p AS expected_share,
+               ROUND(((n - n_total * p) * (n - n_total * p)) / (n_total * p), 6)
+                 AS chi2_term
+        FROM j CROSS JOIN tot
+    )
+    SELECT digit, n, share, expected_share, chi2_term,
+           CAST(SUM(CAST(chi2_term AS DECIMAL(25,6))) OVER () AS DOUBLE)
+             AS chi2_total
+    FROM scored ORDER BY digit
+    """,
+)
+def dq_benford_totalprice(spark, sf_dir):
+    """Benford first-digit drift over order totals
+    (operators/quality.benford_digits): exact string-of-FLOOR digit
+    extraction (no libm log10 ulp at decade boundaries), all 9 digits
+    present (n=0 rows kept — a missing digit is the strongest
+    violation), Python-literal expected shares identical on both
+    engines, chi-square terms accumulated in DECIMAL.  One map-side
+    projection + a 9-key aggregate + a 1-row broadcast N; the total is
+    a window over the 9-row frame."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    return quality.benford_digits(orders, "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # composed pipeline: classifier gate -> domain quota -> corpus stats
 # ---------------------------------------------------------------------------

@@ -558,3 +558,77 @@ def brier_score(
         ).alias("brier"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of a numeric column against
+    Benford's law, with the chi-square drift statistic — the classic
+    fabricated-/synthetic-data smell test a quality gate runs over
+    financial-style magnitude columns (organically-grown magnitudes
+    follow log10(1+1/d); uniform or hand-entered data doesn't).
+
+    Rows with NULL or value < 1 are excluded (first SIGNIFICANT digit of
+    sub-unit values needs decade rescaling — out of contract; the caller
+    pre-scales if that class matters).  The digit is extracted exactly:
+    FLOOR of a double is exactly representable, the BIGINT cast and its
+    decimal string are engine-identical, so no libm log10 ulp can flip a
+    boundary value's digit (log10(1000.0) is NOT guaranteed 3.0 in the
+    last ulp; string-of-floor is).
+
+    Output: 9 rows (digit, n, share, expected_share, chi2_term,
+    chi2_total) — digits that never occur still appear with n=0 (a
+    missing digit is the strongest Benford violation, not an absent
+    row).  Expected shares are Python-computed literals, so both engines
+    see identical constants.  Scale shape: one map-side digit projection
+    + a 9-key partial aggregate; N is a 1-row broadcast; the chi-square
+    total is a window over the 9-row frame.  Terms accumulate in DECIMAL
+    (order-independent) per the corpus determinism contract.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & (v >= 1))
+    digit = F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
+    counts = (
+        base.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == d, F.lit(round(math.log10(1 + 1 / d), 12))
+        ).otherwise(expected)
+    joined = (
+        digits.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+        .withColumn("__p", expected)
+    )
+    dev = F.col("n") - F.col("__N") * F.col("__p")
+    term = F.round((dev * dev) / (F.col("__N") * F.col("__p")), round_digits)
+    w = Window.partitionBy(F.lit(1))
+    return (
+        joined.select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__N"), round_digits).alias(
+                "share"
+            ),
+            F.col("__p").alias("expected_share"),
+            term.alias("chi2_term"),
+        )
+        .withColumn(
+            "chi2_total",
+            F.sum(F.col("chi2_term").cast("decimal(25,6)")).over(w).cast("double"),
+        )
+        .orderBy("digit")
+    )

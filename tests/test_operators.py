@@ -1788,6 +1788,27 @@ def test_brier_score_known_values(spark):
     assert brier_score(half, "s", "y").collect()[0]["brier"] == 0.25
 
 
+def test_benford_digits_known_distribution(spark):
+    from datafusion_ballista_python_spark.operators.quality import benford_digits
+
+    # 9 values with first digits 1,1,1,2,2,3,9,9,9; NULL and 0.5 excluded
+    vals = [1.2, 15.0, 199.9, 2.0, 25.5, 3.7, 9.0, 90.1, 900.0, None, 0.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))  # all 9 digits present
+    assert [rows[d]["n"] for d in range(1, 10)] == [3, 2, 1, 0, 0, 0, 0, 0, 3]
+    assert rows[1]["share"] == round(3 / 9, 6)
+    assert rows[4]["n"] == 0 and rows[4]["share"] == 0.0
+    # expected shares are the Benford literals and sum to ~1
+    assert rows[1]["expected_share"] == 0.301029995664
+    assert abs(sum(rows[d]["expected_share"] for d in range(1, 10)) - 1) < 1e-9
+    # chi2_total equals the decimal-exact sum of the rounded terms
+    want_total = round(sum(rows[d]["chi2_term"] for d in range(1, 10)), 6)
+    assert all(round(rows[d]["chi2_total"], 6) == want_total for d in rows)
+    # a missing digit still contributes its full expected mass to chi2
+    assert rows[4]["chi2_term"] == round(9 * 0.096910013008, 6)
+
+
 def test_triangle_count_degree_orientation_bounds_hub_fanout(spark):
     """Skewed star graph: a hub (lowest ID — the id-orientation worst
     case) connected to n leaves, plus leaf-leaf chords.  With (degree, id)
