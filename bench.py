@@ -72,6 +72,8 @@ HEADLINE = [
     "train_bpe_encode",
     "text_maximal_repeated_spans",
     "dedup_exact_substrings",
+    "dedup_containment_join",
+    "dq_benford_totalprice",
 ]
 
 

@@ -97,10 +97,13 @@ _SQL_SCORE = f"""
 """
 
 
-def _spark_feats(docs):
+def _spark_feats(docs, *extra):
+    """Engineered scorer features; ``extra`` columns pass through untouched
+    (the dataset-card entry carries n_chars + fingerprint alongside)."""
     return docs.select(
         "doc_id",
         "lang",
+        *extra,
         F.round(F.log(F.col("n_chars") + 1), 6).alias("f_len"),
         F.round(
             F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double")
@@ -780,6 +783,98 @@ def dq_winsorize_totalprice(spark, sf_dir):
     return quality.winsorize(orders, "o_totalprice", 0.05, 0.95).select(
         "o_orderkey", "o_totalprice", "o_totalprice_winsorized"
     ).orderBy("o_orderkey")
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH scored AS (
+        {_SQL_SCORE}
+    ),
+    meta AS (
+        SELECT doc_id, lang, n_chars,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(m.n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT m.lang) AS BIGINT) AS n_langs,
+               ROUND(CAST(SUM(CAST(s.score AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_score,
+               ROUND(CAST(COUNT(*) - COUNT(DISTINCT m.fp) AS DOUBLE)
+                     / COUNT(*), 6) AS exact_dup_rate
+        FROM meta m JOIN scored s USING (doc_id)
+    ),
+    top AS (
+        SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS __n
+        FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    )
+    SELECT n_docs, total_chars, n_langs, mean_score, exact_dup_rate,
+           top_lang, ROUND(CAST(__n AS DOUBLE) / n_docs, 6) AS top_lang_share
+    FROM agg CROSS JOIN top
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """Dataset card: the ONE-ROW summary a training-data release ships —
+    corpus size (docs, chars), language mix (count + dominant language
+    with share, deterministic (count DESC, lang) tie-break), mean
+    classifier quality score (the round-5 scorer, broadcast-weights
+    codegen — _SQL_SCORE replayed verbatim so this entry cannot diverge
+    from the standalone scorer), and the exact-duplicate rate
+    (1 - distinct fingerprints / docs, the dedup_exact fingerprint).
+
+    Scale shape: everything rides ONE documents scan into a single
+    aggregate (two count-distincts expand map-side), plus a 1-row
+    broadcast top-language frame; no data-row shuffle beyond the
+    partial-agg reduce."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    feats = _spark_feats(
+        docs,
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    scored = quality.linear_score(
+        feats,
+        features={k: F.col(k) for k in _LR_W},
+        weights=_LR_W,
+        intercept=_LR_B,
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .orderBy(F.desc("__n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "__n")
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "mean_score",
+        "exact_dup_rate",
+        "top_lang",
+        F.round(F.col("__n").cast("double") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+    )
 
 
 @query(
