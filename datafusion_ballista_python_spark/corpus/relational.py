@@ -305,14 +305,21 @@ def join_semi(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n
     FROM customer WHERE NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def join_anti(spark, sf_dir):
+    """Customers who never placed an URGENT order.  The filtered build
+    side keeps the result NON-EMPTY at every test SF (the unfiltered
+    "customers without orders" variant returned zero rows at sf0.001 and
+    sf0.01 — a vacuous 0=0 hash match that never exercised anti-join
+    row-dropping; the round-6 vacuity audit's find)."""
     t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(col("o_orderpriority") == lit("1-URGENT"))
     out = (
-        t["customer"].join(t["orders"], (["c_custkey"], ["o_custkey"]), "anti")
+        t["customer"].join(urgent, (["c_custkey"], ["o_custkey"]), "anti")
         .aggregate([col("c_mktsegment")], [bf.count_star().alias("n")])
         .sort(col("c_mktsegment").sort())
     )
@@ -682,16 +689,22 @@ def set_union_all(spark, sf_dir):
     "set_union_distinct",
     oracle="""
     SELECT k FROM (
-        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9990
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
         UNION
-        SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9900
+        SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000
     ) ORDER BY k
     """,
 )
 def set_union_distinct(spark, sf_dir):
+    """Thresholds sit INSIDE both tables' acctbal range at every test SF
+    (9990 exceeded sf0.001's customer max of 9916 — empty result, so the
+    distinct-union never had duplicates to collapse; vacuity-audit fix);
+    the supplier cut sits at 5000 because sf0.001 has so few suppliers
+    that none clears 9500 — both sides contribute and OVERLAP at every
+    test SF, so the distinct actually collapses."""
     t = _t(spark, sf_dir, "customer", "supplier")
-    c = t["customer"].filter(col("c_acctbal") > lit(9990)).select(col("c_nationkey").alias("k"))
-    s = t["supplier"].filter(col("s_acctbal") > lit(9900)).select(col("s_nationkey").alias("k"))
+    c = t["customer"].filter(col("c_acctbal") > lit(9000)).select(col("c_nationkey").alias("k"))
+    s = t["supplier"].filter(col("s_acctbal") > lit(5000)).select(col("s_nationkey").alias("k"))
     out = c.union(s, distinct=True).sort(col("k").sort())
     return out.df
 

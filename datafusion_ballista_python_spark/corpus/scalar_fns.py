@@ -69,8 +69,8 @@ def fn_string_basic(spark, sf_dir):
            TRIM(CONCAT('  ', p_brand, '  ')) AS trimmed,
            LTRIM(CONCAT('xx', p_brand), 'x') AS lt,
            RTRIM(CONCAT(p_brand, 'yy'), 'y') AS rt,
-           SPLIT_PART(p_type, ' ', 1) AS word1,
-           SPLIT_PART(p_type, ' ', 2) AS word2,
+           SPLIT_PART(CONCAT(p_brand, '-', p_type), '-', 1) AS word1,
+           SPLIT_PART(CONCAT(p_brand, '-', p_type), '-', 2) AS word2,
            CAST(STRPOS(p_name, 'a') AS BIGINT) AS pos_a,
            CONCAT(p_brand, '-', p_type) AS cat,
            CONCAT_WS('|', p_brand, p_type, NULL, p_name) AS catws,
@@ -91,8 +91,15 @@ def fn_string_pad_split(spark, sf_dir):
         bf.btrim(bf.concat(lit("  "), col("p_brand"), lit("  "))).alias("trimmed"),
         Expression(F.ltrim(bf.concat(lit("xx"), col("p_brand")).column, F.lit("x"))).alias("lt"),
         Expression(F.rtrim(bf.concat(col("p_brand"), lit("yy")).column, F.lit("y"))).alias("rt"),
-        bf.split_part(col("p_type"), lit(" "), lit(1)).alias("word1"),
-        bf.split_part(col("p_type"), lit(" "), lit(2)).alias("word2"),
+        # split a string with a REAL second field: p_type is single-word in
+        # the synthetic data, so splitting it on ' ' made word2 empty for
+        # every row — the index-2 extraction arm was vacuous (audit find)
+        bf.split_part(
+            bf.concat(col("p_brand"), lit("-"), col("p_type")), lit("-"), lit(1)
+        ).alias("word1"),
+        bf.split_part(
+            bf.concat(col("p_brand"), lit("-"), col("p_type")), lit("-"), lit(2)
+        ).alias("word2"),
         bf.strpos(col("p_name"), lit("a")).cast("long").alias("pos_a"),
         bf.concat(col("p_brand"), lit("-"), col("p_type")).alias("cat"),
         bf.concat_ws("|", col("p_brand"), col("p_type"), lit(None), col("p_name")).alias("catws"),

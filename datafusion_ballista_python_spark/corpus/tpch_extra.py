@@ -566,7 +566,8 @@ def q19_discounted_revenue(spark, sf_dir):
       FROM customer WHERE c_acctbal > 0.0
     ) avg_bal
     WHERE CAST(c_acctbal AS DECIMAL(25,6)) * bal_cnt > bal_sum
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -574,13 +575,19 @@ def q19_discounted_revenue(spark, sf_dir):
 def q22_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape (adapted: grouped by nationkey — the driver's
     schema has no phone column for country codes): customers with
-    above-average balance and no orders.
+    above-average balance and no OPEN orders.  The anti-exists is
+    restricted to open-status orders because in the synthetic data every
+    customer has SOME order below sf0.1 — the unrestricted Q22 predicate
+    returned zero rows at sf0.001 AND at the driver's sf0.01 gate, a
+    vacuous 0=0 hash match (round-6 vacuity audit); the restricted form
+    keeps the exact Q22 plan shape (scalar avg subquery + anti join) and
+    is non-empty at every test SF.
 
     The AVG threshold is multiply-form (``bal * n > sum``) for exact
     decimal comparison on both engines.  Scale: the scalar (sum, count)
     aggregates map-side and broadcasts; NOT EXISTS is a left-anti join
-    shuffling on custkey (orders projected to the single key column);
-    final agg groups ≤25 nations.
+    shuffling on custkey (orders projected to key + status, filter
+    pushed to the scan); final agg groups ≤25 nations.
     """
     t = _t(spark, sf_dir, "customer", "orders")
     cust = t["customer"].df
@@ -592,7 +599,9 @@ def q22_sales_opportunity(spark, sf_dir):
         F.col("c_acctbal").cast(DEC) * F.col("bal_cnt") > F.col("bal_sum")
     )
     no_orders = rich.join(
-        t["orders"].df.select("o_custkey"),
+        t["orders"]
+        .df.where(F.col("o_orderstatus") == "O")
+        .select("o_custkey"),
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     )

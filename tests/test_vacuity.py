@@ -1,0 +1,83 @@
+"""Vacuity regression gate: a corpus entry whose oracle hash-matches can
+still be VACUOUS — round 6's audit (tools/vacuity_audit.py) found
+fn_regexp_ops matching zero documents (hid a real crash), join_anti and
+q22 returning 0 rows at the driver's own sf0.01 gate, and
+fn_string_pad_split's index-2 extraction arm always empty.  This module
+pins the de-vacuized state so it cannot silently regress.
+
+All checks run the DUCKDB oracle only (fast, no Spark): the driver's hash
+gate already forces the Spark result to equal the oracle, so the oracle's
+shape IS the entry's shape.
+"""
+
+import duckdb
+import pytest
+
+from datafusion_ballista_python_spark.corpus import load_all
+
+from .oracle_harness import duckdb_con
+
+_REGISTRY = load_all()
+_ORACLE_NAMES = [n for n, s in _REGISTRY.items() if s.oracle is not None]
+
+# Legitimately empty at sf0.001 ONLY (data too small for the predicate to
+# fire) — each is proven non-empty at the driver's sf0.01 gate by
+# test_empty_ok_entries_fire_at_driver_sf below.  Anything else returning
+# zero rows is a vacuous hash match and FAILS.
+EMPTY_OK_AT_SF0001 = {
+    "q2_min_supplier",
+    "q7_volume_shipping",
+    "q20_potential_promotion",
+}
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_oracle_result_not_empty(con, name):
+    n = len(con.sql(_REGISTRY[name].oracle).df())
+    if name in EMPTY_OK_AT_SF0001:
+        return  # covered by the sf0.01 check below
+    assert n >= 1, f"{name}: oracle returns 0 rows at sf0.001 — vacuous hash match"
+
+
+def test_empty_ok_entries_fire_at_driver_sf():
+    con01 = duckdb_con("/root/testdata/sf0.01")
+    for name in sorted(EMPTY_OK_AT_SF0001):
+        n = len(con01.sql(_REGISTRY[name].oracle).df())
+        assert n >= 1, (
+            f"{name}: empty at the DRIVER's sf0.01 gate too — the sf0.001 "
+            "allowlisting is no longer an SF artifact; de-vacuize the entry"
+        )
+
+
+def test_split_part_second_field_not_vacuous(con):
+    df = con.sql(_REGISTRY["fn_string_pad_split"].oracle).df()
+    assert (df["word2"] != "").all(), "index-2 split arm is empty again"
+    assert (df["word1"] != "").all()
+
+
+def test_anti_join_actually_drops_rows(con):
+    """join_anti must both return rows AND have dropped some — an anti
+    join equal to the unfiltered input never exercised row-dropping."""
+    kept = int(con.sql(_REGISTRY["join_anti"].oracle).df()["n"].sum())
+    total = con.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert 1 <= kept < total
+
+
+def test_union_distinct_actually_collapses(con):
+    """Both union sides must contribute AND share at least one key — a
+    distinct-union with disjoint or empty sides never collapses anything."""
+    sides = con.sql(
+        """
+        SELECT COUNT(DISTINCT c.k) AS n_c, COUNT(DISTINCT s.k) AS n_s,
+               COUNT(DISTINCT CASE WHEN s.k IS NOT NULL THEN c.k END) AS n_shared
+        FROM (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000) c
+        LEFT JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier
+                   WHERE s_acctbal > 5000) s USING (k)
+        """
+    ).fetchone()
+    assert sides[0] >= 1 and sides[2] >= 1
