@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_exact_substrings",
     "dedup_containment_join",
     "dq_benford_totalprice",
+    "pipeline_dataset_card",
 ]
 
 
