@@ -87,3 +87,16 @@ print("lsh recall:", r["n_found"], "/", r["n_true"], "=", r["recall"])
 gsplit = sampling.split_assign(balanced, "source", salt="gsplit")
 print("host-keyed splits:", sorted((row[0], row[1]) for row in
                                    gsplit.groupBy("split").count().collect()))
+
+# 9. (round 6) containment dedup + the release card: catch short docs
+#    quoted WHOLE inside long ones (high containment, Jaccard-invisible),
+#    then ship the one-row dataset card a training-data release carries
+contained = dedup.containment_join(clean, threshold=0.9)
+drop_contained = contained.select(F.col("doc_a").alias("doc_id")).distinct()
+final = clean.join(drop_contained, "doc_id", "left_anti")
+print("contained-dup docs dropped:", drop_contained.count(),
+      "final corpus:", final.count())
+
+card = quality.profile_table(final, ["doc_id", "n_chars", "lang"])
+print("release profile:")
+card.show(truncate=False)
