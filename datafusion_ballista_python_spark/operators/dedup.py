@@ -548,13 +548,23 @@ def containment_join(
     )
     pref = sh.select(
         F.col(id_col).alias("doc_a"),
+        F.size("grams").alias("__na"),
         F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok"),
     )
     full = sh.select(
-        F.col(id_col).alias("doc_b"), F.explode("grams").alias("__tok")
+        F.col(id_col).alias("doc_b"),
+        F.size("grams").alias("__nb"),
+        F.explode("grams").alias("__tok"),
     )
+    # size filter INSIDE the join: |A∩B| >= ceil(t|A|) needs |B| >= t|A|,
+    # so undersized containers drop before the candidate distinct — the
+    # containment analogue of the set-similarity length filter
     cands = (
-        pref.join(full, "__tok")
+        pref.join(
+            full,
+            (pref["__tok"] == full["__tok"])
+            & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na")),
+        )
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
