@@ -824,10 +824,11 @@ def pipeline_dataset_card(spark, sf_dir):
     from the standalone scorer), and the exact-duplicate rate
     (1 - distinct fingerprints / docs, the dedup_exact fingerprint).
 
-    Scale shape: everything rides ONE documents scan into a single
-    aggregate (two count-distincts expand map-side), plus a 1-row
-    broadcast top-language frame; no data-row shuffle beyond the
-    partial-agg reduce."""
+    Scale shape: TWO scans — the card aggregate (one pass, the two
+    count-distincts expand map-side) and a separate lang-count pass that
+    collapses map-side to <= |langs| rows before its top-1 sort; the
+    1-row winner broadcasts onto the card.  No data-row shuffle beyond
+    the partial-agg reduces."""
     docs = load(spark, sf_dir, "documents")["documents"]
     feats = _spark_feats(
         docs,

@@ -90,9 +90,20 @@ print("host-keyed splits:", sorted((row[0], row[1]) for row in
 
 # 9. (round 6) containment dedup + the release card: catch short docs
 #    quoted WHOLE inside long ones (high containment, Jaccard-invisible),
-#    then ship the one-row dataset card a training-data release carries
-contained = dedup.containment_join(clean, threshold=0.9)
-drop_contained = contained.select(F.col("doc_a").alias("doc_id")).distinct()
+#    then ship the one-row dataset card a training-data release carries.
+#    KEEP-FIRST rule: mutual near-duplicates emit BOTH directions, so
+#    dropping every doc_a would delete all copies — keep the min-id of
+#    each mutual pair, drop the contained side of one-way pairs
+pairs = dedup.containment_join(clean, threshold=0.9).select("doc_a", "doc_b")
+rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+mutual = pairs.intersect(rev)
+one_way = pairs.join(mutual, ["doc_a", "doc_b"], "left_anti")
+drop_contained = (
+    one_way.select("doc_a")
+    .union(mutual.where("doc_a > doc_b").select("doc_a"))
+    .distinct()
+    .withColumnRenamed("doc_a", "doc_id")
+)
 final = clean.join(drop_contained, "doc_id", "left_anti")
 print("contained-dup docs dropped:", drop_contained.count(),
       "final corpus:", final.count())

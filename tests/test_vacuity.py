@@ -10,15 +10,21 @@ gate already forces the Spark result to equal the oracle, so the oracle's
 shape IS the entry's shape.
 """
 
-import duckdb
+import os
+
 import pytest
 
 from datafusion_ballista_python_spark.corpus import load_all
 
+from .conftest import SF_DIR
 from .oracle_harness import duckdb_con
 
 _REGISTRY = load_all()
 _ORACLE_NAMES = [n for n, s in _REGISTRY.items() if s.oracle is not None]
+
+# the driver-gate SF is SF_DIR's sibling, respecting the same relocation
+# env var the rest of the suite uses (SPARK_GRAFT_TEST_SF_DIR)
+DRIVER_SF_DIR = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
 
 # Legitimately empty at sf0.001 ONLY (data too small for the predicate to
 # fire) — each is proven non-empty at the driver's sf0.01 gate by
@@ -45,7 +51,7 @@ def test_oracle_result_not_empty(con, name):
 
 
 def test_empty_ok_entries_fire_at_driver_sf():
-    con01 = duckdb_con("/root/testdata/sf0.01")
+    con01 = duckdb_con(DRIVER_SF_DIR)
     for name in sorted(EMPTY_OK_AT_SF0001):
         n = len(con01.sql(_REGISTRY[name].oracle).df())
         assert n >= 1, (
@@ -69,15 +75,17 @@ def test_anti_join_actually_drops_rows(con):
 
 
 def test_union_distinct_actually_collapses(con):
-    """Both union sides must contribute AND share at least one key — a
-    distinct-union with disjoint or empty sides never collapses anything."""
-    sides = con.sql(
-        """
-        SELECT COUNT(DISTINCT c.k) AS n_c, COUNT(DISTINCT s.k) AS n_s,
-               COUNT(DISTINCT CASE WHEN s.k IS NOT NULL THEN c.k END) AS n_shared
-        FROM (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000) c
-        LEFT JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier
-                   WHERE s_acctbal > 5000) s USING (k)
-        """
-    ).fetchone()
-    assert sides[0] >= 1 and sides[2] >= 1
+    """The distinct union must actually COLLAPSE rows: running the
+    entry's own oracle with UNION rewritten to UNION ALL must yield
+    strictly more rows.  Derived from the registry oracle (not a
+    hand-copied predicate) so a future threshold change cannot silently
+    decouple this guard from the entry it pins."""
+    oracle = _REGISTRY["set_union_distinct"].oracle
+    assert "UNION ALL" not in oracle and "UNION" in oracle
+    n_distinct = len(con.sql(oracle).df())
+    n_all = len(con.sql(oracle.replace("UNION", "UNION ALL")).df())
+    assert n_distinct >= 1
+    assert n_all > n_distinct, (
+        "distinct union never collapses anything at this SF — sides are "
+        "empty or disjoint; de-vacuize the entry thresholds"
+    )

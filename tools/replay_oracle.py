@@ -43,13 +43,24 @@ def main() -> int:
     ensure_session_confs(spark)
 
     results = run_all(spark, sf_dir, only=only)
+    if only:
+        unknown = sorted(set(only) - set(results))
+        if unknown:
+            print(f"ERROR: unknown entry names {unknown} — nothing certified")
+            spark.stop()
+            return 2
+    if not results:
+        print("ERROR: zero entries ran — nothing certified")
+        spark.stop()
+        return 2
     bad = 0
     for name, status in results.items():
-        if status != "MATCH":
-            bad += status.startswith(("MISMATCH", "ERROR"))
-            print(f"{name}: {status}")
-        else:
-            print(f"{name}: MATCH")
+        # MATCH and ROWS_ONLY (oracle-less entries, weaker by design) are
+        # ok; anything else — MISMATCH, ERROR, or a status this tool does
+        # not recognize — counts as bad rather than silently passing
+        if not (status == "MATCH" or status.startswith("ROWS_ONLY")):
+            bad += 1
+        print(f"{name}: {status}")
     print(f"\n{len(results) - bad}/{len(results)} ok at {sf_dir}")
     spark.stop()
     return 1 if bad else 0

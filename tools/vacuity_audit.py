@@ -108,8 +108,15 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    only = args[1:] if args and os.path.isdir(args[0]) else (args or None)
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], args[1:]
+    elif args and ("/" in args[0] or os.sep in args[0]):
+        # path-shaped but not a directory: fail loudly instead of silently
+        # reinterpreting the typo as an entry-name filter that matches
+        # nothing and printing a clean empty report
+        raise SystemExit(f"ERROR: {args[0]!r} is not a directory")
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", args
     report = audit(sf_dir, only or None)
     flagged = {k: v for k, v in report.items() if v["flags"]}
     print(json.dumps({"sf_dir": sf_dir, "n_entries": len(report),
