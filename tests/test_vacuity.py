@@ -89,3 +89,17 @@ def test_union_distinct_actually_collapses(con):
         "distinct union never collapses anything at this SF — sides are "
         "empty or disjoint; de-vacuize the entry thresholds"
     )
+
+
+def test_audit_const_flags_are_sf_artifacts_or_by_design():
+    """The round-6 audit's two CONST findings, pinned: q8's mkt_share is
+    const-zero at sf0.001 only (nonzero at the driver's sf0.01 gate —
+    the ASIA-supplier share really is 0 in the tiny sample), and
+    agg_approx_distinct's approx_ok is constant TRUE by design (it IS
+    the accuracy contract: were the HLL estimate out of tolerance the
+    flag would flip false and the hash would catch it)."""
+    con01 = duckdb_con(DRIVER_SF_DIR)
+    q8 = con01.sql(_REGISTRY["q8_market_share"].oracle).df()
+    assert (q8["mkt_share"] != 0).any(), "q8 mkt_share zero at driver SF too"
+    ok = con01.sql(_REGISTRY["agg_approx_distinct"].oracle).df()["approx_ok"]
+    assert ok.all(), "HLL accuracy contract violated at driver SF"
