@@ -708,3 +708,44 @@ def test_containment_join_matches_bruteforce(spark, docs, threshold):
         for r in containment_join(df, threshold=threshold, shingle_n=n).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=0.01, max_value=1e12, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda xs: any(v is not None and v >= 1 for v in xs))
+)
+def test_benford_digits_matches_bruteforce(spark, vals):
+    """benford_digits == Python brute force (string-of-floor first digit,
+    NULL/sub-1 exclusion, all-9-digit frame, literal expected shares) on
+    arbitrary positive doubles — guards the exact-digit-extraction claim
+    across magnitudes including decade boundaries."""
+    import math
+
+    from datafusion_ballista_python_spark.operators.quality import benford_digits
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+
+    kept = [v for v in vals if v is not None and v >= 1]
+    want_n = {d: 0 for d in range(1, 10)}
+    for v in kept:
+        want_n[int(str(int(math.floor(v)))[0])] += 1
+    n_total = len(kept)
+
+    assert sorted(rows) == list(range(1, 10))
+    for d in range(1, 10):
+        assert rows[d]["n"] == want_n[d], (d, vals)
+        assert rows[d]["share"] == round(want_n[d] / n_total, 6)
+        p = round(math.log10(1 + 1 / d), 12)
+        assert rows[d]["expected_share"] == p
+        dev = want_n[d] - n_total * p
+        assert rows[d]["chi2_term"] == round(dev * dev / (n_total * p), 6)
