@@ -505,6 +505,7 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_digits: int = 6,
+    order: str = "lex",
 ) -> DataFrame:
     """EXACT containment self-join: every DIRECTED pair (doc_a, doc_b)
     with shingle containment C(A→B) = |A∩B| / |A| >= threshold — the
@@ -531,14 +532,40 @@ def containment_join(
     Scale shape: the full-side explode is the same row volume the
     tokenize stage already produced (one row per distinct shingle per
     doc); candidates shuffle ONCE on the shingle key and are bounded by
-    sum_token(prefix_df(token) * df(token)), never n^2 — a corpus-wide
-    boilerplate shingle is the hot key here exactly as in
-    :func:`jaccard_join`, and the same frequency-ordering cure applies
-    upstream (drop top-df shingles before calling, or extend with the
-    AllPairs ordering if a crawl corpus needs it)."""
+    sum_token(prefix_df(token) * df(token)), never n^2.
+
+    ``order`` picks the global total order the PREFIXES are taken under
+    (pruning power only, never the result set — same contract as
+    :func:`jaccard_join`): ``"lex"`` (default, zero extra passes) or
+    ``"frequency"`` (document-frequency ascending, AllPairs ordering) —
+    the skew cure for a corpus-wide boilerplate shingle, which under lex
+    stays in hot prefixes and fans out against the FULL side's postings
+    for that shingle; rarest-first pushes it out of every prefix that
+    has anything rarer."""
     base = with_shingles(df, text_col, shingle_n, "grams").select(
-        F.col(id_col), F.sort_array("grams").alias("grams")
+        F.col(id_col), F.col("grams")
     )
+    if order == "frequency":
+        tok = base.select(F.col(id_col), F.explode("grams").alias("__tok"))
+        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        base = (
+            tok.join(freq, "__tok")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__df", "__tok"))),
+                    lambda s: s["__tok"],
+                ).alias("grams")
+            )
+        )
+    elif order == "lex":
+        base = base.select(F.col(id_col), F.sort_array("grams").alias("grams"))
+    else:
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"unknown prefix order {order!r}: expected 'lex' or 'frequency'"
+        )
     # consumed by the prefix side, the full side, and the verify stage
     sh = base.persist()
     plen = (

@@ -674,13 +674,15 @@ def test_jaccard_join_matches_bruteforce(spark, docs, threshold, order):
         max_size=6,
     ),
     threshold=st.sampled_from([0.5, 0.8, 0.9]),
+    order=st.sampled_from(["lex", "frequency"]),
 )
-def test_containment_join_matches_bruteforce(spark, docs, threshold):
+def test_containment_join_matches_bruteforce(spark, docs, threshold, order):
     """One-sided prefix-filtered containment join == brute-force directed
     all-pairs |A∩B|/|A| on arbitrary tiny corpora — COMPLETENESS guards
     the asymmetric prefix-length lemma (only the contained side may be
     prefix-truncated; a bug that truncated the container side would drop
-    pairs silently since the verify stage enforces soundness only)."""
+    pairs silently since the verify stage enforces soundness only) —
+    under BOTH global orders, which must never change the result."""
     import re
 
     from datafusion_ballista_python_spark.operators.dedup import containment_join
@@ -705,7 +707,9 @@ def test_containment_join_matches_bruteforce(spark, docs, threshold):
 
     got = {
         (r["doc_a"], r["doc_b"]): r["containment"]
-        for r in containment_join(df, threshold=threshold, shingle_n=n).collect()
+        for r in containment_join(
+            df, threshold=threshold, shingle_n=n, order=order
+        ).collect()
     }
     assert got == want
 
