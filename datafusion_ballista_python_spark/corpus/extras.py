@@ -221,8 +221,8 @@ def fn_regexp_ops(spark, sf_dir):
     SELECT {SQL_DSUM('l_extendedprice * l_discount')} AS revenue,
            COUNT(*) AS n
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -230,12 +230,15 @@ def fn_regexp_ops(spark, sf_dir):
 def q6_revenue_pushdown(spark, sf_dir):
     """TPC-H Q6 shape: every predicate reaches the parquet scan
     (PushedFilters) and only 4 columns are read — the pushdown showcase.
-    Plan asserted in tests/test_plans.py."""
+    Plan asserted in tests/test_plans.py.  Date window is 1996 (the
+    spec's 1994 window predates the synthetic data's min shipdate of
+    1995-01-02, so the aggregate summed ZERO rows at every SF — a
+    vacuous NULL=NULL hash match; round-6 vacuity audit)."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)

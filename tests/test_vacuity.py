@@ -103,3 +103,18 @@ def test_audit_const_flags_are_sf_artifacts_or_by_design():
     assert (q8["mkt_share"] != 0).any(), "q8 mkt_share zero at driver SF too"
     ok = con01.sql(_REGISTRY["agg_approx_distinct"].oracle).df()["approx_ok"]
     assert ok.all(), "HLL accuracy contract violated at driver SF"
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_oracle_no_all_null_column(con, name):
+    """No result column may be entirely NULL: q6's 1994 date window
+    predated the synthetic data's min shipdate, so the aggregate summed
+    zero rows and returned one row of NULL revenue — a NULL=NULL hash
+    match both engines agreed on (the shape the non-empty check cannot
+    catch).  A column that is legitimately all-NULL at some SF needs an
+    explicit allowlist entry here with the reason."""
+    if name in EMPTY_OK_AT_SF0001:
+        return
+    df = con.sql(_REGISTRY[name].oracle).df()
+    all_null = [c for c in df.columns if df[c].isna().all()]
+    assert not all_null, f"{name}: entirely-NULL column(s) {all_null}"
