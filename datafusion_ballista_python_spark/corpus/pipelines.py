@@ -615,6 +615,10 @@ def dq_profile_orders(spark, sf_dir):
            CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
     FROM orders WHERE o_orderkey IS NOT NULL
     UNION ALL
+    SELECT 'unique:o_orderpriority',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    UNION ALL
     SELECT 'fk:o_custkey->c_custkey',
            CAST((SELECT COUNT(*) FROM orders o
                  WHERE o.o_custkey IS NOT NULL
@@ -627,15 +631,19 @@ def dq_constraints_orders(spark, sf_dir):
     """Constraint-gate validation: not-null, key uniqueness (count minus
     distinct — no self-join), and referential integrity (left-anti
     orphan count) as violation counts.  Hash-matching the oracle proves
-    the formulations, including the expected all-zeros result on clean
-    TPC-H data."""
+    the formulations: the key rules report the expected zeros on clean
+    TPC-H data, and the deliberately-violated uniqueness rule on
+    o_orderpriority (5 distinct values over the whole table) certifies
+    the NONZERO counting arm too — without it every driver hash row was
+    a constant zero (vacuity-audit find: the violation arithmetic was
+    unit-tested but never driver-certified)."""
     from ..operators.quality import check_constraints
 
     t = load(spark, sf_dir, "orders", "customer")
     return check_constraints(
         t["orders"],
         not_null=["o_custkey"],
-        unique=["o_orderkey"],
+        unique=["o_orderkey", "o_orderpriority"],
         fk=(["o_custkey"], t["customer"], ["c_custkey"]),
     ).orderBy("rule")
 
