@@ -77,20 +77,41 @@ _CERTIFICATION_DEBT = [
 ]
 
 
+# Entries whose SEMANTICS changed in round 6 after an earlier driver
+# certification (vacuity de-vacuizations + the added violation rule): their
+# latest driver row is green but certified the OLD query, so they queue
+# right after the never-sampled tier for re-certification.
+_ROUND6_CHANGED = [
+    "q6_revenue_pushdown",
+    "join_anti",
+    "set_union_distinct",
+    "q22_sales_opportunity",
+    "fn_string_pad_split",
+    "dq_constraints_orders",
+]
+
+
 def _rotated(reg: dict) -> list[str]:
     """Entries whose LATEST driver row FAILED first (a fix can only earn a
     green row if the sampler reaches it — and the failed tier must lead,
     because the never-sampled tier can exceed the sample size when a round
     adds many entries), then never-driver-sampled entries (oldest
-    certification debt first), then the rest — relative order preserved
-    within each tier."""
+    certification debt first), then entries changed since their last
+    certification, then the rest — relative order preserved within each
+    tier."""
     seen, failed = _driver_history()
     names = list(reg)
     refail = [n for n in names if n in failed]
     debt = [n for n in _CERTIFICATION_DEBT if n in reg and n not in seen]
     fresh = [n for n in names if n not in seen and n not in debt]
-    rest = [n for n in names if n in seen and n not in failed]
-    return refail + debt + fresh + rest
+    changed = [
+        n for n in _ROUND6_CHANGED
+        if n in reg and n in seen and n not in failed
+    ]
+    rest = [
+        n for n in names if n in seen and n not in failed and n not in changed
+    ]
+    return refail + debt + fresh + changed + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
