@@ -25,10 +25,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(sampled, latest_failed): corpus entries that already received a driver
-    correctness row in any past round, and the subset whose LATEST driver row
-    failed (read from the recorded CORRECTNESS_r*.json files, round order)."""
+def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(sampled, latest_failed, last_round): corpus entries that already
+    received a driver correctness row in any past round, the subset whose
+    LATEST driver row failed, and each entry's most recent sampled round
+    (read from the recorded CORRECTNESS_r*.json files, round order)."""
     import glob
     import json
     import re
@@ -36,6 +37,7 @@ def _driver_history() -> tuple[set[str], set[str]]:
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
     latest: dict[str, bool] = {}  # key -> passed in its most recent sample
+    last_round: dict[str, int] = {}
 
     def round_no(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)", path)
@@ -49,6 +51,7 @@ def _driver_history() -> tuple[set[str], set[str]]:
             continue
         seen |= set(rows)
         for key, row in rows.items():
+            last_round[key] = max(last_round.get(key, 0), round_no(path))
             if isinstance(row, dict):
                 latest[key] = bool(
                     row.get("rows_match")
@@ -56,7 +59,7 @@ def _driver_history() -> tuple[set[str], set[str]]:
                     and row.get("hash_match", True)
                 )
     failed = {k for k, ok in latest.items() if not ok}
-    return seen, failed
+    return seen, failed, last_round
 
 
 # Entries that pre-date round 6 but have never received a driver
@@ -77,17 +80,28 @@ _CERTIFICATION_DEBT = [
 ]
 
 
-# Entries whose SEMANTICS changed in round 6 after an earlier driver
-# certification (vacuity de-vacuizations + the added violation rule): their
-# latest driver row is green but certified the OLD query, so they queue
-# right after the never-sampled tier for re-certification.
+# Entries whose SEMANTICS (result values at the driver SF) changed in round
+# 6 after an earlier driver certification: their latest driver row is green
+# but certified the OLD query, so they queue right after the never-sampled
+# tier for re-certification.  Self-clearing: once an entry has a driver row
+# from round >= _CHANGED_IN_ROUND it leaves the tier.
+_CHANGED_IN_ROUND = 6
 _ROUND6_CHANGED = [
+    # vacuity de-vacuizations + the added violation rule (this session)
     "q6_revenue_pushdown",
     "join_anti",
     "set_union_distinct",
     "q22_sales_opportunity",
     "fn_string_pad_split",
     "dq_constraints_orders",
+    # lockstep operator+oracle fixes from the round-6 review passes whose
+    # recorded green rows certified the pre-fix results
+    "fn_regexp_ops",            # de-vacuized pattern, group-index fix
+    "text_winnow_fingerprints", # boundary-length window fix
+    "dedup_winnow_jaccard",     # same winnow kernel fix
+    "stream_stateful_user_stats",  # NULL-exclusion in the running stats
+    "layout_zorder_values",     # exact IntegralDivide quantization
+    "dedup_bloom_prefilter",    # normalized-fingerprint novelty contract
 ]
 
 
@@ -97,16 +111,20 @@ def _rotated(reg: dict) -> list[str]:
     because the never-sampled tier can exceed the sample size when a round
     adds many entries), then never-driver-sampled entries (oldest
     certification debt first), then entries changed since their last
-    certification, then the rest — relative order preserved within each
-    tier."""
-    seen, failed = _driver_history()
+    certification (until a driver row from the changing round or later
+    re-certifies them), then the rest — relative order preserved within
+    each tier."""
+    seen, failed, last_round = _driver_history()
     names = list(reg)
     refail = [n for n in names if n in failed]
     debt = [n for n in _CERTIFICATION_DEBT if n in reg and n not in seen]
     fresh = [n for n in names if n not in seen and n not in debt]
     changed = [
         n for n in _ROUND6_CHANGED
-        if n in reg and n in seen and n not in failed
+        if n in reg
+        and n in seen
+        and n not in failed
+        and last_round.get(n, 0) < _CHANGED_IN_ROUND
     ]
     rest = [
         n for n in names if n in seen and n not in failed and n not in changed

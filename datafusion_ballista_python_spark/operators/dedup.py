@@ -409,6 +409,36 @@ def minhash_lsh_pairs(
     )
 
 
+def _ordered_grams(base: DataFrame, id_col: str, order: str) -> DataFrame:
+    """(id, grams) with each doc's shingle array re-sorted under the global
+    total order the prefix filters truncate against — shared by
+    :func:`jaccard_join` and :func:`containment_join` (pruning power only;
+    the ordering must never change either join's result set, which both
+    property tests pin).  ``"lex"`` is free; ``"frequency"`` (AllPairs
+    document-frequency ascending, ties lexicographic) costs one token-count
+    aggregate + one re-sort join and buys hot-shingle skew immunity."""
+    if order == "frequency":
+        tok = base.select(F.col(id_col), F.explode("grams").alias("__tok"))
+        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        return (
+            tok.join(freq, "__tok")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__df", "__tok"))),
+                    lambda s: s["__tok"],
+                ).alias("grams")
+            )
+        )
+    if order == "lex":
+        return base.select(F.col(id_col), F.sort_array("grams").alias("grams"))
+    from ..errors import BallistaError
+
+    raise BallistaError(
+        f"unknown prefix order {order!r}: expected 'lex' or 'frequency'"
+    )
+
+
 def jaccard_join(
     df: DataFrame,
     threshold: float = 0.8,
@@ -449,33 +479,10 @@ def jaccard_join(
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
     )
-    if order == "frequency":
-        tok = base.select(F.col(id_col), F.explode("grams").alias("__tok"))
-        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-        ordered = (
-            tok.join(freq, "__tok")
-            .groupBy(id_col)
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__df", "__tok"))),
-                    lambda s: s["__tok"],
-                ).alias("grams")
-            )
-        )
-    elif order == "lex":
-        ordered = base.select(
-            F.col(id_col), F.sort_array("grams").alias("grams")
-        )
-    else:
-        from ..errors import BallistaError
-
-        raise BallistaError(
-            f"unknown prefix order {order!r}: expected 'lex' or 'frequency'"
-        )
     # consumed by both prefix sides; persisting avoids recomputing the
     # scan -> tokenize -> shingle (-> frequency re-sort) DAG per side
     # (same reason minhash_lsh_pairs persists its banded frame)
-    sh = ordered.persist()
+    sh = _ordered_grams(base, id_col, order).persist()
     plen = (
         F.size("grams")
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
@@ -545,29 +552,8 @@ def containment_join(
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
     )
-    if order == "frequency":
-        tok = base.select(F.col(id_col), F.explode("grams").alias("__tok"))
-        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-        base = (
-            tok.join(freq, "__tok")
-            .groupBy(id_col)
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__df", "__tok"))),
-                    lambda s: s["__tok"],
-                ).alias("grams")
-            )
-        )
-    elif order == "lex":
-        base = base.select(F.col(id_col), F.sort_array("grams").alias("grams"))
-    else:
-        from ..errors import BallistaError
-
-        raise BallistaError(
-            f"unknown prefix order {order!r}: expected 'lex' or 'frequency'"
-        )
     # consumed by the prefix side, the full side, and the verify stage
-    sh = base.persist()
+    sh = _ordered_grams(base, id_col, order).persist()
     plen = (
         F.size("grams")
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")

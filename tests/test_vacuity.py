@@ -43,11 +43,20 @@ def con(sf_dir):
 
 
 @pytest.mark.parametrize("name", _ORACLE_NAMES)
-def test_oracle_result_not_empty(con, name):
-    n = len(con.sql(_REGISTRY[name].oracle).df())
+def test_oracle_not_degenerate(con, name):
+    """One sweep, two shape gates sharing the result frame: non-empty, and
+    no entirely-NULL column (q6's 1994 window summed zero rows into one
+    row of NULL revenue — a NULL=NULL hash match the row-count gate can't
+    see).  A column legitimately all-NULL at some SF needs an explicit
+    allowlist entry here with the reason."""
     if name in EMPTY_OK_AT_SF0001:
         return  # covered by the sf0.01 check below
-    assert n >= 1, f"{name}: oracle returns 0 rows at sf0.001 — vacuous hash match"
+    df = con.sql(_REGISTRY[name].oracle).df()
+    assert len(df) >= 1, (
+        f"{name}: oracle returns 0 rows at sf0.001 — vacuous hash match"
+    )
+    all_null = [c for c in df.columns if df[c].isna().all()]
+    assert not all_null, f"{name}: entirely-NULL column(s) {all_null}"
 
 
 def test_empty_ok_entries_fire_at_driver_sf():
@@ -105,16 +114,3 @@ def test_audit_const_flags_are_sf_artifacts_or_by_design():
     assert ok.all(), "HLL accuracy contract violated at driver SF"
 
 
-@pytest.mark.parametrize("name", _ORACLE_NAMES)
-def test_oracle_no_all_null_column(con, name):
-    """No result column may be entirely NULL: q6's 1994 date window
-    predated the synthetic data's min shipdate, so the aggregate summed
-    zero rows and returned one row of NULL revenue — a NULL=NULL hash
-    match both engines agreed on (the shape the non-empty check cannot
-    catch).  A column that is legitimately all-NULL at some SF needs an
-    explicit allowlist entry here with the reason."""
-    if name in EMPTY_OK_AT_SF0001:
-        return
-    df = con.sql(_REGISTRY[name].oracle).df()
-    all_null = [c for c in df.columns if df[c].isna().all()]
-    assert not all_null, f"{name}: entirely-NULL column(s) {all_null}"
