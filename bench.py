@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_containment_join",
     "dq_benford_totalprice",
     "pipeline_dataset_card",
+    "graph_kcore",
 ]
 
 

@@ -1697,6 +1697,53 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(pairs, iterations=3).orderBy("node")
 
 
+def _kcore_peel_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peel: ``rounds`` rounds of drop-degree-<k nodes.
+    The k-core is the unique fixpoint regardless of peel order, so any
+    round count >= the true peel depth yields the identical node set
+    (surplus rounds are no-ops); the Spark side raises if IT fails to
+    converge, so a hash match certifies fixpoint equality."""
+    sql = f"e0 AS ({edges_cte})"
+    for r in range(rounds):
+        sql += f""",
+k{r} AS (SELECT src FROM e{r} GROUP BY src HAVING COUNT(*) >= {k}),
+e{r + 1} AS (
+    SELECT e.src, e.dst FROM e{r} e
+    JOIN k{r} a ON e.src = a.src
+    JOIN k{r} b ON e.dst = b.src
+)"""
+    return sql
+
+
+_KCORE_ORACLE = f"""
+WITH {_kcore_peel_sql(f'''
+    SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_ORACLE})
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM ({_MINHASH_ORACLE})
+''', k=2, rounds=4)}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e4 GROUP BY src ORDER BY node
+"""
+
+
+@query("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark, sf_dir):
+    """2-core of the minhash near-dup graph (operators/graph.kcore):
+    iteratively peel degree-<2 nodes until fixpoint — the density filter
+    separating tight duplicate blobs (boilerplate/template hubs) from
+    isolated pairs and thin chains.  The k-core is the unique
+    peel-order-independent fixpoint, so the oracle unrolls four peel
+    rounds (measured depth 2 on this graph; surplus rounds are no-ops on
+    a converged core) over the SAME minhash-pipeline SQL as the
+    standalone dedup_minhash_lsh entry, and the Spark side raises if it
+    fails to converge — a hash match certifies fixpoint equality."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+    return graph.kcore(pairs, k=2)
+
+
 _BIGRAM_PPL_ORACLE = """
 WITH toks AS (
     SELECT doc_id,

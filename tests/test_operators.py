@@ -2007,3 +2007,41 @@ def test_ivfpq_rerank_validates(emb):
     cands = emb.filter(F.col("vec_id") >= 2)
     with pytest.raises(ValueError, match="rerank"):
         similarity.ivfpq_topk(cands, queries, k=10, rerank=5)
+
+
+def test_kcore_peels_pendants_and_chains(spark):
+    from datafusion_ballista_python_spark.operators import graph
+
+    # triangle 1-2-3 with pendant 4 hanging off 3, plus isolated pair 5-6:
+    # the 2-core is exactly the triangle (pendant peel exposes nothing new)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], ["doc_a", "doc_b"]
+    )
+    got = {(r["node"], r["core_degree"])
+           for r in graph.kcore(pairs, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # k=3 peels everything (no node has 3 in-core neighbours)
+    assert graph.kcore(pairs, k=3).count() == 0
+    # chain 10-11-12-13 has no 2-core: cascading peel must empty it
+    chain = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13)], ["doc_a", "doc_b"]
+    )
+    assert graph.kcore(chain, k=2).count() == 0
+
+
+def test_kcore_rejects_bad_k_and_nonconvergence_guard(spark):
+    import pytest
+
+    from datafusion_ballista_python_spark.errors import BallistaError
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError):
+        graph.kcore(pairs, k=0)
+    # a long chain needs one peel round per link: max_rounds=1 cannot
+    # reach fixpoint and must raise instead of returning a wrong core
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(BallistaError):
+        graph.kcore(chain, k=2, max_rounds=1)

@@ -753,3 +753,39 @@ def test_benford_digits_matches_bruteforce(spark, vals):
         assert rows[d]["expected_share"] == p
         dev = want_n[d] - n_total * p
         assert rows[d]["chi2_term"] == round(dev * dev / (n_total * p), 6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_kcore_matches_bruteforce(spark, edges, k):
+    """Distributed peel == reference sequential peel on arbitrary small
+    graphs — k-core is the unique fixpoint, so any correct peel schedule
+    must land on the identical (node, in-core degree) set."""
+    from datafusion_ballista_python_spark.operators import graph
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {(r["node"], r["core_degree"])
+           for r in graph.kcore(pairs, k=k).collect()}
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    while True:
+        weak = [n for n, nb in adj.items() if len(nb) < k]
+        if not weak:
+            break
+        for n in weak:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+    want = {(n, len(nb)) for n, nb in adj.items()}
+    assert got == want
