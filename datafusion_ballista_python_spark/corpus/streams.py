@@ -216,6 +216,56 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "asof_join_events_forward",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           e.value AS err_value, e.ts AS err_ts
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events_forward(spark, sf_dir):
+    """FORWARD as-of join (direction="forward"): each purchase gets the
+    user's NEXT error at-or-after purchase time — the
+    did-this-action-precede-a-failure lookup, the mirror of the
+    point-in-time default.  Same linear union+window composition, with
+    first_value over the unbounded-FOLLOWING frame; DuckDB's native ASOF
+    with the <= inequality is the oracle."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("value").alias("err_value0"),
+        F.col("ts").alias("err_ts0"),
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="ts",
+        by=["user_id"],
+        right_cols=["err_value0", "err_ts0"],
+        suffix="",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "range_join_sessions",
     oracle="""
     WITH iv AS (

@@ -4,13 +4,19 @@ a composition of DataFrame ops (no UDF, no driver loop).
 ``asof_join(left, right)`` attaches to each left row the most recent right
 row with ``right.ts <= left.ts`` within the same key group — the standard
 feature/point-in-time lookup of event pipelines (quote-at-trade-time,
-model-version-at-event-time, ...).
+model-version-at-event-time, ...).  ``direction`` extends the match rule
+to the full pandas ``merge_asof`` contract: ``"backward"`` (default),
+``"forward"`` (earliest right row at-or-after), and ``"nearest"``
+(whichever side is closer in time; ties -> backward).
 
 Implementation (the scalable union trick, not a range join):
 1. tag both sides and union them on (key, ts) — one dataset, one schema;
 2. one shuffle on the key, sort by (ts, side) within partitions;
 3. ``last_value(right_cols, ignoreNulls)`` over an unbounded-preceding
-   window carries the latest right values forward onto left rows;
+   window carries the latest right values forward onto left rows
+   (``first_value`` over the mirrored unbounded-FOLLOWING frame for the
+   forward direction; nearest runs both passes over the SAME sorted
+   frame and picks per row — still one exchange);
 4. keep left rows.
 
 Cost: ONE exchange of |left| + |right| rows and a per-key sort — no
@@ -25,6 +31,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -35,14 +42,30 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_r",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, the latest right row with ``right.on <= left.on``
-    (``<`` when strict) grouped by ``by`` keys.
+    """For each left row, the matching right row grouped by ``by`` keys:
+
+    - ``direction="backward"``: latest right row with ``right.on <=
+      left.on`` (``<`` when strict) — the point-in-time default;
+    - ``direction="forward"``: earliest right row with ``right.on >=
+      left.on`` (``>`` when strict) — next-event lookup;
+    - ``direction="nearest"``: whichever of the two is closer in ``on``
+      (ties prefer backward; ``strict`` excludes equal-time matches from
+      BOTH sides).
 
     right_cols: value columns carried from the right side (default: all
     non-key, non-time columns), each suffixed to avoid collisions.
-    Left rows with no earlier right row get NULLs (left-outer semantics).
+    Left rows with no qualifying right row get NULLs (left-outer
+    semantics).  If several right rows share the same (key, on) value the
+    carried one among them is unspecified — dedup upstream when that
+    matters.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"unknown direction {direction!r}: expected 'backward', "
+            "'forward' or 'nearest'"
+        )
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
@@ -63,15 +86,54 @@ def asof_join(
         *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
     ).select(*l_tag.columns)  # align column order
 
-    # right rows sort before left at equal ts => "<=" semantics; with
-    # strict "<", left sorts first so an equal-ts right row is not seen
-    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (
+    carried = l_tag.unionByName(r_tag)
+
+    # tie handling at equal `on`: the right row must sort INSIDE the left
+    # row's frame for inclusive semantics and OUTSIDE it for strict.
+    # backward frame = [preceding, current] (right first at ties => "<=");
+    # forward frame = [current, following] (right after left => ">=")
+    back_side = F.col("__side").asc() if not strict else F.col("__side").desc()
+    fwd_side = F.col("__side").desc() if not strict else F.col("__side").asc()
+    wb = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), side_order)
+        .orderBy(F.col(on).asc(), back_side)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag)
-    for n in out_names:
-        carried = carried.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), fwd_side)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    if direction == "backward":
+        for n in out_names:
+            carried = carried.withColumn(n, F.last(n, ignorenulls=True).over(wb))
+    elif direction == "forward":
+        for n in out_names:
+            carried = carried.withColumn(n, F.first(n, ignorenulls=True).over(wf))
+    else:  # nearest: both passes over the one sorted frame, pick per row
+        on_type = left.schema[on].dataType
+        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+            def as_num(c):  # noqa: E306
+                return F.unix_micros(F.col(c))
+        else:
+            def as_num(c):
+                return F.col(c).cast("double")
+
+        carried = carried.withColumn("__on_r", F.when(F.col("__side") == 0, F.col(on)))
+        bts, fts = "__bts", "__fts"
+        carried = carried.withColumn(bts, F.last("__on_r", ignorenulls=True).over(wb))
+        carried = carried.withColumn(fts, F.first("__on_r", ignorenulls=True).over(wf))
+        # ties prefer backward: forward wins only STRICTLY closer
+        use_fwd = F.when(
+            F.col(bts).isNull(), F.col(fts).isNotNull()
+        ).otherwise(
+            F.col(fts).isNotNull()
+            & ((as_num(fts) - as_num(on)) < (as_num(on) - as_num(bts)))
+        )
+        for n in out_names:
+            b = F.last(n, ignorenulls=True).over(wb)
+            f = F.first(n, ignorenulls=True).over(wf)
+            carried = carried.withColumn(n, F.when(use_fwd, f).otherwise(b))
+        carried = carried.drop("__on_r", bts, fts)
     return carried.where(F.col("__side") == 1).drop("__side")

@@ -2045,3 +2045,35 @@ def test_kcore_rejects_bad_k_and_nonconvergence_guard(spark):
     )
     with pytest.raises(BallistaError):
         graph.kcore(chain, k=2, max_rounds=1)
+
+
+def test_asof_join_directions(spark):
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10, "a"), (1, 20, "b"), (1, 30, "c")],
+                              ["k", "ts", "lv"])
+    r = spark.createDataFrame([(1, 15, "x"), (1, 25, "y")], ["k", "ts", "rv"])
+
+    def run(**kw):
+        return sorted((row["ts"], row["rv_r"]) for row in
+                      asof_join(l, r, on="ts", by=["k"], **kw).collect())
+
+    assert run(direction="backward") == [(10, None), (20, "x"), (30, "y")]
+    assert run(direction="forward") == [(10, "x"), (20, "y"), (30, None)]
+    # 20 is equidistant from 15 and 25: nearest tie prefers backward
+    assert run(direction="nearest") == [(10, "x"), (20, "x"), (30, "y")]
+    import pytest
+    with pytest.raises(ValueError):
+        run(direction="sideways")
+
+
+def test_asof_join_nearest_strict_excludes_equal_both_sides(spark):
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 15, "t")], ["k", "ts", "lv"])
+    r = spark.createDataFrame([(1, 15, "x"), (1, 25, "y")], ["k", "ts", "rv"])
+    inclusive = asof_join(l, r, on="ts", by=["k"], direction="nearest").collect()
+    strict = asof_join(l, r, on="ts", by=["k"], direction="nearest",
+                       strict=True).collect()
+    assert inclusive[0]["rv_r"] == "x"   # equal-time match allowed
+    assert strict[0]["rv_r"] == "y"      # equal-time excluded -> forward 25

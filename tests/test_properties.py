@@ -789,3 +789,43 @@ def test_kcore_matches_bruteforce(spark, edges, k):
                 adj[m].discard(n)
     want = {(n, len(nb)) for n, nb in adj.items()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lts=st.lists(st.integers(0, 40), min_size=1, max_size=8, unique=True),
+    rts=st.lists(st.integers(0, 40), min_size=1, max_size=8, unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    strict=st.booleans(),
+)
+def test_asof_join_matches_bruteforce(spark, lts, rts, direction, strict):
+    """Union+window as-of == per-row brute-force match under every
+    direction/strict combination (nearest ties -> backward)."""
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, t) for t in lts], ["k", "ts"])
+    r = spark.createDataFrame([(1, t, f"v{t}") for t in rts], ["k", "ts", "rv"])
+    got = {row["ts"]: row["rv_r"]
+           for row in asof_join(l, r, on="ts", by=["k"],
+                                direction=direction, strict=strict).collect()}
+
+    def pick(t):
+        back = [s for s in rts if (s < t if strict else s <= t)]
+        fwd = [s for s in rts if (s > t if strict else s >= t)]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:
+            if b is None:
+                m = f
+            elif f is None:
+                m = b
+            else:
+                m = f if (f - t) < (t - b) else b
+        return None if m is None else f"v{m}"
+
+    assert got == {t: pick(t) for t in lts}
