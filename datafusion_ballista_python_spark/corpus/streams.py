@@ -266,6 +266,73 @@ def asof_join_events_forward(spark, sf_dir):
 
 
 @query(
+    "asof_join_events_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+        SELECT p.event_id, e.value AS b_value, e.ts AS b_ts
+        FROM p ASOF LEFT JOIN e
+          ON p.user_id = e.user_id AND p.ts >= e.ts
+    ),
+    f AS (
+        SELECT p.event_id, e.value AS f_value, e.ts AS f_ts
+        FROM p ASOF LEFT JOIN e
+          ON p.user_id = e.user_id AND p.ts <= e.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN b.b_ts IS NULL THEN f.f_value
+                WHEN f.f_ts IS NOT NULL
+                     AND (f.f_ts - p.ts) < (p.ts - b.b_ts) THEN f.f_value
+                ELSE b.b_value END AS err_value,
+           CASE WHEN b.b_ts IS NULL THEN f.f_ts
+                WHEN f.f_ts IS NOT NULL
+                     AND (f.f_ts - p.ts) < (p.ts - b.b_ts) THEN f.f_ts
+                ELSE b.b_ts END AS err_ts
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events_nearest(spark, sf_dir):
+    """NEAREST as-of join (direction="nearest"): each purchase gets the
+    user's closest error in time, either side, ties preferring backward —
+    the what-was-happening-around-this-event lookup.  The Spark side runs
+    both window passes over ONE sorted exchange; the oracle composes two
+    native DuckDB ASOF joins (>= and <=) with the identical
+    closer-side/tie CASE, so the driver hash certifies the whole pick
+    rule."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("value").alias("err_value0"),
+        F.col("ts").alias("err_ts0"),
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="ts",
+        by=["user_id"],
+        right_cols=["err_value0", "err_ts0"],
+        suffix="",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "range_join_sessions",
     oracle="""
     WITH iv AS (

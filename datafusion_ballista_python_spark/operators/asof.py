@@ -31,7 +31,6 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
 
 def asof_join(
@@ -112,24 +111,19 @@ def asof_join(
         for n in out_names:
             carried = carried.withColumn(n, F.first(n, ignorenulls=True).over(wf))
     else:  # nearest: both passes over the one sorted frame, pick per row
-        on_type = left.schema[on].dataType
-        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
-            def as_num(c):  # noqa: E306
-                return F.unix_micros(F.col(c))
-        else:
-            def as_num(c):
-                return F.col(c).cast("double")
-
         carried = carried.withColumn("__on_r", F.when(F.col("__side") == 0, F.col(on)))
         bts, fts = "__bts", "__fts"
         carried = carried.withColumn(bts, F.last("__on_r", ignorenulls=True).over(wb))
         carried = carried.withColumn(fts, F.first("__on_r", ignorenulls=True).over(wf))
-        # ties prefer backward: forward wins only STRICTLY closer
+        # ties prefer backward: forward wins only STRICTLY closer.  The
+        # distances compare as raw differences — DayTimeInterval for
+        # timestamp/timestamp_ntz `on` columns, numeric otherwise — so no
+        # type-specific epoch extraction is needed
         use_fwd = F.when(
             F.col(bts).isNull(), F.col(fts).isNotNull()
         ).otherwise(
             F.col(fts).isNotNull()
-            & ((as_num(fts) - as_num(on)) < (as_num(on) - as_num(bts)))
+            & ((F.col(fts) - F.col(on)) < (F.col(on) - F.col(bts)))
         )
         for n in out_names:
             b = F.last(n, ignorenulls=True).over(wb)
