@@ -169,6 +169,39 @@ def stream_dedup_keys(spark, sf_dir):
     return sink.distinct().orderBy("user_id", "event_type")
 
 
+def _asof_purchase_error(spark, sf_dir, direction):
+    """Shared setup for the three as-of entries: purchases side, errors
+    side deduped per (user_id, ts) to the MIN value — the same GROUP BY
+    the oracles apply, so duplicate-timestamp errors (unspecified pick in
+    both engines) can never poison the hash — and the common output
+    projection.  Only ``direction`` differs between the entries."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        ev.filter("event_type = 'error'")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("err_value0"))
+        .select("user_id", "ts", "err_value0", F.col("ts").alias("err_ts0"))
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="ts",
+        by=["user_id"],
+        right_cols=["err_value0", "err_ts0"],
+        suffix="",
+        direction=direction,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
+    ).orderBy("event_id")
+
+
 @query(
     "asof_join_events",
     oracle="""
@@ -177,8 +210,8 @@ def stream_dedup_keys(spark, sf_dir):
         FROM events WHERE event_type = 'purchase'
     ),
     e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        FROM events WHERE event_type = 'error'
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts, p.value,
            e.value AS err_value, e.ts AS err_ts
@@ -192,27 +225,7 @@ def asof_join_events(spark, sf_dir):
     error (value + time).  DuckDB's native ASOF JOIN is the oracle; our
     implementation is the linear union+window composition
     (operators/asof.py) — one shuffle, no range join."""
-    from ..operators.asof import asof_join
-
-    ev = load(spark, sf_dir, "events")["events"]
-    purchases = ev.filter("event_type = 'purchase'").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    errors = ev.filter("event_type = 'error'").select(
-        "user_id", "ts", "value", F.col("ts").alias("err_ts0")
-    ).select("user_id", "ts", F.col("value").alias("err_value0"), "err_ts0")
-    out = asof_join(
-        purchases,
-        errors.select("user_id", "ts", "err_value0", "err_ts0"),
-        on="ts",
-        by=["user_id"],
-        right_cols=["err_value0", "err_ts0"],
-        suffix="",
-    )
-    return out.select(
-        "event_id", "user_id", "ts", "value",
-        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
-    ).orderBy("event_id")
+    return _asof_purchase_error(spark, sf_dir, "backward")
 
 
 @query(
@@ -223,8 +236,8 @@ def asof_join_events(spark, sf_dir):
         FROM events WHERE event_type = 'purchase'
     ),
     e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        FROM events WHERE event_type = 'error'
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts, p.value,
            e.value AS err_value, e.ts AS err_ts
@@ -240,29 +253,7 @@ def asof_join_events_forward(spark, sf_dir):
     point-in-time default.  Same linear union+window composition, with
     first_value over the unbounded-FOLLOWING frame; DuckDB's native ASOF
     with the <= inequality is the oracle."""
-    from ..operators.asof import asof_join
-
-    ev = load(spark, sf_dir, "events")["events"]
-    purchases = ev.filter("event_type = 'purchase'").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    errors = ev.filter("event_type = 'error'").select(
-        "user_id", "ts", F.col("value").alias("err_value0"),
-        F.col("ts").alias("err_ts0"),
-    )
-    out = asof_join(
-        purchases,
-        errors,
-        on="ts",
-        by=["user_id"],
-        right_cols=["err_value0", "err_ts0"],
-        suffix="",
-        direction="forward",
-    )
-    return out.select(
-        "event_id", "user_id", "ts", "value",
-        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
-    ).orderBy("event_id")
+    return _asof_purchase_error(spark, sf_dir, "forward")
 
 
 @query(
@@ -273,8 +264,8 @@ def asof_join_events_forward(spark, sf_dir):
         FROM events WHERE event_type = 'purchase'
     ),
     e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        FROM events WHERE event_type = 'error'
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
     ),
     b AS (
         SELECT p.event_id, e.value AS b_value, e.ts AS b_ts
@@ -307,29 +298,7 @@ def asof_join_events_nearest(spark, sf_dir):
     native DuckDB ASOF joins (>= and <=) with the identical
     closer-side/tie CASE, so the driver hash certifies the whole pick
     rule."""
-    from ..operators.asof import asof_join
-
-    ev = load(spark, sf_dir, "events")["events"]
-    purchases = ev.filter("event_type = 'purchase'").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    errors = ev.filter("event_type = 'error'").select(
-        "user_id", "ts", F.col("value").alias("err_value0"),
-        F.col("ts").alias("err_ts0"),
-    )
-    out = asof_join(
-        purchases,
-        errors,
-        on="ts",
-        by=["user_id"],
-        right_cols=["err_value0", "err_ts0"],
-        suffix="",
-        direction="nearest",
-    )
-    return out.select(
-        "event_id", "user_id", "ts", "value",
-        F.col("err_value0").alias("err_value"), F.col("err_ts0").alias("err_ts"),
-    ).orderBy("event_id")
+    return _asof_purchase_error(spark, sf_dir, "nearest")
 
 
 @query(

@@ -12,12 +12,18 @@ to the full pandas ``merge_asof`` contract: ``"backward"`` (default),
 Implementation (the scalable union trick, not a range join):
 1. tag both sides and union them on (key, ts) — one dataset, one schema;
 2. one shuffle on the key, sort by (ts, side) within partitions;
-3. ``last_value(right_cols, ignoreNulls)`` over an unbounded-preceding
-   window carries the latest right values forward onto left rows
+3. carry the matched right row as ONE struct via
+   ``last_value(struct, ignoreNulls)`` over an unbounded-preceding window
    (``first_value`` over the mirrored unbounded-FOLLOWING frame for the
    forward direction; nearest runs both passes over the SAME sorted
-   frame and picks per row — still one exchange);
+   frame and picks per row — still one exchange).  Carrying the whole
+   struct — not per-column ignoreNulls — is what gives MATCHED-ROW
+   semantics: a NULL field on the matched right row surfaces as NULL
+   instead of being silently replaced by an older non-null value;
 4. keep left rows.
+
+NULL contract (pandas/SQL-ASOF parity): right rows with a NULL ``on``
+value never match; left rows with a NULL ``on`` value match nothing.
 
 Cost: ONE exchange of |left| + |right| rows and a per-key sort — no
 quadratic range join, no broadcast requirement, skew only if a single key
@@ -31,6 +37,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -51,19 +58,31 @@ def asof_join(
       left.on`` (``>`` when strict) — next-event lookup;
     - ``direction="nearest"``: whichever of the two is closer in ``on``
       (ties prefer backward; ``strict`` excludes equal-time matches from
-      BOTH sides).
+      BOTH sides).  Requires a numeric or timestamp ``on`` column (the
+      distance comparison needs subtraction; backward/forward work on
+      any orderable type).
 
     right_cols: value columns carried from the right side (default: all
-    non-key, non-time columns), each suffixed to avoid collisions.
-    Left rows with no qualifying right row get NULLs (left-outer
-    semantics).  If several right rows share the same (key, on) value the
-    carried one among them is unspecified — dedup upstream when that
-    matters.
+    non-key, non-time columns), each suffixed to avoid collisions.  The
+    carried values are the MATCHED row's values — a NULL field on the
+    matched row stays NULL.  Left rows with no qualifying right row get
+    NULLs (left-outer semantics); right rows with NULL ``on`` never
+    match and left rows with NULL ``on`` match nothing.  If several
+    right rows share the same (key, on) value the matched one among them
+    is unspecified — dedup upstream when that matters.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"unknown direction {direction!r}: expected 'backward', "
             "'forward' or 'nearest'"
+        )
+    on_type = left.schema[on].dataType
+    if direction == "nearest" and not isinstance(
+        on_type, (T.NumericType, T.TimestampType, T.TimestampNTZType)
+    ):
+        raise ValueError(
+            f"direction='nearest' needs a numeric or timestamp on-column "
+            f"for the distance comparison; {on!r} is {on_type.simpleString()}"
         )
     by = list(by)
     if right_cols is None:
@@ -76,7 +95,7 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(n)
           for c, n in zip(right_cols, out_names)],
     )
-    r_tag = right.select(
+    r_tag = right.where(F.col(on).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in set(by) | {on}],
         *[F.col(c) for c in by],
@@ -86,6 +105,17 @@ def asof_join(
     ).select(*l_tag.columns)  # align column order
 
     carried = l_tag.unionByName(r_tag)
+    # the WHOLE candidate right row travels as one struct: ignoreNulls then
+    # skips left rows (struct is NULL there) but never a matched row's own
+    # NULL field — matched-row semantics for every direction
+    carried = carried.withColumn(
+        "__m",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(F.col(on).alias("__on"),
+                     *[F.col(n) for n in out_names]),
+        ),
+    )
 
     # tie handling at equal `on`: the right row must sort INSIDE the left
     # row's frame for inclusive semantics and OUTSIDE it for strict.
@@ -105,29 +135,28 @@ def asof_join(
     )
 
     if direction == "backward":
-        for n in out_names:
-            carried = carried.withColumn(n, F.last(n, ignorenulls=True).over(wb))
+        match = F.last("__m", ignorenulls=True).over(wb)
     elif direction == "forward":
-        for n in out_names:
-            carried = carried.withColumn(n, F.first(n, ignorenulls=True).over(wf))
-    else:  # nearest: both passes over the one sorted frame, pick per row
-        carried = carried.withColumn("__on_r", F.when(F.col("__side") == 0, F.col(on)))
-        bts, fts = "__bts", "__fts"
-        carried = carried.withColumn(bts, F.last("__on_r", ignorenulls=True).over(wb))
-        carried = carried.withColumn(fts, F.first("__on_r", ignorenulls=True).over(wf))
+        match = F.first("__m", ignorenulls=True).over(wf)
+    else:  # nearest: both passes over the one sorted frame, pick per row.
         # ties prefer backward: forward wins only STRICTLY closer.  The
-        # distances compare as raw differences — DayTimeInterval for
-        # timestamp/timestamp_ntz `on` columns, numeric otherwise — so no
-        # type-specific epoch extraction is needed
-        use_fwd = F.when(
-            F.col(bts).isNull(), F.col(fts).isNotNull()
-        ).otherwise(
-            F.col(fts).isNotNull()
-            & ((F.col(fts) - F.col(on)) < (F.col(on) - F.col(bts)))
+        # distances compare as raw differences (DayTimeInterval for
+        # timestamp/timestamp_ntz `on`, numeric otherwise — the ctor
+        # validated the type)
+        bm = F.last("__m", ignorenulls=True).over(wb)
+        fm = F.first("__m", ignorenulls=True).over(wf)
+        use_fwd = F.when(bm.isNull(), fm.isNotNull()).otherwise(
+            fm.isNotNull()
+            & ((fm["__on"] - F.col(on)) < (F.col(on) - bm["__on"]))
         )
-        for n in out_names:
-            b = F.last(n, ignorenulls=True).over(wb)
-            f = F.first(n, ignorenulls=True).over(wf)
-            carried = carried.withColumn(n, F.when(use_fwd, f).otherwise(b))
-        carried = carried.drop("__on_r", bts, fts)
-    return carried.where(F.col("__side") == 1).drop("__side")
+        match = F.when(use_fwd, fm).otherwise(bm)
+    # left rows with NULL `on` match nothing (the forward frame would
+    # otherwise see every row; NULLS FIRST ordering shields only backward)
+    match = F.when(F.col(on).isNotNull(), match)
+    carried = carried.withColumn("__match", match)
+    for n in out_names:
+        carried = carried.withColumn(n, F.col("__match")[n])
+    return (
+        carried.where(F.col("__side") == 1)
+        .drop("__side", "__m", "__match")
+    )

@@ -2077,3 +2077,38 @@ def test_asof_join_nearest_strict_excludes_equal_both_sides(spark):
                        strict=True).collect()
     assert inclusive[0]["rv_r"] == "x"   # equal-time match allowed
     assert strict[0]["rv_r"] == "y"      # equal-time excluded -> forward 25
+
+
+def test_asof_join_matched_row_null_semantics(spark):
+    """The carried value is the MATCHED row's value — a NULL field on the
+    nearest/latest matching row must surface as NULL, not be replaced by
+    an older non-null value (per-column ignoreNulls would); right rows
+    with NULL ts never match; left rows with NULL ts match nothing; a
+    string on-column is rejected for nearest only."""
+    import pytest
+
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 20)], ["k", "ts"])
+    r = spark.createDataFrame(
+        [(1, 5, "x"), (1, 19, None), (1, 30, "f")], ["k", "ts", "rv"]
+    )
+    for d, want in (("backward", None), ("nearest", None), ("forward", "f")):
+        got = asof_join(l, r, on="ts", by=["k"], direction=d).collect()[0]["rv_r"]
+        assert got == want, (d, got)
+
+    ghost = spark.createDataFrame([(1, None, "ghost")], "k long, ts long, rv string")
+    for d in ("backward", "forward", "nearest"):
+        assert asof_join(l, ghost, on="ts", by=["k"],
+                         direction=d).collect()[0]["rv_r"] is None, d
+
+    lnull = spark.createDataFrame([(1, None)], "k long, ts long")
+    for d in ("backward", "forward", "nearest"):
+        assert asof_join(lnull, r, on="ts", by=["k"],
+                         direction=d).collect()[0]["rv_r"] is None, d
+
+    ls = spark.createDataFrame([(1, "b")], ["k", "ts"])
+    rs = spark.createDataFrame([(1, "a", "v")], ["k", "ts", "rv"])
+    assert asof_join(ls, rs, on="ts", by=["k"]).collect()[0]["rv_r"] == "v"
+    with pytest.raises(ValueError):
+        asof_join(ls, rs, on="ts", by=["k"], direction="nearest")

@@ -801,13 +801,22 @@ def test_kcore_matches_bruteforce(spark, edges, k):
 )
 def test_asof_join_matches_bruteforce(spark, lts, rts, direction, strict):
     """Union+window as-of == per-row brute-force match under every
-    direction/strict combination (nearest ties -> backward)."""
+    direction/strict combination (nearest ties -> backward).  Right rows
+    carry their own ts so the assertion pins WHICH row matched, and every
+    third right value is NULL to pin matched-row semantics (the NULL must
+    surface, not an older non-null)."""
     from datafusion_ballista_python_spark.operators.asof import asof_join
 
+    def val(t):
+        return None if t % 3 == 0 else f"v{t}"
+
     l = spark.createDataFrame([(1, t) for t in lts], ["k", "ts"])
-    r = spark.createDataFrame([(1, t, f"v{t}") for t in rts], ["k", "ts", "rv"])
-    got = {row["ts"]: row["rv_r"]
+    r = spark.createDataFrame(
+        [(1, t, val(t), t) for t in rts], "k long, ts long, rv string, rts long"
+    )
+    got = {row["ts"]: (row["rts_r"], row["rv_r"])
            for row in asof_join(l, r, on="ts", by=["k"],
+                                right_cols=["rv", "rts"],
                                 direction=direction, strict=strict).collect()}
 
     def pick(t):
@@ -826,6 +835,6 @@ def test_asof_join_matches_bruteforce(spark, lts, rts, direction, strict):
                 m = b
             else:
                 m = f if (f - t) < (t - b) else b
-        return None if m is None else f"v{m}"
+        return (None, None) if m is None else (m, val(m))
 
     assert got == {t: pick(t) for t in lts}
