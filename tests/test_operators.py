@@ -2112,3 +2112,60 @@ def test_asof_join_matched_row_null_semantics(spark):
     assert asof_join(ls, rs, on="ts", by=["k"]).collect()[0]["rv_r"] == "v"
     with pytest.raises(ValueError):
         asof_join(ls, rs, on="ts", by=["k"], direction="nearest")
+
+
+def test_frequency_order_prunes_boilerplate_candidates(spark):
+    """The AllPairs frequency ordering is the documented skew cure for a
+    corpus-wide boilerplate shingle — pin that as a DETERMINISTIC
+    candidate-count fact, not a timing: on a corpus where every doc ends
+    with the same boilerplate tail, lex prefixes keep boilerplate
+    shingles (hot join keys -> quadratic candidate blowup) while
+    rarest-first prefixes push them out of every doc that has anything
+    rarer.  Results must be identical under both orders."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_python_spark.operators import dedup
+    from datafusion_ballista_python_spark.operators.dedup import (
+        _ordered_grams,
+        with_shingles,
+    )
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [
+        (i, f"unique{i} document number{i} words{i} body{i} text{i} " + boiler)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.8
+
+    def n_candidates(order):
+        base = with_shingles(df, "text", 3, "grams").select("doc_id", "grams")
+        sh = _ordered_grams(base, "doc_id", order)
+        plen = (
+            F.size("grams")
+            - F.ceil(F.lit(t) * F.size("grams")).cast("int")
+            + F.lit(1)
+        )
+        pref = sh.select(
+            "doc_id", F.explode(F.slice("grams", F.lit(1), plen)).alias("tok")
+        )
+        return (
+            pref.select(F.col("doc_id").alias("a"), "tok")
+            .join(pref.select(F.col("doc_id").alias("b"), "tok"), "tok")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+
+    n_lex, n_freq = n_candidates("lex"), n_candidates("frequency")
+    # lex keeps shared-boilerplate shingles in prefixes -> near-all-pairs;
+    # frequency must prune the hot keys entirely (docs share ONLY boilerplate)
+    assert n_lex > 100, n_lex        # the blowup actually happens under lex
+    assert n_freq == 0, n_freq       # rarest-first kills every hot-key pair
+    # and the ordering never changes the RESULT set
+    lex_pairs = set(map(tuple, dedup.jaccard_join(df, t, 3, order="lex")
+                        .select("doc_a", "doc_b").collect()))
+    freq_pairs = set(map(tuple, dedup.jaccard_join(df, t, 3, order="frequency")
+                         .select("doc_a", "doc_b").collect()))
+    assert lex_pairs == freq_pairs
