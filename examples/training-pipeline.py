@@ -111,3 +111,13 @@ print("contained-dup docs dropped:", drop_contained.count(),
 card = quality.profile_table(final, ["doc_id", "n_chars", "lang"])
 print("release profile:")
 card.show(truncate=False)
+
+# 10. (round 6) duplicate-blob density filter: k-core of the near-dup
+#     graph separates tight template/boilerplate blobs (every copy
+#     near-dups many others) from isolated pairs a pair threshold
+#     cannot tell apart
+from datafusion_ballista_python_spark.operators import graph
+
+pairs = dedup.minhash_lsh_pairs(clean, num_hashes=16, bands=4, threshold=0.8)
+cores = graph.kcore(pairs, k=2)
+print("dense-duplicate core nodes:", cores.count())
