@@ -376,7 +376,7 @@ def dedup_exact_jaccard_join(spark, sf_dir):
     Threshold 0.7 sits below the minhash entry's 0.8 so this surfaces
     pairs the LSH entry never has to."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    return dedup.jaccard_join(docs, threshold=0.7, shingle_n=3).orderBy(
+    return dedup.jaccard_join(docs, threshold=0.7, shingle_n=3, order="frequency").orderBy(
         "doc_a", "doc_b"
     )
 
@@ -415,7 +415,7 @@ def dedup_containment_join(spark, sf_dir):
     completeness certificate for the one-sided prefix filter on real
     data."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    return dedup.containment_join(docs, threshold=0.9, shingle_n=3).orderBy(
+    return dedup.containment_join(docs, threshold=0.9, shingle_n=3, order="frequency").orderBy(
         "doc_a", "doc_b"
     )
 

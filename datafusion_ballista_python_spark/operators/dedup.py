@@ -462,8 +462,11 @@ def jaccard_join(
 
     Scale shape: one map-side sort per doc, a prefix explode emitting
     ~(1-t)|grams|+1 rows per doc, ONE equi-join shuffled on the shingle
-    key, then the semi-join-pruned exact verify — candidate volume is
-    bounded by shared-prefix-token pairs, never n^2.
+    key with the AllPairs LENGTH filter applied inside the join
+    (J >= t forces t|A| <= |B| <= |A|/t, so mismatched-size candidates
+    drop before the distinct), then the semi-join-pruned exact verify —
+    candidate volume is bounded by shared-prefix-token pairs of
+    compatible size, never n^2.
 
     ``order`` picks the global total order the prefixes are taken under —
     it changes PRUNING POWER only, never the result set:
@@ -479,26 +482,45 @@ def jaccard_join(
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
     )
-    # consumed by both prefix sides; persisting avoids recomputing the
-    # scan -> tokenize -> shingle (-> frequency re-sort) DAG per side
-    # (same reason minhash_lsh_pairs persists its banded frame)
-    sh = _ordered_grams(base, id_col, order).persist()
+    # consumed by both prefix sides; localCheckpoint (eager), not persist:
+    # it materializes the scan -> tokenize -> shingle (-> frequency
+    # re-sort) DAG exactly once and the ContextCleaner reclaims it when
+    # the result frame is GC'd — a plain persist() registers in the
+    # CacheManager forever, so repeated calls in a long-lived session
+    # accumulate cached frames with no release path (same reasoning as
+    # triangle_count's checkpoints)
+    sh = _ordered_grams(base, id_col, order).localCheckpoint()
     plen = (
         F.size("grams")
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
         + F.lit(1)
     )
     pref = sh.select(
-        F.col(id_col), F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok")
+        F.col(id_col),
+        F.size("grams").alias("__n"),
+        F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok"),
     )
+    pa = pref.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"), "__tok")
+    pb = pref.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"), "__tok")
+    # AllPairs length filter INSIDE the candidate join: J(A,B) >= t forces
+    # |A∩B| >= t|A∪B| with |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
+    # min >= t*max — i.e. t|A| <= |B| <= |A|/t.  Catalyst keeps __tok as
+    # the equi-join key and applies the size predicate inside the join,
+    # before the distinct, so mismatched-length candidates never shuffle
+    # into the dedup stage (containment_join's in-join size filter,
+    # adapted to the symmetric case).
     cands = (
-        pref.select(F.col(id_col).alias("doc_a"), "__tok")
-        .join(pref.select(F.col(id_col).alias("doc_b"), "__tok"), "__tok")
+        pa.join(
+            pb,
+            (pa["__tok"] == pb["__tok"])
+            & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na"))
+            & (F.col("__na").cast("double") >= F.lit(threshold) * F.col("__nb")),
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
         # consumed by three frames in the verify stage
-        .persist()
+        .localCheckpoint()
     )
     return _verify_exact_jaccard(
         cands, df, "doc_a", "doc_b", threshold, text_col, shingle_n, id_col
@@ -552,8 +574,11 @@ def containment_join(
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
     )
-    # consumed by the prefix side, the full side, and the verify stage
-    sh = _ordered_grams(base, id_col, order).persist()
+    # consumed by the prefix side, the full side, and the verify stage;
+    # localCheckpoint (eager), not persist — see jaccard_join: the
+    # ContextCleaner reclaims the checkpoint on GC, where a persist()
+    # would leak CacheManager entries across repeated batch calls
+    sh = _ordered_grams(base, id_col, order).localCheckpoint()
     plen = (
         F.size("grams")
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
