@@ -62,74 +62,67 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     return seen, failed, last_round
 
 
-# Entries that pre-date round 6 but have never received a driver
-# correctness row (r5 verdict "Next round" item #1): they must stay at the
-# head of the fresh tier ahead of any round-6 additions, regardless of
-# module import order, so the 50-entry sample finally reaches them.
-_CERTIFICATION_DEBT = [
-    "q21_suppliers_waiting",
-    "train_ngram_contamination",
-    "train_pack_sequences",
-    "train_repetition_metrics",
-    "train_chunk_documents",
-    "train_mixture_sample",
-    "train_build_vocab",
-    "train_epoch_shards",
-    "train_encode_documents",
-    "train_bpe_merges",
-]
+# Entries whose RESULT SEMANTICS changed below the corpus layer (an
+# operator-internal fix the entry fingerprint cannot see, because neither
+# the oracle SQL nor the corpus function's source changed) after an
+# earlier driver certification.  The fingerprint ledger below catches
+# every oracle / corpus-function edit mechanically; this list exists only
+# for that residual class.  Entries: (name, changed_in_round) —
+# self-clearing once a driver row from >= changed_in_round lands.
+_MANUAL_CHANGED: list[tuple[str, int]] = []
 
 
-# Entries whose SEMANTICS (result values at the driver SF) changed in round
-# 6 after an earlier driver certification: their latest driver row is green
-# but certified the OLD query, so they queue right after the never-sampled
-# tier for re-certification.  Self-clearing: once an entry has a driver row
-# from round >= _CHANGED_IN_ROUND it leaves the tier.
-_CHANGED_IN_ROUND = 6
-_ROUND6_CHANGED = [
-    # vacuity de-vacuizations + the added violation rule (this session)
-    "q6_revenue_pushdown",
-    "join_anti",
-    "set_union_distinct",
-    "q22_sales_opportunity",
-    "fn_string_pad_split",
-    "dq_constraints_orders",
-    # lockstep operator+oracle fixes from the round-6 review passes whose
-    # recorded green rows certified the pre-fix results
-    "fn_regexp_ops",            # de-vacuized pattern, group-index fix
-    "text_winnow_fingerprints", # boundary-length window fix
-    "dedup_winnow_jaccard",     # same winnow kernel fix
-    "stream_stateful_user_stats",  # NULL-exclusion in the running stats
-    "layout_zorder_values",     # exact IntegralDivide quantization
-    "dedup_bloom_prefilter",    # normalized-fingerprint novelty contract
-]
+def _certified_fingerprints() -> dict[str, str]:
+    """name -> entry fingerprint recorded when the entry's last green
+    driver row certified it (tools/oracle_ledger.json, maintained by
+    tools/update_oracle_ledger.py at each round start).  An entry whose
+    CURRENT fingerprint differs was edited after certification and
+    auto-queues for re-certification — the mechanical replacement for the
+    round-6 hand-maintained changed list (r6 verdict item #5)."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "oracle_ledger.json"
+    )
+    try:
+        with open(path) as fh:
+            return {k: v["fingerprint"] for k, v in json.load(fh).items()}
+    except Exception:
+        return {}
 
 
 def _rotated(reg: dict) -> list[str]:
     """Entries whose LATEST driver row FAILED first (a fix can only earn a
     green row if the sampler reaches it — and the failed tier must lead,
     because the never-sampled tier can exceed the sample size when a round
-    adds many entries), then never-driver-sampled entries (oldest
-    certification debt first), then entries changed since their last
-    certification (until a driver row from the changing round or later
-    re-certifies them), then the rest — relative order preserved within
-    each tier."""
+    adds many entries), then never-driver-sampled entries, then entries
+    CHANGED since their last certification (current fingerprint differs
+    from the ledger's certified one, or hand-listed in _MANUAL_CHANGED),
+    then the rest — relative order preserved within each tier."""
+    from datafusion_ballista_python_spark.corpus import entry_fingerprint
+
     seen, failed, last_round = _driver_history()
+    certified = _certified_fingerprints()
+    manual = {
+        n for n, rnd in _MANUAL_CHANGED if last_round.get(n, 0) < rnd
+    }
     names = list(reg)
     refail = [n for n in names if n in failed]
-    debt = [n for n in _CERTIFICATION_DEBT if n in reg and n not in seen]
-    fresh = [n for n in names if n not in seen and n not in debt]
+    fresh = [n for n in names if n not in seen]
     changed = [
-        n for n in _ROUND6_CHANGED
-        if n in reg
-        and n in seen
+        n for n in names
+        if n in seen
         and n not in failed
-        and last_round.get(n, 0) < _CHANGED_IN_ROUND
+        and (
+            n in manual
+            or (n in certified and certified[n] != entry_fingerprint(reg[n]))
+        )
     ]
+    changed_set = set(changed)
     rest = [
-        n for n in names if n in seen and n not in failed and n not in changed
+        n for n in names if n in seen and n not in failed and n not in changed_set
     ]
-    return refail + debt + fresh + changed + rest
+    return refail + fresh + changed + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -42,6 +42,29 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+def entry_fingerprint(spec: QuerySpec) -> str:
+    """Content fingerprint of a corpus entry: sha256 over its oracle SQL
+    plus its query function's source.  The rotation in
+    ``__spark_entry__.py`` compares this against the fingerprint recorded
+    when the entry's last green driver row certified it
+    (``tools/oracle_ledger.json``): any edit to the oracle or the corpus
+    function auto-queues the entry for re-certification — replacing the
+    round-6 hand-maintained changed list, which depended on the builder
+    remembering every semantics-changing fix (r6 verdict item #5).
+    Operator-internal changes below the corpus function are the one class
+    this cannot see; those go in ``_MANUAL_CHANGED``."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):  # builtins / REPL-defined fns have no source
+        src = repr(spec.fn)
+    return hashlib.sha256(
+        ((spec.oracle or "") + "\n\x00\n" + src).encode()
+    ).hexdigest()
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all corpus modules and return the populated registry."""
     from . import curation, extras, llm, multimodal, pipelines, relational, scalar_fns, streams, tpch_extra, training  # noqa: F401
