@@ -87,14 +87,18 @@ def compare(paths: list[str]) -> None:
     run that drifts from the driver's host)."""
     if len(paths) != 2:
         raise SystemExit("usage: bench.py --compare OLD.json NEW.json")
-    def load_queries(path: str) -> dict[str, float]:
+    def load_doc(path: str) -> dict:
         with open(path) as fh:
             d = json.load(fh)
         if "queries" not in d:  # driver-recorded BENCH_r*.json wraps under "parsed"
             d = d.get("parsed") or {}
+        return d
+
+    def queries_of(d: dict) -> dict[str, float]:
         return {k: v for k, v in d.get("queries", {}).items() if v >= 0}
 
-    oq, nq = load_queries(paths[0]), load_queries(paths[1])
+    od, nd = load_doc(paths[0]), load_doc(paths[1])
+    oq, nq = queries_of(od), queries_of(nd)
     common = sorted(set(oq) & set(nq))
     osum = round(sum(oq[k] for k in common), 3)
     nsum = round(sum(nq[k] for k in common), 3)
@@ -124,6 +128,10 @@ def compare(paths: list[str]) -> None:
                     sum(v for k, v in nq.items() if k not in oq), 3
                 ),
                 "worst_regressions": {k: deltas[k] for k in worst},
+                # fixed-FLOPs CPU probe per artifact (when recorded): if this
+                # ratio moves with the query ratio, the delta is host load,
+                # not a plan change
+                "calib_sec": {"old": od.get("calib_sec"), "new": nd.get("calib_sec")},
             }
         )
     )
@@ -175,16 +183,53 @@ def main() -> None:
 
     # min-of-N timing: a single timed run is exposed to host-load jitter
     # (one noisy window tripled a recorded round total); the min over
-    # repeats is the steady-state throughput the warmup already targets
+    # repeats is the steady-state throughput the warmup already targets.
+    # Each repeat PASS runs the whole suite in a freshly shuffled order
+    # (seeded per pass — deterministic across runs), so a loaded window on
+    # the host taxes DIFFERENT queries in different passes and the
+    # per-query min recovers; with the round-6 fixed order a slow window
+    # systematically inflated whichever queries it overlapped in all
+    # repeats.  The recorded spread (min..max per query) plus the fixed
+    # CPU calibration probe below make host-load jitter visible in the
+    # artifact instead of masquerading as a plan regression.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry.get(name)
-        if spec is None:
-            continue
+    def calibrate() -> float:
+        """Fixed CPU-bound probe (same FLOPs every round): wall time only
+        moves with host load / CPU contention, never with query plans, so
+        comparing calib values across recorded BENCH_r*.json files
+        separates 'the host was busy' from 'the code got slower'."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((512, 512))
+        b = rng.standard_normal((512, 512))
         best = None
-        for _ in range(repeats):
+        # min-of-5 short trials: a single long trial is itself exposed to
+        # the transient spikes it is supposed to detect (JVM GC, BLAS
+        # thread collisions); the min is the unloaded-host floor, and a
+        # loaded host raises even the min
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(6):
+                (a @ b).sum()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    import random
+
+    calib_pre = calibrate()
+    names = [n for n in HEADLINE if registry.get(n) is not None]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    failed: set[str] = set()
+    for rep in range(repeats):
+        order = list(names)
+        random.Random(rep).shuffle(order)
+        for name in order:
+            if name in failed:
+                continue
+            spec = registry[name]
             # isolate queries: frames persisted inside earlier operators
             # (e.g. the LSH banded signatures) would otherwise pin executor
             # memory and GC-tax every query that runs after them
@@ -193,14 +238,21 @@ def main() -> None:
             try:
                 df = spec.fn(spark, sf_dir)
                 df.count()  # force full execution without driver materialization
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None or elapsed < best else best
+                samples[name].append(time.perf_counter() - t0)
             except Exception as e:  # record failures rather than dying,
                 # but never discard an earlier successful timing
-                best = -1.0 if best is None else best
+                failed.add(name)
                 print(f"bench {name} FAILED: {e}", file=sys.stderr)
-                break
-        timings[name] = round(best, 3)
+    calib_post = calibrate()
+
+    timings = {
+        n: round(min(s), 3) if s else -1.0 for n, s in samples.items()
+    }
+    spread = {
+        n: [round(min(s), 3), round(max(s), 3)]
+        for n, s in samples.items()
+        if len(s) >= 2
+    }
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -210,6 +262,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "calib_sec": [calib_pre, calib_post],
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
             }

@@ -436,8 +436,18 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         self._command_results: "OrderedDict[bytes, pa.Table]" = OrderedDict()
         # eager statements planned by GetSchema, keyed by query text —
         # consumed by the next GetFlightInfo for the same text so the
-        # GetSchema -> GetFlightInfo -> DoGet sequence executes ONCE
+        # GetSchema -> GetFlightInfo -> DoGet sequence executes ONCE.
+        # Entries carry a monotonic deadline: a GetSchema whose client
+        # never follows up must not leave a stale planned result that a
+        # LATER independent GetFlightInfo for the same text would consume
+        # (silently skipping re-execution) — past the TTL the entry is a
+        # miss and the statement re-plans (advisor finding r6).
         self._planned_by_text: "OrderedDict[str, tuple]" = OrderedDict()
+        self._planned_ttl_sec = 30.0
+        # Flight servers dispatch RPCs on a thread pool: the compound
+        # read-modify-write sequences on the two shared OrderedDicts
+        # (lookup+pop, insert+evict) need a lock to stay consistent
+        self._cache_lock = threading.Lock()
 
     # -- helpers -----------------------------------------------------------
 
@@ -457,22 +467,38 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         once (previously GetSchema executed AND GetFlightInfo executed
         again).  Two plain GetFlightInfo calls still execute twice, as a
         client re-running the same statement expects."""
-        cached = self._planned_by_text.get(query)
-        if cached is not None:
-            if not for_schema:
-                self._planned_by_text.pop(query)
-            return cached
+        import time
+
+        with self._cache_lock:
+            cached = self._planned_by_text.get(query)
+            if cached is not None:
+                schema, handle, deadline = cached
+                if time.monotonic() >= deadline:
+                    # expired: the planning client never followed up; do
+                    # not hand its stale result to an unrelated caller
+                    self._planned_by_text.pop(query, None)
+                    self._command_results.pop(handle, None)
+                elif not for_schema:
+                    self._planned_by_text.pop(query)
+                    return schema, handle
+                else:
+                    return schema, handle
         df = self.spark.sql(query)
         if _is_command(df):
             table = df.toArrow()  # command output is tiny (acks/row counts)
             handle = _CMD_PREFIX + uuid.uuid4().hex.encode()
-            self._command_results[handle] = table
-            while len(self._command_results) > 128:
-                self._command_results.popitem(last=False)
-            if for_schema:
-                self._planned_by_text[query] = (table.schema, handle)
-                while len(self._planned_by_text) > 128:
-                    self._planned_by_text.popitem(last=False)
+            with self._cache_lock:
+                self._command_results[handle] = table
+                while len(self._command_results) > 128:
+                    self._command_results.popitem(last=False)
+                if for_schema:
+                    self._planned_by_text[query] = (
+                        table.schema,
+                        handle,
+                        time.monotonic() + self._planned_ttl_sec,
+                    )
+                    while len(self._planned_by_text) > 128:
+                        self._planned_by_text.popitem(last=False)
             return table.schema, handle
         return _to_arrow_schema(df), query.encode()
 

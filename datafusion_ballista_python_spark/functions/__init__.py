@@ -411,6 +411,15 @@ def arrow_typeof(x) -> Expression:
 
 
 @_export
+def uuid() -> Expression:
+    """RFC-4122 v4 UUID string per row, volatile (fresh value every row,
+    never constant-folded).  Closes the reference's one commented-out
+    constructor (src/functions.rs:291 — `uuid` is macro-disabled there,
+    same as `struct`); DataFusion's own uuid() has identical semantics."""
+    return Expression(F.expr("uuid()"))
+
+
+@_export
 def when(condition, value) -> Expression:
     return Expression(F.when(_c(condition), _c(value)))
 

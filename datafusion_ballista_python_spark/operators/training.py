@@ -592,6 +592,22 @@ def bpe_merges(
         # full-corpus materialization even at batch=1)
         if rnd < n_rounds - 1 and len(merges) < n_merges:
             corpus = corpus.select(expr.alias("s")).localCheckpoint()
+    if len(merges) < n_merges:
+        # distinguish 'corpus exhausted' (no adjacent pairs left — a real
+        # stopping condition) from 'candidate_pool too small' (every
+        # round's pool was consumed by symbol-overlapping candidates, so
+        # rounds under-filled): callers asked for n_merges and silently
+        # getting fewer corrupts downstream vocab-size assumptions
+        import warnings
+
+        warnings.warn(
+            f"bpe_merges returned {len(merges)} of {n_merges} requested "
+            f"merges; corpus exhausted or candidate_pool={candidate_pool} "
+            "too small for the batch's symbol-disjointness constraint — "
+            "raise candidate_pool or lower batch",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return merges
 
 

@@ -124,11 +124,20 @@ def apply_udafs(
     ]
     orig_key_types = {k: base.schema[k].dataType for k in float_keys}
     if float_keys:
+        # normalize -0.0 to 0.0 BEFORE the string cast: '-0.0' and '0.0'
+        # would string-group separately, but Spark/DataFusion grouping
+        # treats them as one key (IEEE -0.0 == 0.0)
+        def _norm(c: str):
+            dt = orig_key_types[c]
+            return (
+                F.when(F.col(c) == 0, F.lit(0.0).cast(dt))
+                .otherwise(F.col(c))
+                .cast("string")
+                .alias(c)
+            )
+
         base = base.select(
-            *[
-                F.col(c).cast("string").alias(c) if c in float_keys else F.col(c)
-                for c in base.columns
-            ]
+            *[_norm(c) if c in float_keys else F.col(c) for c in base.columns]
         )
     key_schema = [base.schema[k] for k in key_names]
 

@@ -405,3 +405,29 @@ def test_get_schema_then_info_executes_eager_statement_once(client, ctx):
         assert spark.sql("SELECT COUNT(*) c FROM gsonce").collect()[0]["c"] == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS gsonce")
+
+
+def test_abandoned_get_schema_plan_expires(client, ctx, server):
+    """A GetSchema whose client never follows up must not leave a stale
+    by-text entry that a LATER independent GetFlightInfo for the same
+    statement text consumes (silently skipping re-execution): past the
+    TTL the entry is a miss and the statement re-plans (advisor r6)."""
+    import time
+
+    spark = ctx.spark
+    spark.sql("DROP TABLE IF EXISTS gsttl")
+    spark.sql("CREATE TABLE gsttl (v INT) USING parquet")
+    old_ttl = server._planned_ttl_sec
+    try:
+        server._planned_ttl_sec = 0.05
+        desc = flightsql.statement_query_descriptor("INSERT INTO gsttl VALUES (1)")
+        client.get_schema(desc)  # schema probe: executes once, plans by text
+        time.sleep(0.3)  # the probing client walks away; TTL elapses
+        # an independent client running the same text must re-execute, not
+        # consume the abandoned probe's result
+        info = client.get_flight_info(desc)
+        client.do_get(info.endpoints[0].ticket).read_all()
+        assert spark.sql("SELECT COUNT(*) c FROM gsttl").collect()[0]["c"] == 2
+    finally:
+        server._planned_ttl_sec = old_ttl
+        spark.sql("DROP TABLE IF EXISTS gsttl")

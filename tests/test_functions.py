@@ -212,3 +212,22 @@ def test_digest_blake_binary_hashes_raw_bytes(mini):
         )
         want = getattr(hashlib, method)(payload).digest()
         assert out.column("d").to_pylist()[0] == want
+
+
+def test_uuid_shape_and_per_row_uniqueness(mini):
+    """uuid() is volatile: RFC-4122 v4 format, a FRESH value on every row
+    (nondeterministic, so no hash oracle — shape test per r6 verdict #8;
+    closes the reference's one commented-out constructor,
+    src/functions.rs:291)."""
+    import re
+
+    out = pa.Table.from_batches(
+        mini.select(col("i"), f.uuid().alias("u")).collect()
+    )
+    vals = out.column("u").to_pylist()
+    assert len(vals) == 4 and len(set(vals)) == 4  # unique per row
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    for v in vals:
+        assert pat.match(v), v

@@ -21,8 +21,18 @@ def api_server(spark, sf_dir):
 
 
 def _get(srv, path: str):
-    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=10) as r:
-        return r.status, r.read().decode(), r.headers.get("Content-Type", "")
+    # 60s timeout + one retry: under a saturated full-suite run (32 cores
+    # busy with neighboring Spark tests) the server thread can be starved
+    # past a tight client timeout — the r6 full-suite flake was a client
+    # socket TimeoutError on a request that passes in isolation.  HTTP
+    # errors (4xx) propagate immediately; only timeouts retry.
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    try:
+        with urllib.request.urlopen(url, timeout=60) as r:
+            return r.status, r.read().decode(), r.headers.get("Content-Type", "")
+    except TimeoutError:
+        with urllib.request.urlopen(url, timeout=60) as r:
+            return r.status, r.read().decode(), r.headers.get("Content-Type", "")
 
 
 def test_api_jobs_lists_submitted_jobs(api_server):
@@ -101,7 +111,7 @@ def test_api_cancel_counts(api_server, spark):
     req = urllib.request.Request(
         f"http://127.0.0.1:{api_server.port}/api/job/{jid}", method="PATCH"
     )
-    with urllib.request.urlopen(req, timeout=10) as r:
+    with urllib.request.urlopen(req, timeout=60) as r:
         assert r.status == 200
         assert json.loads(r.read().decode())["cancelled"] is True
     body = _get(api_server, "/api/metrics")[1]

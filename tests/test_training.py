@@ -267,6 +267,23 @@ def test_bpe_merges_greedy_leftmost_on_triples(spark):
     assert (merges[1][1], merges[1][2], merges[1][3]) == ("a+a", "a", 1)
 
 
+def test_bpe_merges_warns_when_corpus_exhausted(spark):
+    """Asking for more merges than the corpus can yield must WARN, not
+    silently return a short table (advisor r6): callers size vocabularies
+    off n_merges and need to distinguish 'corpus exhausted' from success."""
+    import warnings
+
+    from datafusion_ballista_python_spark.operators.training import bpe_merges
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        merges = bpe_merges(df, n_merges=10)
+    assert len(merges) < 10
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("bpe_merges returned" in m for m in msgs), msgs
+
+
 def test_bpe_merges_validates(spark):
     import pytest
 

@@ -393,6 +393,25 @@ def test_udaf_nan_float_group_key_distinct_from_null(ctx):
     assert sorted(r["n"] for r in out2) == [1, 1, 2]
 
 
+def test_udaf_negative_zero_key_groups_with_positive_zero(ctx):
+    """IEEE -0.0 == 0.0, and Spark/DataFusion grouping normalizes them
+    into ONE group — but the string crossing for float keys would render
+    '-0.0' vs '0.0' as two groups without the pre-cast normalization
+    (advisor finding r6)."""
+    s = udaf(SumAcc, pa.float64(), pa.float64(), [pa.float64()])
+    df = ctx.spark.createDataFrame(
+        [(0.0, 1.0), (-0.0, 2.0), (3.0, 4.0)], "k double, v double"
+    )
+    from datafusion_ballista_python_spark.dataframe import DataFrame as BDF
+
+    out = pa.Table.from_batches(
+        BDF(df).aggregate([col("k")], [s(col("v")).alias("s")]).collect()
+    ).to_pylist()
+    assert len(out) == 2, f"-0.0 and 0.0 split into separate groups: {out}"
+    zero = next(r for r in out if r["k"] == 0.0)
+    assert zero["s"] == 3.0  # both zero rows merged
+
+
 def test_register_udtf_uses_stamped_name(spark):
     """register_udtf without an explicit name must use the __udtf_name__
     stamped by udtf() — the old eager fn.__name__ default raised

@@ -16,7 +16,19 @@ Findings are a report, not failures: some shapes are legitimately constant
 (1-row aggregates, an `exact` flag on a lossless sketch).  Inspect, then
 pin real invariants in tests/test_vacuity.py.
 
-Usage: python tools/vacuity_audit.py [sf_dir] [entry ...]
+Usage:
+  python tools/vacuity_audit.py [sf_dir] [entry ...]     # one-SF report
+  python tools/vacuity_audit.py --all-sfs                # sweep sf0.001/0.01/0.1,
+                                                         # write tools/vacuity_report.json
+
+The q6 class is SF-DEPENDENT (a predicate window can be non-empty at
+sf0.1 and empty at sf0.001, or vice versa), so --all-sfs runs the same
+gates at every scale the round touches: sf0.001 (entry smoke SF), sf0.01
+(driver correctness gate), sf0.1 (bench SF).  The written report is
+pinned by tests/test_vacuity.py: every corpus entry must appear in it
+(adding an entry without re-running the sweep fails the suite) and no
+entry may carry EMPTY_RESULT / ALL_NULL flags outside the documented
+allowlist.
 """
 
 from __future__ import annotations
@@ -106,8 +118,28 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
     return report
 
 
+ALL_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+REPORT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vacuity_report.json")
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--all-sfs":
+        full = {}
+        for sf_dir in ALL_SFS:
+            key = os.path.basename(sf_dir.rstrip("/"))
+            full[key] = audit(sf_dir, args[1:] or None)
+        with open(REPORT_PATH, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        flagged = {
+            sf: {k: v["flags"] for k, v in rep.items() if v["flags"]}
+            for sf, rep in full.items()
+        }
+        print(json.dumps({"report": REPORT_PATH,
+                          "n_flagged": {sf: len(f) for sf, f in flagged.items()},
+                          "flagged": flagged}, indent=1))
+        return
     if args and os.path.isdir(args[0]):
         sf_dir, only = args[0], args[1:]
     elif args and ("/" in args[0] or os.sep in args[0]):
