@@ -169,12 +169,13 @@ def stream_dedup_keys(spark, sf_dir):
     return sink.distinct().orderBy("user_id", "event_type")
 
 
-def _asof_purchase_error(spark, sf_dir, direction):
-    """Shared setup for the three as-of entries: purchases side, errors
+def _asof_purchase_error(spark, sf_dir, direction, tolerance=None):
+    """Shared setup for the as-of entries: purchases side, errors
     side deduped per (user_id, ts) to the MIN value — the same GROUP BY
     the oracles apply, so duplicate-timestamp errors (unspecified pick in
     both engines) can never poison the hash — and the common output
-    projection.  Only ``direction`` differs between the entries."""
+    projection.  Only ``direction``/``tolerance`` differ between the
+    entries."""
     from ..operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")["events"]
@@ -195,6 +196,7 @@ def _asof_purchase_error(spark, sf_dir, direction):
         right_cols=["err_value0", "err_ts0"],
         suffix="",
         direction=direction,
+        tolerance=tolerance,
     )
     return out.select(
         "event_id", "user_id", "ts", "value",
@@ -299,6 +301,44 @@ def asof_join_events_nearest(spark, sf_dir):
     closer-side/tie CASE, so the driver hash certifies the whole pick
     rule."""
     return _asof_purchase_error(spark, sf_dir, "nearest")
+
+
+@query(
+    "asof_join_events_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN p.ts - e.ts <= INTERVAL 24 HOUR THEN e.value END
+             AS err_value,
+           CASE WHEN p.ts - e.ts <= INTERVAL 24 HOUR THEN e.ts END
+             AS err_ts
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events_tolerance(spark, sf_dir):
+    """Bounded-lookback as-of join (tolerance=INTERVAL 24 HOURS, the
+    pandas merge_asof tolerance contract): each purchase gets the user's
+    most recent prior error only if it happened within the last day —
+    stale matches degrade to NULL without dropping the left row.  The
+    tolerance rides as a post-match predicate on the carried struct
+    (operators/asof.py), so the plan is the identical ONE-exchange
+    union+window shape as the unbounded entry; the oracle is DuckDB's
+    native ASOF with the same CASE applied after the join.  Measured
+    non-degenerate at every SF (within/beyond/no-match all populated:
+    77/111/14 at sf0.001, 680/1142/159 at sf0.01, 7074/11533/1477 at
+    sf0.1)."""
+    return _asof_purchase_error(
+        spark, sf_dir, "backward", tolerance=F.expr("INTERVAL 24 HOURS")
+    )
 
 
 @query(

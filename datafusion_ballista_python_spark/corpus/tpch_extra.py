@@ -245,30 +245,38 @@ def q9_product_profit(spark, sf_dir):
     )
     SELECT partkey, CAST(val AS DOUBLE) AS part_value
     FROM pv
-    WHERE val * 2000 > (SELECT SUM(val) FROM pv)
+    WHERE val * (SELECT COUNT(*) FROM pv) * 2 > (SELECT SUM(val) FROM pv) * 3
     ORDER BY part_value DESC, partkey
     """,
 )
 def q11_important_values(spark, sf_dir):
     """TPC-H Q11 shape (adapted: value = extendedprice*quantity from
     lineitem instead of partsupp supplycost*availqty): per-key aggregate
-    filtered by a fraction of the global total.
+    filtered against the global total.
 
-    The 0.05% threshold is the multiply-form ``val * 2000 > total`` so
-    both engines compare exact decimals (no decimal-division scale
-    differences).  Scale: one shuffle to agg per partkey; the global
-    total is a scalar re-agg of the (already small) per-key result,
-    broadcast back — no second pass over lineitem.
+    Threshold is DATA-ADAPTIVE — parts worth more than 1.5x the MEAN part
+    value (``val * n_parts * 2 > total * 3``, the multiply-form so both
+    engines compare exact decimals, no division scale differences).  The
+    round-6 fixed-share form (``val * 2000 > total``) was the q6 class at
+    a different SF: TPC-H scales Q11's fraction by 1/SF precisely because
+    a fixed share empties as the key count grows — the 3-SF vacuity sweep
+    caught it EMPTY at sf0.1 while green at the sf0.01 driver gate.
+    Measured selectivity: 4/200 (sf0.001), 49/2000 (sf0.01), 514/20000
+    (sf0.1).  Scale: one shuffle to agg per partkey; count+total are one
+    scalar re-agg of the (already small) per-key result, broadcast back —
+    no second pass over lineitem.
     """
     t = _t(spark, sf_dir, "lineitem")
     pv = (
         t["lineitem"].df.groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).alias("val"))
     )
-    total = pv.agg(F.sum("val").alias("total"))
+    total = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("nparts")
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("val") * 2000 > F.col("total"))
+        .filter(F.col("val") * F.col("nparts") * 2 > F.col("total") * 3)
         .select("partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("partkey"))
     )

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
@@ -49,6 +49,7 @@ def asof_join(
     suffix: str = "_r",
     strict: bool = False,
     direction: str = "backward",
+    tolerance: "Column | object | None" = None,
 ) -> DataFrame:
     """For each left row, the matching right row grouped by ``by`` keys:
 
@@ -70,6 +71,14 @@ def asof_join(
     match and left rows with NULL ``on`` match nothing.  If several
     right rows share the same (key, on) value the matched one among them
     is unspecified — dedup upstream when that matters.
+
+    tolerance: pandas ``merge_asof(tolerance=...)`` parity — an upper
+    bound on the |on distance| to the matched row; a match farther away
+    is discarded (the left row keeps NULLs, it is never dropped).  Pass
+    a number for numeric ``on``; an interval Column (e.g.
+    ``F.expr("INTERVAL 30 MINUTES")``) for timestamp ``on``.  Applied as
+    a post-match predicate on the carried struct, so it adds ZERO
+    exchanges — the window plan is unchanged.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -150,6 +159,15 @@ def asof_join(
             & ((fm["__on"] - F.col(on)) < (F.col(on) - bm["__on"]))
         )
         match = F.when(use_fwd, fm).otherwise(bm)
+    if tolerance is not None:
+        # direction-agnostic |distance| via a side test (abs() is not
+        # defined on DayTimeInterval): NULL match -> NULL dist -> NULL
+        # condition -> match stays NULL, as required
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        dist = F.when(
+            match["__on"] <= F.col(on), F.col(on) - match["__on"]
+        ).otherwise(match["__on"] - F.col(on))
+        match = F.when(dist <= tol, match)
     # left rows with NULL `on` match nothing (the forward frame would
     # otherwise see every row; NULLS FIRST ordering shields only backward)
     match = F.when(F.col(on).isNotNull(), match)

@@ -2114,6 +2114,53 @@ def test_asof_join_matched_row_null_semantics(spark):
         asof_join(ls, rs, on="ts", by=["k"], direction="nearest")
 
 
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance (pandas merge_asof contract): matches farther than the
+    bound degrade to NULL, left rows are never dropped — checked against
+    pandas merge_asof itself on numeric `on`, plus the interval form on
+    timestamps."""
+    import pandas as pd
+
+    from datafusion_ballista_python_spark.operators.asof import asof_join
+
+    lp = pd.DataFrame({"k": [1, 1, 1, 2], "ts": [10, 25, 40, 10]})
+    rp = pd.DataFrame({"k": [1, 1, 2], "ts": [8, 20, 1], "rv": [1.0, 2.0, 3.0]})
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"),
+            on="ts", by="k", direction=direction, tolerance=5,
+        ).sort_values(["k", "ts"])
+        got = (
+            asof_join(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on="ts", by=["k"], direction=direction, tolerance=5,
+            )
+            .orderBy("k", "ts")
+            .toPandas()
+        )
+        norm = lambda s: [None if pd.isna(v) else v for v in s]  # noqa: E731
+        assert norm(got["rv_r"]) == norm(want["rv"]), direction
+        assert len(got) == len(lp)  # left rows never dropped
+
+    # interval tolerance on a timestamp on-column
+    from pyspark.sql import functions as SF
+
+    lt = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k long, ts string"
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    rt = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "old"), (1, "2024-01-01 23:30:00", "new")],
+        "k long, ts string, rv string",
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    within = asof_join(
+        lt, rt, on="ts", by=["k"], tolerance=SF.expr("INTERVAL 1 HOUR")
+    ).collect()[0]["rv_r"]
+    beyond = asof_join(
+        lt, rt, on="ts", by=["k"], tolerance=SF.expr("INTERVAL 10 MINUTES")
+    ).collect()[0]["rv_r"]
+    assert within == "new" and beyond is None
+
+
 def test_frequency_order_prunes_boilerplate_candidates(spark):
     """The AllPairs frequency ordering is the documented skew cure for a
     corpus-wide boilerplate shingle — pin that as a DETERMINISTIC

@@ -100,6 +100,63 @@ def test_union_distinct_actually_collapses(con):
     )
 
 
+# Shared driver-SF connection for the full-corpus sweep below (the
+# parametrized per-entry gate at sf0.001 uses the function-scoped `con`).
+@pytest.fixture(scope="module")
+def con01():
+    return duckdb_con(DRIVER_SF_DIR)
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_oracle_not_degenerate_at_driver_sf(con01, name):
+    """Same two shape gates at the DRIVER's sf0.01 — the SF the hash gate
+    actually runs at (r6 verdict #6: the q6 class is SF-dependent; a
+    window can be empty at one SF and not another, and a vacuous match at
+    the driver SF is precisely the one that certifies nothing)."""
+    df = con01.sql(_REGISTRY[name].oracle).df()
+    assert len(df) >= 1, (
+        f"{name}: oracle returns 0 rows at the driver's sf0.01 gate — "
+        "vacuous hash match"
+    )
+    all_null = [c for c in df.columns if df[c].isna().all()]
+    assert not all_null, f"{name}: entirely-NULL column(s) {all_null} at sf0.01"
+
+
+def test_multi_sf_audit_report_is_current_and_clean():
+    """Pins the committed 3-SF Spark-side audit
+    (tools/vacuity_audit.py --all-sfs -> tools/vacuity_report.json):
+    every corpus entry must appear in every SF section — so ADDING an
+    entry without re-running the sweep fails here, which is the
+    freshness forcing function — and no entry may carry EMPTY_RESULT /
+    ALL_NULL / ERROR flags.  sf0.1 is the bench SF: an entry vacuous
+    there renders its bench number meaningless even when the sf0.01
+    correctness gate is green."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "vacuity_report.json")
+    assert os.path.exists(path), "run: python tools/vacuity_audit.py --all-sfs"
+    with open(path) as fh:
+        report = json.load(fh)
+    assert set(report) == {"sf0.001", "sf0.01", "sf0.1"}
+    for sf, entries in report.items():
+        missing = sorted(set(_REGISTRY) - set(entries))
+        assert not missing, (
+            f"{sf}: corpus entries missing from the committed audit "
+            f"report {missing} — re-run tools/vacuity_audit.py --all-sfs"
+        )
+        for name, row in entries.items():
+            bad = [
+                fl for fl in row["flags"]
+                if fl == "EMPTY_RESULT"
+                or fl.startswith("ALL_NULL:")
+                or fl.startswith("ERROR:")
+            ]
+            if sf == "sf0.001" and name in EMPTY_OK_AT_SF0001:
+                bad = [fl for fl in bad if fl != "EMPTY_RESULT"]
+            assert not bad, f"{sf}/{name}: {bad}"
+
+
 def test_audit_const_flags_are_sf_artifacts_or_by_design():
     """The round-6 audit's two CONST findings, pinned: q8's mkt_share is
     const-zero at sf0.001 only (nonzero at the driver's sf0.01 gate —
