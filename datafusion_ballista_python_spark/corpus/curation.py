@@ -537,18 +537,25 @@ def train_curriculum_buckets(spark, sf_dir):
     )
     SELECT o_orderkey, o_totalprice,
            ROUND((o_totalprice - mean) / std, 4) AS z_score,
-           ABS(ROUND((o_totalprice - mean) / std, 4)) > 2.0 AS is_outlier
+           ABS(ROUND((o_totalprice - mean) / std, 4)) > 1.5 AS is_outlier
     FROM orders CROSS JOIN d
     ORDER BY o_orderkey
     """,
 )
 def dq_outlier_gate(spark, sf_dir):
-    """Z-score outlier gate (operators/quality.zscore_outliers, |z| > 2):
+    """Z-score outlier gate (operators/quality.zscore_outliers, |z| > 1.5):
     one exact-decimal stats pass broadcast back as a 1-row frame, z and
     flag ride the scan map-side.  The oracle replays the identical
-    (n, sum, sum-of-squares) -> mean/std double sequence."""
+    (n, sum, sum-of-squares) -> mean/std double sequence.
+
+    Threshold 1.5, not the conventional 2.0: o_totalprice is near-UNIFORM
+    (max |z| = 1.73 ~ sqrt(3), the uniform bound, measured at every SF),
+    so |z| > 2 can never fire on this column — the flag arm was
+    structurally dead at all three SFs (3-SF vacuity sweep, round 7).
+    At 1.5 both arms are populated everywhere (195/1982/20035 flagged at
+    sf0.001/0.01/0.1)."""
     orders = load(spark, sf_dir, "orders")["orders"]
-    out = quality.zscore_outliers(orders, "o_totalprice", z_threshold=2.0)
+    out = quality.zscore_outliers(orders, "o_totalprice", z_threshold=1.5)
     return out.select(
         "o_orderkey", "o_totalprice", "z_score", "is_outlier"
     ).orderBy("o_orderkey")

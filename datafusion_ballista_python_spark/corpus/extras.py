@@ -187,7 +187,7 @@ def fn_array_struct_ops(spark, sf_dir):
     SELECT doc_id,
            COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[A-Za-z]{7,}'), ','), '')
              AS long_words,
-           CAST(REGEXP_MATCHES(text, '[0-9]') AS BOOLEAN) AS has_digit,
+           CAST(REGEXP_MATCHES(text, '(^| )line( |$)') AS BOOLEAN) AS mentions_line,
            REGEXP_EXTRACT(text, '^([A-Za-z]+)', 1) AS first_word
     FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
@@ -203,14 +203,18 @@ def fn_regexp_ops(spark, sf_dir):
     (review-pass fix; '[A-Za-z]{7,}' matches broadly).  The match list is
     serialized to a csv string at the result boundary (driver
     canonicalizer can't hash array cells); the matches themselves contain
-    no commas, so the join is lossless."""
+    no commas, so the join is lossless.  The boolean arm matches
+    '(^| )line( |$)' (space-delimited token, ~75% of docs at every SF;
+    \b is not portable — RE2/DuckDB lacks it) — the round-6 '[0-9]' test
+    was constant FALSE because this corpus contains no digits anywhere
+    (3-SF vacuity sweep, round 7), so the TRUE arm was dead."""
     d = load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
         F.array_join(
             F.regexp_extract_all("text", F.lit("[A-Za-z]{7,}"), 0), ","
         ).alias("long_words"),
-        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.col("text").rlike("(^| )line( |$)").alias("mentions_line"),
         F.regexp_extract("text", "^([A-Za-z]+)", 1).alias("first_word"),
     ).orderBy("doc_id")
 

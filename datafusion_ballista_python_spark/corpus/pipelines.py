@@ -588,6 +588,14 @@ def sample_weighted(spark, sf_dir):
            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
     FROM orders
+    UNION ALL
+    SELECT 'opt_priority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(NULLIF(o_orderpriority, '1-URGENT')) AS VARCHAR),
+           CAST(MAX(NULLIF(o_orderpriority, '1-URGENT')) AS VARCHAR),
+           CAST(COUNT(DISTINCT NULLIF(o_orderpriority, '1-URGENT')) AS BIGINT)
+    FROM orders
     ORDER BY "column"
     """,
 )
@@ -595,13 +603,22 @@ def dq_profile_orders(spark, sf_dir):
     """Single-pass table profile (count / nulls / min / max / distinct per
     column) — the promote-gate primitive.  All metrics come from ONE
     aggregate over the table; the oracle recomputes each column's row
-    independently."""
+    independently.
+
+    The fourth profiled column is DERIVED with genuine NULLs
+    (``NULLIF(o_orderpriority, '1-URGENT')``): the synthetic tables carry
+    zero NULLs in every column at every SF, so without it the profiler's
+    null-counting arm reported a constant 0 the hash could never
+    distinguish from a broken counter (3-SF vacuity sweep, round 7)."""
     from ..operators.quality import profile_table
 
     o = load(spark, sf_dir, "orders")["orders"]
-    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_custkey"]).orderBy(
-        "column"
+    o = o.withColumn(
+        "opt_priority", F.expr("nullif(o_orderpriority, '1-URGENT')")
     )
+    return profile_table(
+        o, ["o_orderkey", "o_orderstatus", "o_custkey", "opt_priority"]
+    ).orderBy("column")
 
 
 @query(

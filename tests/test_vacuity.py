@@ -171,3 +171,29 @@ def test_audit_const_flags_are_sf_artifacts_or_by_design():
     assert ok.all(), "HLL accuracy contract violated at driver SF"
 
 
+def test_round7_audit_flag_arms_fire_at_driver_sf():
+    """Round-7 3-SF sweep follow-ups, pinned at the driver SF: the
+    outlier gate, the null-profile arm, and the regexp boolean must all
+    exercise BOTH arms (each was constant at every SF before the round-7
+    de-vacuizations: |z|>2 could never fire on near-uniform totalprice,
+    no table carries NULLs, and no document contains a digit).  The
+    remaining CONST flags are SF/data artifacts with their own pins:
+    fn_timestamp_convert's hour is id-prefix-bound (varies at sf0.01,
+    asserted here), maximal_repeated_spans' start_pos=0 reflects
+    prefix-planted duplicates (nonzero-start arithmetic pinned by
+    test_maximal_repeated_spans_counts_within_doc_repeats), and
+    sketch_count_min's exact flag varies at sf0.01."""
+    con01 = duckdb_con(DRIVER_SF_DIR)
+    out = con01.sql(_REGISTRY["dq_outlier_gate"].oracle).df()["is_outlier"]
+    assert out.any() and not out.all(), "outlier gate arm dead at driver SF"
+    prof = con01.sql(_REGISTRY["dq_profile_orders"].oracle).df()
+    nn = prof.set_index("column")["n_nulls"]
+    assert nn["opt_priority"] > 0 and nn["o_orderkey"] == 0
+    rex = con01.sql(_REGISTRY["fn_regexp_ops"].oracle).df()["mentions_line"]
+    assert rex.any() and not rex.all(), "regexp boolean arm dead"
+    h = con01.sql(_REGISTRY["fn_timestamp_convert"].oracle).df()["h"]
+    assert h.nunique() > 1, "hour arm constant at driver SF"
+    ex = con01.sql(_REGISTRY["sketch_count_min"].oracle).df()["exact"]
+    assert not ex.all(), "count-min exact flag never false at driver SF"
+
+
