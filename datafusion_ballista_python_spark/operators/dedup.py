@@ -519,12 +519,29 @@ def jaccard_join(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        # consumed by three frames in the verify stage
-        .localCheckpoint()
     )
-    return _verify_exact_jaccard(
-        cands, df, "doc_a", "doc_b", threshold, text_col, shingle_n, id_col
-    ).select("doc_a", "doc_b", F.round(F.col("jaccard"), round_digits).alias("jaccard"))
+    # verify against the ALREADY-checkpointed shingle frame instead of
+    # re-tokenizing candidate docs from the source (what the LSH variants
+    # must do, since they only hold signatures): Jaccard is order-blind,
+    # so the re-sorted grams are the same SET — two broadcast-sized joins
+    # against sh replace a full tokenize pass (containment_join's shape)
+    pairs = (
+        cands.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")),
+            "doc_b",
+        )
+        .withColumn("__is", F.size(F.array_intersect("ga", "gb")))
+    )
+    jac = F.col("__is").cast("double") / (
+        F.size("ga") + F.size("gb") - F.col("__is")
+    )
+    return pairs.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard")
+    )
 
 
 def containment_join(
