@@ -76,6 +76,8 @@ HEADLINE = [
     "dq_benford_totalprice",
     "pipeline_dataset_card",
     "graph_kcore",
+    "asof_join_events_tolerance",
+    "embed_mmr_topk",
 ]
 
 

@@ -236,6 +236,106 @@ def embed_cosine_topk(spark, sf_dir):
     )
 
 
+# MMR diversified top-k: lam embedded as EXACT double literals on both
+# sides (python 1-0.7 = 0.30000000000000004, not 0.3 — writing '0.3' in
+# the SQL would make the two engines multiply DIFFERENT doubles and the
+# greedy argmax could flip on a near-tie)
+_MMR_LAM = 0.7
+_MMR_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT qid, vec_id, embedding,
+         ROUND(LIST_DOT_PRODUCT(qe, embedding) /
+               (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+               4) AS rel
+  FROM q CROSS JOIN c
+),
+pool AS (
+  SELECT qid, vec_id, embedding, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+s1 AS (
+  SELECT qid, vec_id, embedding, rel, {_MMR_LAM!r} * rel AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+r1 AS (SELECT p.* FROM pool p ANTI JOIN s1 USING (qid, vec_id)),
+m1 AS (
+  SELECT r.qid, r.vec_id,
+         MAX(ROUND(LIST_DOT_PRODUCT(r.embedding, s.embedding) /
+             (SQRT(LIST_DOT_PRODUCT(r.embedding, r.embedding)) *
+              SQRT(LIST_DOT_PRODUCT(s.embedding, s.embedding))), 4)) AS ms
+  FROM r1 r JOIN s1 s ON r.qid = s.qid GROUP BY r.qid, r.vec_id
+),
+s2 AS (
+  SELECT qid, vec_id, embedding, rel, score FROM (
+    SELECT r.qid, r.vec_id, r.embedding, r.rel,
+           {_MMR_LAM!r} * r.rel - {1 - _MMR_LAM!r} * m.ms AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.qid
+             ORDER BY {_MMR_LAM!r} * r.rel - {1 - _MMR_LAM!r} * m.ms DESC, r.vec_id
+           ) AS rn
+    FROM r1 r JOIN m1 m ON r.qid = m.qid AND r.vec_id = m.vec_id
+  ) WHERE rn = 1
+),
+r2 AS (SELECT p.* FROM r1 p ANTI JOIN s2 USING (qid, vec_id)),
+sel2 AS (
+  SELECT qid, vec_id, embedding FROM s1
+  UNION ALL SELECT qid, vec_id, embedding FROM s2
+),
+m2 AS (
+  SELECT r.qid, r.vec_id,
+         MAX(ROUND(LIST_DOT_PRODUCT(r.embedding, s.embedding) /
+             (SQRT(LIST_DOT_PRODUCT(r.embedding, r.embedding)) *
+              SQRT(LIST_DOT_PRODUCT(s.embedding, s.embedding))), 4)) AS ms
+  FROM r2 r JOIN sel2 s ON r.qid = s.qid GROUP BY r.qid, r.vec_id
+),
+s3 AS (
+  SELECT qid, vec_id, rel, score FROM (
+    SELECT r.qid, r.vec_id, r.rel,
+           {_MMR_LAM!r} * r.rel - {1 - _MMR_LAM!r} * m.ms AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.qid
+             ORDER BY {_MMR_LAM!r} * r.rel - {1 - _MMR_LAM!r} * m.ms DESC, r.vec_id
+           ) AS rn
+    FROM r2 r JOIN m2 m ON r.qid = m.qid AND r.vec_id = m.vec_id
+  ) WHERE rn = 1
+)
+SELECT qid, 1 AS rank, vec_id, ROUND(score, 6) AS mmr_score, rel FROM s1
+UNION ALL
+SELECT qid, 2 AS rank, vec_id, ROUND(score, 6) AS mmr_score, rel FROM s2
+UNION ALL
+SELECT qid, 3 AS rank, vec_id, ROUND(score, 6) AS mmr_score, rel FROM s3
+ORDER BY qid, rank
+"""
+
+
+@query("embed_mmr_topk", oracle=_MMR_ORACLE)
+def embed_mmr_topk(spark, sf_dir):
+    """MMR diversified top-k (operators/similarity.mmr_topk, Carbonell &
+    Goldstein SIGIR'98): per query, 3 greedy picks maximizing
+    lam*rel - (1-lam)*max-sim-to-selected over a 10-candidate relevance
+    pool — one representative per redundant cluster instead of k copies
+    of the top hit.  The oracle replays the greedy selection as a fixed
+    3-round CTE unroll (same fixed-unroll pattern as graph_kcore) with
+    identical rounding and tie-break, so the driver hash certifies every
+    pick, not just the scores.  Scale: stage 1 (the relevance pool) is
+    the only corpus-wide stage; the k rounds run on pool x |queries|
+    rows."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return similarity.mmr_topk(
+        cands, queries, k=3, pool=10, lam=_MMR_LAM
+    ).orderBy("qid", "rank")
+
+
 # the exact (a, b) universal-hash coefficients the Spark operator uses —
 # embedded literally so DuckDB reproduces signatures bit-for-bit
 _MH_PARAMS_VALUES = ", ".join(

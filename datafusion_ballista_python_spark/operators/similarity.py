@@ -757,3 +757,126 @@ def hard_negatives(
         pair_filter=~F.col(label_col).eqNullSafe(F.col(query_label)),
         query_extra_cols=(query_label,),
     )
+
+
+def mmr_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qe",
+    round_digits: int = 4,
+    score_digits: int = 6,
+    max_query_rows: int | None = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Maximal Marginal Relevance top-k (Carbonell & Goldstein, SIGIR'98):
+    per query, greedily select ``k`` results maximizing
+    ``lam * rel(c) - (1-lam) * max_{s in selected} sim(c, s)`` — the
+    diversity-aware re-ranking that keeps a near-duplicate cluster from
+    monopolizing a result list (retrieval-augmented data curation: one
+    representative per redundant group instead of k copies of the top
+    hit).  The first pick maximizes ``lam * rel`` (empty selected set ->
+    similarity term 0); ties break on ascending candidate id at every
+    round.
+
+    Two-stage shape, which is what makes it scale:
+    1. a bounded RELEVANCE POOL of ``pool`` candidates per query via
+       :func:`cosine_topk` — the only stage that touches the full
+       candidate corpus, with that operator's scale path and guard (swap
+       in the LSH/IVF scorer upstream for billion-row corpora);
+    2. ``k`` greedy rounds over the pooled frame (``pool x |queries|``
+       rows, localCheckpoint-ed): each round is one equi-join on the
+       query id against the selected set, one max-aggregate, one
+       window argmax — cost bounded by the pool, NEVER by the corpus.
+
+    Determinism contract (how the DuckDB oracle replays selection
+    bit-for-bit): relevance and every pairwise similarity are rounded to
+    ``round_digits`` BEFORE entering a score; scores combine those
+    rounded doubles with the exact doubles ``lam`` and ``1-lam``
+    (IEEE-identical in both engines when literals match); argmax orders
+    by (score DESC, id ASC).  Output: (query_id, rank 1..k, id,
+    mmr_score rounded to ``score_digits``, rel).
+    """
+    from ..errors import BallistaError
+
+    if not (0.0 < lam <= 1.0):
+        raise BallistaError(f"lam must be in (0, 1], got {lam}")
+    if not (1 <= k <= pool):
+        raise BallistaError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    mlam = 1.0 - lam
+
+    pool_df = cosine_topk(
+        candidates,
+        queries,
+        k=pool,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id=query_id,
+        query_vec=query_vec,
+        round_digits=round_digits,
+        max_query_rows=max_query_rows,
+    ).select(F.col(query_id), F.col(id_col), F.col("cos_sim").alias("__rel"))
+    # re-attach vectors + norms to pool members only (pool x |queries| rows)
+    p = (
+        pool_df.join(candidates.select(F.col(id_col), F.col(vec_col)), id_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .localCheckpoint()
+    )
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("__score"), F.col(id_col))
+    first = (
+        p.withColumn("__score", F.lit(lam) * F.col("__rel"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__rank", F.lit(1))
+    )
+    selected = first.localCheckpoint()
+    remaining = p.join(
+        selected.select(query_id, id_col), [query_id, id_col], "left_anti"
+    ).localCheckpoint()
+
+    for r in range(2, k + 1):
+        c, s = remaining.alias("c"), selected.alias("s")
+        sim = F.round(
+            dot(F.col(f"c.{vec_col}"), F.col(f"s.{vec_col}"))
+            / (F.col("c.__n") * F.col("s.__n")),
+            round_digits,
+        )
+        maxsim = (
+            c.join(s, F.col(f"c.{query_id}") == F.col(f"s.{query_id}"))
+            .select(
+                F.col(f"c.{query_id}").alias(query_id),
+                F.col(f"c.{id_col}").alias(id_col),
+                sim.alias("__sim"),
+            )
+            .groupBy(query_id, id_col)
+            .agg(F.max("__sim").alias("__maxsim"))
+        )
+        pick = (
+            remaining.join(maxsim, [query_id, id_col])
+            .withColumn(
+                "__score",
+                F.lit(lam) * F.col("__rel") - F.lit(mlam) * F.col("__maxsim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(*p.columns, "__score")
+            .withColumn("__rank", F.lit(r))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+        remaining = remaining.join(
+            pick.select(query_id, id_col), [query_id, id_col], "left_anti"
+        ).localCheckpoint()
+
+    return selected.select(
+        F.col(query_id),
+        F.col("__rank").alias("rank"),
+        F.col(id_col),
+        F.round(F.col("__score"), score_digits).alias("mmr_score"),
+        F.col("__rel").alias("rel"),
+    ).orderBy(query_id, "rank")

@@ -94,7 +94,9 @@ print("host-keyed splits:", sorted((row[0], row[1]) for row in
 #    KEEP-FIRST rule: mutual near-duplicates emit BOTH directions, so
 #    dropping every doc_a would delete all copies — keep the min-id of
 #    each mutual pair, drop the contained side of one-way pairs
-pairs = dedup.containment_join(clean, threshold=0.9).select("doc_a", "doc_b")
+pairs = dedup.containment_join(
+    clean, threshold=0.9, order="frequency"  # skew-safe default for real crawls
+).select("doc_a", "doc_b")
 rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
 mutual = pairs.intersect(rev)
 one_way = pairs.join(mutual, ["doc_a", "doc_b"], "left_anti")

@@ -2216,3 +2216,61 @@ def test_frequency_order_prunes_boilerplate_candidates(spark):
     freq_pairs = set(map(tuple, dedup.jaccard_join(df, t, 3, order="frequency")
                          .select("doc_a", "doc_b").collect()))
     assert lex_pairs == freq_pairs
+
+
+def test_mmr_topk_diversifies_duplicate_cluster(spark):
+    """The defining MMR property: when the relevance head is a cluster of
+    near-identical vectors, plain top-k returns the whole cluster while
+    MMR keeps ONE representative and spends later picks on diverse
+    results.  lam=1.0 must degenerate to pure relevance order."""
+    from datafusion_ballista_python_spark.operators.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["qid", "qe"])
+    cands = spark.createDataFrame(
+        [
+            # three near-duplicates hugging the query direction
+            (1, [1.0, 0.01, 0.0]),
+            (2, [1.0, 0.012, 0.0]),
+            (3, [1.0, 0.011, 0.0]),
+            # genuinely different directions, lower relevance
+            (4, [0.7, 0.7, 0.0]),
+            (5, [0.7, 0.0, 0.7]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    plain = [
+        r["vec_id"] for r in cosine_topk(cands, q, k=3).orderBy(
+            F.desc("cos_sim"), "vec_id").collect()
+    ]
+    assert set(plain) == {1, 2, 3}  # the cluster monopolizes plain top-k
+
+    picks = mmr_topk(cands, q, k=3, pool=5, lam=0.3).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in picks]
+    assert ids[0] == 1  # most relevant first (tie-break on id)
+    assert len(set(ids) & {1, 2, 3}) == 1, ids  # ONE cluster representative
+    assert set(ids[1:]) == {4, 5}, ids  # diversity picks
+
+    # lam=1.0: similarity term vanishes -> pure relevance order
+    pure = mmr_topk(cands, q, k=3, pool=5, lam=1.0).orderBy("rank").collect()
+    assert [r["vec_id"] for r in pure] == plain
+    # rel column carries the pool relevance; rank is 1..k
+    assert [r["rank"] for r in picks] == [1, 2, 3]
+
+
+def test_mmr_topk_validates(spark):
+    import pytest
+
+    from ballista import BallistaError
+    from datafusion_ballista_python_spark.operators.similarity import mmr_topk
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], ["qid", "qe"])
+    c = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(BallistaError):
+        mmr_topk(c, q, k=5, pool=3)
+    with pytest.raises(BallistaError):
+        mmr_topk(c, q, lam=0.0)
+    with pytest.raises(BallistaError):
+        mmr_topk(c, q, lam=1.5)
