@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_kcore",
     "asof_join_events_tolerance",
     "embed_mmr_topk",
+    "retrieval_rrf_hybrid",
 ]
 
 

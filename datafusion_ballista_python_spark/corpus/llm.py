@@ -2348,3 +2348,183 @@ def pipeline_near_dedup_ingest(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + cosine pools fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# Candidate set = documents that also carry an embedding (doc_id = vec_id,
+# the alignment pipelines.py's classifier entry already relies on), minus
+# the query ids.  Query: doc 0's text is the lexical query bag; vec 0's
+# embedding is the semantic query.  Both systems retrieve a 50-doc pool;
+# RRF (k=60) fuses them; top-10 fused ships.
+_RRF_ORACLE = """
+    WITH cand AS (
+        SELECT d.doc_id, LOWER(TRIM(d.text)) AS text, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.doc_id >= 5
+    ),
+    qterms AS (
+        SELECT DISTINCT t AS term FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents WHERE doc_id = 0
+        ) WHERE LENGTH(t) > 0
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    terms AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '[^a-z0-9]+')) AS t
+            FROM cand
+        ) WHERE LENGTH(t) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                     * (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+                     6) AS DECIMAL(25,6)) AS c
+        FROM tf JOIN qterms USING (term)
+                JOIN dfreq USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT dl.doc_id,
+               ROUND(COALESCE(CAST(s.bm25d AS DOUBLE), 0.0), 6) AS bm25
+        FROM dl LEFT JOIN (
+            SELECT doc_id, SUM(c) AS bm25d FROM contrib GROUP BY doc_id
+        ) s ON s.doc_id = dl.doc_id
+    ),
+    lexpool AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+            FROM lex
+        ) WHERE rn <= 50
+    ),
+    sem AS (
+        SELECT doc_id,
+               ROUND(LIST_DOT_PRODUCT(qe, embedding) /
+                     (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+                     4) AS cos_sim
+        FROM cand CROSS JOIN qv
+    ),
+    sempool AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rn
+            FROM sem
+        ) WHERE rn <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                     + COALESCE(1.0 / (60 + s.sem_rank), 0.0), 6) AS rrf_score
+        FROM lexpool l FULL OUTER JOIN sempool s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@query("retrieval_rrf_hybrid", oracle=_RRF_ORACLE)
+def retrieval_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py): BM25-against-query and
+    cosine-against-query each retrieve a 50-doc pool; reciprocal-rank
+    fusion (Cormack et al., SIGIR'09; k=60) merges them without score
+    calibration — the standard hybrid-search shape for retrieval-curated
+    training data.  Scale: BM25 is partial-agg + one broadcast term join
+    with DECIMAL-exact accumulation; each pool cut is
+    TakeOrderedAndProject; fusion joins two 50-row frames.  The oracle
+    replays both scorers, both rankings, and the fused arithmetic."""
+    from ..operators import retrieval
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    cand_docs = docs.filter(F.col("doc_id") >= 5).join(
+        emb_ids, "doc_id", "left_semi"
+    )
+    qterms = (
+        text._terms(docs.filter(F.col("doc_id") == 0), "text", "doc_id")
+        .select("term")
+        .distinct()
+    )
+    lex_pool = retrieval.topk_ranking(
+        retrieval.bm25_query_scores(cand_docs, qterms), "bm25", "doc_id", n=50
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5).join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    sem_scores = similarity.cosine_topk(cands, qv, k=50, round_digits=4).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    sem_pool = retrieval.topk_ranking(sem_scores, "cos_sim", "doc_id", n=50)
+    fused = retrieval.rrf_fuse({"lex": lex_pool, "sem": sem_pool}, k=60)
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# corpus rank-frequency diagnostics (Zipf fit)
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+    WITH terms AS (
+        SELECT t AS term FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents
+        ) WHERE LENGTH(t) > 0
+    ),
+    counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM terms GROUP BY term),
+    ranked AS (
+        SELECT freq, rn AS rank FROM (
+            SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rn
+            FROM counts
+        ) WHERE rn <= 500
+    ),
+    xy AS (
+        SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+               CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+    ),
+    fit AS (
+        SELECT n, sx, sy,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS slope
+        FROM sums
+    )
+    SELECT n AS n_terms, slope,
+           ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS intercept
+    FROM fit
+    """
+
+
+@query("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the top-500 corpus terms
+    (operators/text.zipf_fit) — natural text sits near slope -1;
+    template-heavy or synthetic corpora bend the curve.  The OLS sums
+    accumulate exactly in 1e6-scaled integers so the single-row fit is
+    partition-order- and engine-independent; the top-500 cut is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.zipf_fit(docs, top_n=500)

@@ -493,3 +493,42 @@ def train_bpe_encode(spark, sf_dir):
     return out.select(
         "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text")
     ).orderBy("doc_id")
+
+
+@query(
+    "train_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(p) AS BIGINT) AS n_pieces,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(c) AS DOUBLE) / CAST(SUM(p) AS DOUBLE), 6) AS chars_per_piece
+    FROM (
+        SELECT lang,
+               LEN(ws) AS w,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(ws, x -> (LENGTH(x) + 3) // 4)), 0) AS p,
+               LENGTH(TRIM(text)) AS c
+        FROM (
+            SELECT lang, text,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                               x -> LENGTH(x) > 0) AS ws
+            FROM documents
+        )
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def train_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (operators/text.tokenizer_fertility):
+    pieces per word and chars per piece under the vocabulary-free
+    max-4-char-piece subword bound — the standard multilingual
+    tokenizer-efficiency report (fertility 2x = sequence length 2x for
+    the same text).  Map-side array folds (no explode) into ONE
+    partial-agg shuffle on lang; ratios divide exact integer sums, so
+    the hash is partition-order- and engine-independent."""
+    from ..operators import text
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.tokenizer_fertility(docs).orderBy("lang")

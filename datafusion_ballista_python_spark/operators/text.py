@@ -979,3 +979,133 @@ def char_entropy(
         )
         .drop("__micro")
     )
+
+
+# -- corpus rank-frequency diagnostics (Zipf fit) ---------------------------
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Log-log OLS fit of the corpus rank-frequency curve over the top
+    ``top_n`` terms — the classic Zipf diagnostic for corpus health
+    (natural text sits near slope -1; template/boilerplate-heavy or
+    synthetic corpora bend the curve).
+
+    Returns ONE row ``(n_terms, slope, intercept)`` where ``slope`` and
+    ``intercept`` fit ``ln(freq) ~ slope * ln(rank) + intercept``.
+
+    Determinism contract (hash-stable across engines): ``ln(rank)`` and
+    ``ln(freq)`` are scaled by 1e6 and rounded to BIGINT, all five OLS
+    sums accumulate exactly in integers (magnitudes bounded by
+    ``top_n * (ln(max_freq)*1e6)^2 ~ 1e17 << 2^63``), and only the final
+    slope/intercept arithmetic runs in double with a fixed operation
+    order.  ``slope`` is invariant under the common scaling; the
+    intercept divides it back out.
+
+    Scale shape: one map-side-partial term count shuffle; the top-n cut
+    is ``orderBy(...).limit`` (TakeOrderedAndProject — per-partition
+    top-n, no global sort); the rank window sees only ``top_n`` rows; the
+    OLS reduce is a 1-row aggregate.  Zero Python, zero collect.
+    """
+    counts = (
+        _terms(df, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    x = F.round(F.log(F.col("rank").cast("double")) * 1000000.0, 0).cast("long")
+    y = F.round(F.log(F.col("freq").cast("double")) * 1000000.0, 0).cast("long")
+    sums = (
+        ranked.select(x.alias("x"), y.alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = F.round(
+        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6
+    )
+    return sums.withColumn("slope", slope).select(
+        F.col("n").alias("n_terms"),
+        "slope",
+        F.round((syd - F.col("slope") * sxd) / (nd * 1000000.0), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# -- tokenizer fertility by language (multilingual tokenizer eval) ----------
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_piece_chars: int = 4,
+) -> DataFrame:
+    """Per-language tokenizer fertility: pieces per word and characters
+    per piece — the standard multilingual tokenizer-efficiency report (a
+    language whose fertility is 2x another's pays 2x the sequence length
+    for the same text; see the SentencePiece / multilingual-LM eval
+    literature).
+
+    ``pieces`` uses the vocabulary-free bound ``ceil(len(word) /
+    max_piece_chars)`` per word: any subword tokenizer whose longest
+    piece is ``max_piece_chars`` characters emits at least this many
+    pieces, so the ratio is a deterministic fertility floor that needs no
+    trained vocab.  (The GPT-2 pre-tokenizer alone degenerates to
+    pieces == words on a clean lowercase corpus — a constant 1.0 column,
+    exactly what the vacuity audit exists to catch.)
+
+    Returns ``(lang, n_docs, n_words, n_pieces, n_chars, fertility,
+    chars_per_piece)`` — integer sums are exact, ratios are 6-decimal
+    doubles of exact integers, so the result is engine- and
+    partition-order-independent.
+
+    Scale: pure map-side array expressions (no explode — a doc's word
+    array folds to two longs in the scan stage) feeding ONE partial-agg
+    shuffle on the language key.  Zero Python, zero collect.
+    """
+    m = int(max_piece_chars)
+    if m < 1:
+        raise ValueError(f"max_piece_chars must be >= 1, got {max_piece_chars}")
+    words_sql = (
+        f"filter(split(lower(trim({text_col})), '[^a-z0-9]+'),"
+        " w -> length(w) > 0)"
+    )
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.expr(f"cast(size({words_sql}) as long)").alias("__w"),
+        F.expr(
+            f"aggregate({words_sql}, 0L,"
+            f" (acc, w) -> acc + (length(w) + {m - 1}) div {m})"
+        ).alias("__p"),
+        F.length(_trimmed(text_col)).cast("long").alias("__c"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__p").cast("long").alias("n_pieces"),
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("__p").cast("double") / F.sum("__w").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("__c").cast("double") / F.sum("__p").cast("double"), 6
+        ).alias("chars_per_piece"),
+    )
