@@ -447,6 +447,7 @@ def jaccard_join(
     id_col: str = "doc_id",
     round_digits: int = 6,
     order: str = "lex",
+    positional: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join: ALL pairs with shingle Jaccard >=
     threshold — no misses, unlike :func:`minhash_lsh_pairs` — via prefix
@@ -478,6 +479,19 @@ def jaccard_join(
       boilerplate shingle (the hot reducer key AND the candidate-pair
       explosion under "lex") is pushed out of every prefix that has
       anything rarer.  The right setting for any real crawl corpus.
+
+    ``positional`` adds the PPJoin positional filter (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08)
+    on top of the prefix + length filters — result-identical pruning:
+    a qualifying pair's FIRST shared token (positions i in A, j in B,
+    1-based, same global order, no shared token before it) bounds the
+    overlap by ``1 + min(|A|-i, |B|-j)``, which must reach the Jaccard
+    overlap requirement ``t/(1+t) * (|A|+|B|)``; candidate occurrences
+    whose positions bound the overlap below that can never be a pair's
+    first shared token AND qualify, so dropping them keeps the
+    first-shared-token occurrence of every qualifying pair (the bound is
+    relaxed by 1e-6 so double rounding can only under-prune).  Kept
+    toggleable for the result-identity property tests.
     """
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
@@ -498,10 +512,20 @@ def jaccard_join(
     pref = sh.select(
         F.col(id_col),
         F.size("grams").alias("__n"),
-        F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok"),
+        F.posexplode(F.slice("grams", F.lit(1), plen)).alias("__pos", "__tok"),
     )
-    pa = pref.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"), "__tok")
-    pb = pref.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"), "__tok")
+    pa = pref.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__n").alias("__na"),
+        F.col("__pos").alias("__pa"),
+        "__tok",
+    )
+    pb = pref.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__pos").alias("__pb"),
+        "__tok",
+    )
     # AllPairs length filter INSIDE the candidate join: J(A,B) >= t forces
     # |A∩B| >= t|A∪B| with |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
     # min >= t*max — i.e. t|A| <= |B| <= |A|/t.  Catalyst keeps __tok as
@@ -509,13 +533,26 @@ def jaccard_join(
     # before the distinct, so mismatched-length candidates never shuffle
     # into the dedup stage (containment_join's in-join size filter,
     # adapted to the symmetric case).
+    cond = (
+        (pa["__tok"] == pb["__tok"])
+        & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na"))
+        & (F.col("__na").cast("double") >= F.lit(threshold) * F.col("__nb"))
+    )
+    if positional:
+        # PPJoin positional filter: with 0-based prefix positions pa/pb,
+        # the first-shared-token overlap bound 1 + min(na-(pa+1), nb-(pb+1))
+        # simplifies to min(na-pa, nb-pb); it must reach the Jaccard
+        # overlap requirement t/(1+t) * (na+nb) (1e-6 slack so double
+        # rounding can only UNDER-prune, never drop a boundary pair)
+        ub = F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        ).cast("double")
+        alpha = F.lit(threshold / (1.0 + threshold)) * (
+            F.col("__na") + F.col("__nb")
+        ).cast("double")
+        cond = cond & (ub >= alpha - F.lit(1e-6))
     cands = (
-        pa.join(
-            pb,
-            (pa["__tok"] == pb["__tok"])
-            & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na"))
-            & (F.col("__na").cast("double") >= F.lit(threshold) * F.col("__nb")),
-        )
+        pa.join(pb, cond)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -552,6 +589,7 @@ def containment_join(
     id_col: str = "doc_id",
     round_digits: int = 6,
     order: str = "lex",
+    positional: bool = True,
 ) -> DataFrame:
     """EXACT containment self-join: every DIRECTED pair (doc_a, doc_b)
     with shingle containment C(A→B) = |A∩B| / |A| >= threshold — the
@@ -587,7 +625,17 @@ def containment_join(
     the skew cure for a corpus-wide boilerplate shingle, which under lex
     stays in hot prefixes and fans out against the FULL side's postings
     for that shingle; rarest-first pushes it out of every prefix that
-    has anything rarer."""
+    has anything rarer.
+
+    ``positional`` adds the PPJoin positional filter (Xiao et al.,
+    WWW'08), adapted to the one-sided case: a qualifying pair's FIRST
+    shared token (positions i in A's prefix, j in B's full sorted set,
+    1-based, nothing shared before it) bounds the overlap by
+    ``1 + min(|A|-i, |B|-j)``, which must reach the containment overlap
+    requirement ``t * |A|``; occurrences below the (1e-6-relaxed) bound
+    can never be a qualifying pair's first shared token, so dropping
+    them is result-identical pruning — it cuts exactly the hot-posting
+    fan-out where a large container shares only late tokens."""
     base = with_shingles(df, text_col, shingle_n, "grams").select(
         F.col(id_col), F.col("grams")
     )
@@ -604,22 +652,32 @@ def containment_join(
     pref = sh.select(
         F.col(id_col).alias("doc_a"),
         F.size("grams").alias("__na"),
-        F.explode(F.slice("grams", F.lit(1), plen)).alias("__tok"),
+        F.posexplode(F.slice("grams", F.lit(1), plen)).alias("__pa", "__tok"),
     )
     full = sh.select(
         F.col(id_col).alias("doc_b"),
         F.size("grams").alias("__nb"),
-        F.explode("grams").alias("__tok"),
+        F.posexplode("grams").alias("__pb", "__tok"),
     )
     # size filter INSIDE the join: |A∩B| >= ceil(t|A|) needs |B| >= t|A|,
     # so undersized containers drop before the candidate distinct — the
     # containment analogue of the set-similarity length filter
-    cands = (
-        pref.join(
-            full,
-            (pref["__tok"] == full["__tok"])
-            & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na")),
+    cond = (pref["__tok"] == full["__tok"]) & (
+        F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na")
+    )
+    if positional:
+        # one-sided PPJoin positional filter: first-shared-token overlap
+        # bound min(na-pa, nb-pb) (0-based positions) must reach the
+        # containment overlap requirement t*na (1e-6 slack: double
+        # rounding can only under-prune)
+        ub = F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        ).cast("double")
+        cond = cond & (
+            ub >= F.lit(threshold) * F.col("__na").cast("double") - F.lit(1e-6)
         )
+    cands = (
+        pref.join(full, cond)
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -2274,3 +2274,89 @@ def test_mmr_topk_validates(spark):
         mmr_topk(c, q, lam=0.0)
     with pytest.raises(BallistaError):
         mmr_topk(c, q, lam=1.5)
+
+
+def test_positional_filter_prunes_late_prefix_candidates(spark):
+    """The PPJoin positional filter is the documented cut for candidates
+    that share only LATE prefix tokens — pin it as a DETERMINISTIC
+    candidate-count fact (the vacuity rule: a filter that never fires is
+    a dead arm): docs sharing one token at the last prefix slot bound
+    the overlap at min(na-pa, nb-pb) = 6 < t/(1+t)*(na+nb) = 7.33, so
+    every such candidate dies in the join; exact duplicates (every
+    position shared) survive and the RESULT is identical either way."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_python_spark.operators import dedup
+    from datafusion_ballista_python_spark.operators.dedup import (
+        _ordered_grams,
+        with_shingles,
+    )
+
+    t = 0.5
+    # shingle_n=1 -> shingles ARE the words, so the sorted-set layout is
+    # exact: 5 unique early tokens, the shared 'mm' at prefix slot 6 (the
+    # last one: plen = 11 - 6 + 1 = 6), 5 unique late tokens
+    rows = [
+        (
+            i,
+            f"a{i} b{i} c{i} d{i} e{i} mm x{i}1 x{i}2 x{i}3 x{i}4 x{i}5",
+        )
+        for i in range(20)
+    ]
+    # plus one exact-duplicate pair that must SURVIVE the filter
+    rows += [(100, "dup1 dup2 dup3 dup4 dup5"), (101, "dup1 dup2 dup3 dup4 dup5")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def n_candidates(positional):
+        base = with_shingles(df, "text", 1, "grams").select("doc_id", "grams")
+        sh = _ordered_grams(base, "doc_id", "lex")
+        plen = (
+            F.size("grams")
+            - F.ceil(F.lit(t) * F.size("grams")).cast("int")
+            + F.lit(1)
+        )
+        pref = sh.select(
+            "doc_id",
+            F.size("grams").alias("n"),
+            F.posexplode(F.slice("grams", F.lit(1), plen)).alias("p", "tok"),
+        )
+        pa = pref.select(
+            F.col("doc_id").alias("a"), F.col("n").alias("na"),
+            F.col("p").alias("pa"), "tok",
+        )
+        pb = pref.select(
+            F.col("doc_id").alias("b"), F.col("n").alias("nb"),
+            F.col("p").alias("pb"), "tok",
+        )
+        cond = (
+            (pa["tok"] == pb["tok"])
+            & (F.col("nb").cast("double") >= t * F.col("na"))
+            & (F.col("na").cast("double") >= t * F.col("nb"))
+        )
+        if positional:
+            ub = F.least(
+                F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+            ).cast("double")
+            cond = cond & (
+                ub >= F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")) - 1e-6
+            )
+        return (
+            pa.join(pb, cond)
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+
+    n_off, n_on = n_candidates(False), n_candidates(True)
+    assert n_off == 190 + 1, n_off  # all 'mm' pairs + the dup pair
+    assert n_on == 1, n_on          # positional kills every 'mm'-only pair
+    # and the filter never changes the RESULT
+    for positional in (True, False):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.jaccard_join(
+                df, t, shingle_n=1, positional=positional
+            ).collect()
+        }
+        assert got == {(100, 101): 1.0}, (positional, got)
