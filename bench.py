@@ -79,6 +79,7 @@ HEADLINE = [
     "asof_join_events_tolerance",
     "embed_mmr_topk",
     "retrieval_rrf_hybrid",
+    "eval_rank_correlation",
 ]
 
 

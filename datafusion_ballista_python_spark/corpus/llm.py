@@ -2358,9 +2358,10 @@ def pipeline_near_dedup_ingest(spark, sf_dir):
 # the alignment pipelines.py's classifier entry already relies on), minus
 # the query ids.  Query: doc 0's text is the lexical query bag; vec 0's
 # embedding is the semantic query.  Both systems retrieve a 50-doc pool;
-# RRF (k=60) fuses them; top-10 fused ships.
-_RRF_ORACLE = """
-    WITH cand AS (
+# RRF (k=60) fuses them; top-10 fused ships.  The CTE chain through the
+# two pools is shared with the Spearman rank-correlation entry below.
+_RRF_POOL_CTES = """
+    cand AS (
         SELECT d.doc_id, LOWER(TRIM(d.text)) AS text, e.embedding
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         WHERE d.doc_id >= 5
@@ -2423,7 +2424,11 @@ _RRF_ORACLE = """
             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rn
             FROM sem
         ) WHERE rn <= 50
-    ),
+    )
+    """
+
+_RRF_ORACLE = f"""
+    WITH {_RRF_POOL_CTES},
     fused AS (
         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
                l.lex_rank, s.sem_rank,
@@ -2436,16 +2441,10 @@ _RRF_ORACLE = """
     """
 
 
-@query("retrieval_rrf_hybrid", oracle=_RRF_ORACLE)
-def retrieval_rrf_hybrid(spark, sf_dir):
-    """Hybrid retrieval (operators/retrieval.py): BM25-against-query and
-    cosine-against-query each retrieve a 50-doc pool; reciprocal-rank
-    fusion (Cormack et al., SIGIR'09; k=60) merges them without score
-    calibration — the standard hybrid-search shape for retrieval-curated
-    training data.  Scale: BM25 is partial-agg + one broadcast term join
-    with DECIMAL-exact accumulation; each pool cut is
-    TakeOrderedAndProject; fusion joins two 50-row frames.  The oracle
-    replays both scorers, both rankings, and the fused arithmetic."""
+def _retrieval_pools(spark, sf_dir):
+    """The two 50-doc retrieval pools shared by the RRF and Spearman
+    entries: BM25-against-doc-0's-terms and cosine-against-vec-0, both
+    over the documents∩embeddings candidate set (doc_id >= 5)."""
     from ..operators import retrieval
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -2472,8 +2471,64 @@ def retrieval_rrf_hybrid(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "cos_sim"
     )
     sem_pool = retrieval.topk_ranking(sem_scores, "cos_sim", "doc_id", n=50)
+    return lex_pool, sem_pool
+
+
+@query("retrieval_rrf_hybrid", oracle=_RRF_ORACLE)
+def retrieval_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py): BM25-against-query and
+    cosine-against-query each retrieve a 50-doc pool; reciprocal-rank
+    fusion (Cormack et al., SIGIR'09; k=60) merges them without score
+    calibration — the standard hybrid-search shape for retrieval-curated
+    training data.  Scale: BM25 is partial-agg + one broadcast term join
+    with DECIMAL-exact accumulation; each pool cut is
+    TakeOrderedAndProject; fusion joins two 50-row frames.  The oracle
+    replays both scorers, both rankings, and the fused arithmetic."""
+    from ..operators import retrieval
+
+    lex_pool, sem_pool = _retrieval_pools(spark, sf_dir)
     fused = retrieval.rrf_fuse({"lex": lex_pool, "sem": sem_pool}, k=60)
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+_SPEARMAN_ORACLE = f"""
+    WITH {_RRF_POOL_CTES},
+    joined AS (
+        SELECT l.doc_id, l.lex_rank, s.sem_rank
+        FROM lexpool l JOIN sempool s ON l.doc_id = s.doc_id
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY lex_rank) AS BIGINT) AS ra,
+               CAST(ROW_NUMBER() OVER (ORDER BY sem_rank) AS BIGINT) AS rb
+        FROM joined
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        FROM ranked
+    )
+    SELECT n_items, sum_d2,
+           CASE WHEN n_items >= 2 THEN
+               ROUND(1.0 - CAST(sum_d2 * 6 AS DOUBLE)
+                           / CAST(n_items * (n_items * n_items - 1) AS DOUBLE), 6)
+           END AS rho
+    FROM sums
+    """
+
+
+@query("eval_rank_correlation", oracle=_SPEARMAN_ORACLE)
+def eval_rank_correlation(spark, sf_dir):
+    """Spearman rank correlation between the lexical and semantic
+    retrieval pools (operators/retrieval.spearman_rho) — the standard
+    agreement statistic between two rankers, here answering "how
+    differently do BM25 and embedding cosine order the docs they both
+    retrieve".  sum(d^2) and n are exact integers (re-ranked densely
+    within the pool intersection), so the 1-row result is partition- and
+    engine-deterministic; the single double division happens last."""
+    from ..operators import retrieval
+
+    lex_pool, sem_pool = _retrieval_pools(spark, sf_dir)
+    return retrieval.spearman_rho(lex_pool, sem_pool)
 
 
 # ---------------------------------------------------------------------------

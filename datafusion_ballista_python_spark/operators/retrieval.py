@@ -161,3 +161,61 @@ def rrf_fuse(
         )
         score = term if score is None else score + term
     return fused.withColumn("rrf_score", F.round(score, 6))
+
+
+def spearman_rho(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Spearman rank correlation between two rankings of (a subset of)
+    the same items — the standard agreement statistic between two
+    retrieval systems (lexical vs semantic), two quality scorers, or a
+    cheap scorer vs an expensive one.
+
+    ``a`` and ``b`` are ``(id_col, rank_col)`` frames (e.g. from
+    :func:`topk_ranking`).  Items present in BOTH are re-ranked densely
+    within the intersection (preserving each side's original order, ties
+    impossible since input ranks are unique), then
+    ``rho = 1 - 6 * sum(d^2) / (n * (n^2 - 1))`` with ``d`` the per-item
+    rank difference.  ``sum(d^2)`` and ``n`` are exact integers, so the
+    single-row result is partition-order- and engine-deterministic; the
+    one double division happens last.  ``rho`` is NULL when the
+    intersection has fewer than 2 items (the formula needs n >= 2).
+
+    Returns ONE row ``(n_items, sum_d2, rho)``.
+
+    Scale: inputs are pool-sized rankings (the retrieval use) — the join
+    and both re-rank windows run on bounded frames, and the final reduce
+    is a 1-row aggregate.  For corpus-wide rankings, cut pools first
+    (:func:`topk_ranking`); a global ranking of an unbounded table is the
+    caller's scale decision, not this operator's.
+    """
+    joined = a.select(
+        F.col(id_col), F.col(rank_col).alias("__ra0")
+    ).join(
+        b.select(F.col(id_col), F.col(rank_col).alias("__rb0")), id_col
+    )
+    wa = Window.orderBy(F.asc("__ra0"))
+    wb = Window.orderBy(F.asc("__rb0"))
+    ranked = joined.select(
+        F.row_number().over(wa).cast("long").alias("__ra"),
+        F.row_number().over(wb).cast("long").alias("__rb"),
+    )
+    d = F.col("__ra") - F.col("__rb")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n_items")
+    rho = F.when(
+        n >= 2,
+        F.round(
+            F.lit(1.0)
+            - (F.col("sum_d2") * 6).cast("double")
+            / (n * (n * n - 1)).cast("double"),
+            6,
+        ),
+    )
+    return sums.select("n_items", "sum_d2", rho.alias("rho"))

@@ -167,3 +167,34 @@ def test_hybrid_rrf_entry_shape(spark, sf_dir):
     assert key == sorted(key)
     # at least one doc retrieved by both systems sits at the top
     assert rows[0]["lex_rank"] is not None or rows[0]["sem_rank"] is not None
+
+
+def test_spearman_rho_hand_cases(spark):
+    from datafusion_ballista_python_spark.operators.retrieval import spearman_rho
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    # perfect agreement
+    r = spearman_rho(a, a).collect()[0]
+    assert (r["n_items"], r["sum_d2"], r["rho"]) == (3, 0, 1.0)
+    # perfect reversal: d^2 = 4 + 0 + 4 = 8; rho = 1 - 48/24 = -1
+    b = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], ["doc_id", "rank"])
+    r = spearman_rho(a, b).collect()[0]
+    assert (r["n_items"], r["sum_d2"], r["rho"]) == (3, 8, -1.0)
+    # intersection re-rank: b only shares items 1 and 3, with b-order
+    # reversed relative to a -> within the 2-item intersection ra=(1,2),
+    # rb=(2,1), sum_d2=2, rho = 1 - 12/6 = -1
+    c = spark.createDataFrame([(3, 10), (1, 20), (9, 30)], ["doc_id", "rank"])
+    r = spearman_rho(a, c).collect()[0]
+    assert (r["n_items"], r["sum_d2"], r["rho"]) == (2, 2, -1.0)
+    # n = 1 -> rho NULL (formula needs n >= 2)
+    d = spark.createDataFrame([(1, 7)], ["doc_id", "rank"])
+    r = spearman_rho(a, d).collect()[0]
+    assert (r["n_items"], r["sum_d2"], r["rho"]) == (1, 0, None)
+
+
+def test_eval_rank_correlation_entry_bounds(spark, sf_dir):
+    from datafusion_ballista_python_spark.corpus import llm
+
+    r = llm.eval_rank_correlation(spark, sf_dir).collect()[0]
+    assert r["n_items"] >= 2
+    assert -1.0 <= r["rho"] <= 1.0
