@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import functions as bf
-from ..operators import dedup, graph, similarity, text
+from ..operators import dedup, graph, retrieval, similarity, text
 from . import query
 from .util import load
 
@@ -1152,9 +1152,14 @@ def text_tfidf_topk(spark, sf_dir):
     ),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+               -- parenthesized as idf * (num / denom) to mirror the Spark
+               -- operator's float association order (bm25_top_terms
+               -- computes idf * tf_norm); the flat form evaluates
+               -- (idf * num) / denom, which can differ by 1 ulp and flip
+               -- the 6dp rounding at a boundary
                ROUND(LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-                     * (tf.tf * (1.2 + 1)) /
-                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+                     * ((tf.tf * (1.2 + 1)) /
+                        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))),
                      6) AS bm25
         FROM tf JOIN dfreq USING (term)
                 JOIN dl ON dl.doc_id = tf.doc_id
@@ -2390,9 +2395,12 @@ _RRF_POOL_CTES = """
     ),
     contrib AS (
         SELECT tf.doc_id,
+               -- parenthesized as idf * (num / denom) to mirror the Spark
+               -- operator's float association order exactly (a different
+               -- order can differ by 1 ulp and flip the 6dp rounding)
                CAST(ROUND(LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-                     * (tf.tf * (1.2 + 1)) /
-                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+                     * ((tf.tf * (1.2 + 1)) /
+                        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))),
                      6) AS DECIMAL(25,6)) AS c
         FROM tf JOIN qterms USING (term)
                 JOIN dfreq USING (term)
@@ -2445,8 +2453,6 @@ def _retrieval_pools(spark, sf_dir):
     """The two 50-doc retrieval pools shared by the RRF and Spearman
     entries: BM25-against-doc-0's-terms and cosine-against-vec-0, both
     over the documents∩embeddings candidate set (doc_id >= 5)."""
-    from ..operators import retrieval
-
     docs = load(spark, sf_dir, "documents")["documents"]
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
@@ -2484,8 +2490,6 @@ def retrieval_rrf_hybrid(spark, sf_dir):
     with DECIMAL-exact accumulation; each pool cut is
     TakeOrderedAndProject; fusion joins two 50-row frames.  The oracle
     replays both scorers, both rankings, and the fused arithmetic."""
-    from ..operators import retrieval
-
     lex_pool, sem_pool = _retrieval_pools(spark, sf_dir)
     fused = retrieval.rrf_fuse({"lex": lex_pool, "sem": sem_pool}, k=60)
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
@@ -2525,8 +2529,6 @@ def eval_rank_correlation(spark, sf_dir):
     retrieve".  sum(d^2) and n are exact integers (re-ranked densely
     within the pool intersection), so the 1-row result is partition- and
     engine-deterministic; the single double division happens last."""
-    from ..operators import retrieval
-
     lex_pool, sem_pool = _retrieval_pools(spark, sf_dir)
     return retrieval.spearman_rho(lex_pool, sem_pool)
 
@@ -2562,13 +2564,17 @@ _ZIPF_ORACLE = """
     ),
     fit AS (
         SELECT n, sx, sy,
-               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                     6) AS slope
+               CASE WHEN n >= 2 THEN
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         6)
+               END AS slope
         FROM sums
     )
     SELECT n AS n_terms, slope,
-           ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS intercept
+           CASE WHEN n >= 2 THEN
+               ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+           END AS intercept
     FROM fit
     """
 

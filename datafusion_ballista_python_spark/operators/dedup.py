@@ -439,6 +439,75 @@ def _ordered_grams(base: DataFrame, id_col: str, order: str) -> DataFrame:
     )
 
 
+def jaccard_candidates(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for :func:`jaccard_join` from an
+    ordered-grams frame ``sh`` (``(id_col, grams)``, grams sorted under
+    one global total order): prefix explode, ONE equi-join on the shingle
+    key with the AllPairs length filter and (optionally) the PPJoin
+    positional filter applied INSIDE the join, then distinct.
+
+    Shared by the operator and the deterministic candidate-count tests,
+    so the pruning facts pinned by the tests are facts about the SHIPPED
+    pipeline, not a white-box replica.
+
+    - AllPairs length filter: J(A,B) >= t forces |A∩B| >= t|A∪B| with
+      |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so min >= t*max — i.e.
+      t|A| <= |B| <= |A|/t; Catalyst keeps __tok as the equi-join key and
+      applies the size predicate inside the join, before the distinct.
+    - PPJoin positional filter: with 0-based prefix positions pa/pb, the
+      first-shared-token overlap bound 1 + min(na-(pa+1), nb-(pb+1))
+      simplifies to min(na-pa, nb-pb); it must reach the Jaccard overlap
+      requirement t/(1+t) * (na+nb) (1e-6 slack so double rounding can
+      only UNDER-prune, never drop a boundary pair).
+    """
+    plen = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + F.lit(1)
+    )
+    pref = sh.select(
+        F.col(id_col),
+        F.size("grams").alias("__n"),
+        F.posexplode(F.slice("grams", F.lit(1), plen)).alias("__pos", "__tok"),
+    )
+    pa = pref.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__n").alias("__na"),
+        F.col("__pos").alias("__pa"),
+        "__tok",
+    )
+    pb = pref.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__pos").alias("__pb"),
+        "__tok",
+    )
+    cond = (
+        (pa["__tok"] == pb["__tok"])
+        & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na"))
+        & (F.col("__na").cast("double") >= F.lit(threshold) * F.col("__nb"))
+    )
+    if positional:
+        ub = F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        ).cast("double")
+        alpha = F.lit(threshold / (1.0 + threshold)) * (
+            F.col("__na") + F.col("__nb")
+        ).cast("double")
+        cond = cond & (ub >= alpha - F.lit(1e-6))
+    return (
+        pa.join(pb, cond)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_join(
     df: DataFrame,
     threshold: float = 0.8,
@@ -509,54 +578,7 @@ def jaccard_join(
         - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
         + F.lit(1)
     )
-    pref = sh.select(
-        F.col(id_col),
-        F.size("grams").alias("__n"),
-        F.posexplode(F.slice("grams", F.lit(1), plen)).alias("__pos", "__tok"),
-    )
-    pa = pref.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("__n").alias("__na"),
-        F.col("__pos").alias("__pa"),
-        "__tok",
-    )
-    pb = pref.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("__n").alias("__nb"),
-        F.col("__pos").alias("__pb"),
-        "__tok",
-    )
-    # AllPairs length filter INSIDE the candidate join: J(A,B) >= t forces
-    # |A∩B| >= t|A∪B| with |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
-    # min >= t*max — i.e. t|A| <= |B| <= |A|/t.  Catalyst keeps __tok as
-    # the equi-join key and applies the size predicate inside the join,
-    # before the distinct, so mismatched-length candidates never shuffle
-    # into the dedup stage (containment_join's in-join size filter,
-    # adapted to the symmetric case).
-    cond = (
-        (pa["__tok"] == pb["__tok"])
-        & (F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na"))
-        & (F.col("__na").cast("double") >= F.lit(threshold) * F.col("__nb"))
-    )
-    if positional:
-        # PPJoin positional filter: with 0-based prefix positions pa/pb,
-        # the first-shared-token overlap bound 1 + min(na-(pa+1), nb-(pb+1))
-        # simplifies to min(na-pa, nb-pb); it must reach the Jaccard
-        # overlap requirement t/(1+t) * (na+nb) (1e-6 slack so double
-        # rounding can only UNDER-prune, never drop a boundary pair)
-        ub = F.least(
-            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
-        ).cast("double")
-        alpha = F.lit(threshold / (1.0 + threshold)) * (
-            F.col("__na") + F.col("__nb")
-        ).cast("double")
-        cond = cond & (ub >= alpha - F.lit(1e-6))
-    cands = (
-        pa.join(pb, cond)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = jaccard_candidates(sh, threshold, id_col=id_col, positional=positional)
     # verify against the ALREADY-checkpointed shingle frame instead of
     # re-tokenizing candidate docs from the source (what the LSH variants
     # must do, since they only hold signatures): Jaccard is order-blind,

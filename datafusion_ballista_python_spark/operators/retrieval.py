@@ -51,8 +51,11 @@ def bm25_query_scores(
     ``query_terms`` is a 1-column ``(term)`` frame (distinct terms of the
     query string, same lowercase non-alphanumeric tokenization as
     :func:`..text._terms`).  Corpus statistics (df, dl, N, avgdl) are
-    computed over ``docs`` itself.  Every document gets a row: documents
-    sharing no term with the query score exactly ``0.0``.
+    computed over ``docs`` itself.  Every document WITH AT LEAST ONE
+    TOKEN gets a row (documents whose text yields no alphanumeric token
+    have no length and contribute nothing to the corpus stats — the same
+    at-least-one-token contract as ``text.unigram_perplexity``); tokened
+    documents sharing no term with the query score exactly ``0.0``.
 
     Determinism: each per-term contribution is rounded to 6 decimals
     (libm ``ln`` may differ in the last ulp across engines), then summed

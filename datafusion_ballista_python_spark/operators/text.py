@@ -1037,15 +1037,21 @@ def zipf_fit(
     syd = F.col("sy").cast("double")
     sxyd = F.col("sxy").cast("double")
     sxxd = F.col("sxx").cast("double")
-    slope = F.round(
-        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6
+    # n >= 2 guard (same contract as retrieval.spearman_rho): with a
+    # single distinct term the variance denominator is 0 — return NULL
+    # explicitly on both engines instead of a silent engine-divergent
+    # NULL-vs-NaN
+    slope = F.when(
+        F.col("n") >= 2,
+        F.round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6),
     )
     return sums.withColumn("slope", slope).select(
         F.col("n").alias("n_terms"),
         "slope",
-        F.round((syd - F.col("slope") * sxd) / (nd * 1000000.0), 6).alias(
-            "intercept"
-        ),
+        F.when(
+            F.col("n") >= 2,
+            F.round((syd - F.col("slope") * sxd) / (nd * 1000000.0), 6),
+        ).alias("intercept"),
     )
 
 

@@ -2308,45 +2308,14 @@ def test_positional_filter_prunes_late_prefix_candidates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     def n_candidates(positional):
+        # counts come from the SHIPPED candidate pipeline (the same
+        # jaccard_candidates call jaccard_join makes), so this pins the
+        # operator's pruning, not a white-box replica of it
         base = with_shingles(df, "text", 1, "grams").select("doc_id", "grams")
         sh = _ordered_grams(base, "doc_id", "lex")
-        plen = (
-            F.size("grams")
-            - F.ceil(F.lit(t) * F.size("grams")).cast("int")
-            + F.lit(1)
-        )
-        pref = sh.select(
-            "doc_id",
-            F.size("grams").alias("n"),
-            F.posexplode(F.slice("grams", F.lit(1), plen)).alias("p", "tok"),
-        )
-        pa = pref.select(
-            F.col("doc_id").alias("a"), F.col("n").alias("na"),
-            F.col("p").alias("pa"), "tok",
-        )
-        pb = pref.select(
-            F.col("doc_id").alias("b"), F.col("n").alias("nb"),
-            F.col("p").alias("pb"), "tok",
-        )
-        cond = (
-            (pa["tok"] == pb["tok"])
-            & (F.col("nb").cast("double") >= t * F.col("na"))
-            & (F.col("na").cast("double") >= t * F.col("nb"))
-        )
-        if positional:
-            ub = F.least(
-                F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
-            ).cast("double")
-            cond = cond & (
-                ub >= F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")) - 1e-6
-            )
-        return (
-            pa.join(pb, cond)
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
-            .count()
-        )
+        return dedup.jaccard_candidates(
+            sh, t, id_col="doc_id", positional=positional
+        ).count()
 
     n_off, n_on = n_candidates(False), n_candidates(True)
     assert n_off == 190 + 1, n_off  # all 'mm' pairs + the dup pair

@@ -165,8 +165,12 @@ def test_hybrid_rrf_entry_shape(spark, sf_dir):
     # fused list is sorted by score desc then id
     key = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert key == sorted(key)
-    # at least one doc retrieved by both systems sits at the top
-    assert rows[0]["lex_rank"] is not None or rows[0]["sem_rank"] is not None
+    # the pools genuinely overlap: some fused top-10 doc was retrieved by
+    # BOTH systems (an `or` here would be vacuous — every fused row has
+    # at least one rank by construction)
+    assert any(
+        r["lex_rank"] is not None and r["sem_rank"] is not None for r in rows
+    )
 
 
 def test_spearman_rho_hand_cases(spark):
