@@ -2508,7 +2508,7 @@ _SPEARMAN_ORACLE = f"""
     ),
     sums AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+               CAST(COALESCE(SUM((ra - rb) * (ra - rb)), 0) AS BIGINT) AS sum_d2
         FROM ranked
     )
     SELECT n_items, sum_d2,

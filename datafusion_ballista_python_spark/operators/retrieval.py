@@ -209,7 +209,9 @@ def spearman_rho(
     d = F.col("__ra") - F.col("__rb")
     sums = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum(d * d).cast("long").alias("sum_d2"),
+        # coalesce: SUM over an EMPTY intersection is NULL on both
+        # engines — the sum of no squared differences is 0
+        F.coalesce(F.sum(d * d), F.lit(0)).cast("long").alias("sum_d2"),
     )
     n = F.col("n_items")
     rho = F.when(

@@ -202,3 +202,78 @@ def test_eval_rank_correlation_entry_bounds(spark, sf_dir):
     r = llm.eval_rank_correlation(spark, sf_dir).collect()[0]
     assert r["n_items"] >= 2
     assert -1.0 <= r["rho"] <= 1.0
+
+
+# -- hypothesis property tests: fusion operators vs pure-python references --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    perm_a=st.permutations(list(range(6))),
+    perm_b=st.permutations(list(range(6))),
+    n_a=st.integers(min_value=1, max_value=6),
+    n_b=st.integers(min_value=1, max_value=6),
+)
+def test_spearman_rho_matches_bruteforce(spark, perm_a, perm_b, n_a, n_b):
+    """spearman_rho == the textbook formula computed in python over the
+    intersection of two arbitrary truncated rankings — guards the dense
+    re-rank (intersection items keep each side's relative order) and the
+    exact-integer d^2 accumulation."""
+    from datafusion_ballista_python_spark.operators.retrieval import spearman_rho
+
+    a = [(item, rank + 1) for rank, item in enumerate(perm_a[:n_a])]
+    b = [(item, rank + 1) for rank, item in enumerate(perm_b[:n_b])]
+    got = spearman_rho(
+        spark.createDataFrame(a, ["doc_id", "rank"]),
+        spark.createDataFrame(b, ["doc_id", "rank"]),
+    ).collect()[0]
+
+    shared = sorted(set(i for i, _ in a) & set(i for i, _ in b))
+    ra = {i: r for i, r in a if i in shared}
+    rb = {i: r for i, r in b if i in shared}
+    # dense re-rank within the intersection, preserving each side's order
+    da = {i: k + 1 for k, i in enumerate(sorted(shared, key=lambda i: ra[i]))}
+    db = {i: k + 1 for k, i in enumerate(sorted(shared, key=lambda i: rb[i]))}
+    n = len(shared)
+    sum_d2 = sum((da[i] - db[i]) ** 2 for i in shared)
+    rho = round(1 - 6 * sum_d2 / (n * (n * n - 1)), 6) if n >= 2 else None
+    assert (got["n_items"], got["sum_d2"], got["rho"]) == (n, sum_d2, rho)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pools=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1,
+                 max_size=6, unique=True),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.sampled_from([1, 60]),
+)
+def test_rrf_fuse_matches_bruteforce(spark, pools, k):
+    """rrf_fuse == the python reference sum(1/(k+rank)) over arbitrary
+    per-system pools (any number of systems, partial overlap, absent
+    docs contributing 0) — guards the outer-join cascade and the
+    fixed-order score sum."""
+    from datafusion_ballista_python_spark.operators.retrieval import rrf_fuse
+
+    rankings = {
+        f"s{i}": spark.createDataFrame(
+            [(doc, r + 1) for r, doc in enumerate(pool)], ["doc_id", "rank"]
+        )
+        for i, pool in enumerate(pools)
+    }
+    got = {
+        r["doc_id"]: r["rrf_score"] for r in rrf_fuse(rankings, k=k).collect()
+    }
+    want = {}
+    for pool in pools:
+        for r, doc in enumerate(pool):
+            want[doc] = want.get(doc, 0.0) + 1.0 / (k + r + 1)
+    want = {d: round(v, 6) for d, v in want.items()}
+    assert got == want
