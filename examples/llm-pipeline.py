@@ -31,3 +31,31 @@ q = emb.filter(F.col("vec_id") < 3).select(
     F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
 )
 similarity.quantized_cosine_topk(emb.filter(F.col("vec_id") >= 3), q, k=5).show(5)
+
+# 4. hybrid retrieval: BM25 + cosine pools fused with RRF, and the rank
+#    agreement between the two systems
+from datafusion_ballista_python_spark.operators import retrieval
+
+qterms = (
+    text._terms(docs.filter(F.col("doc_id") == 0), "text", "doc_id")
+    .select("term").distinct()
+)
+cands = docs.filter(F.col("doc_id") >= 5).join(
+    emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+)
+lex = retrieval.topk_ranking(
+    retrieval.bm25_query_scores(cands, qterms), "bm25", "doc_id", n=20
+)
+qv = emb.filter(F.col("vec_id") == 0).select(
+    F.lit(0).alias("qid"), F.col("embedding").alias("qe")
+)
+sem = retrieval.topk_ranking(
+    similarity.cosine_topk(
+        emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding"), qv, k=20
+    ).select(F.col("vec_id").alias("doc_id"), "cos_sim"),
+    "cos_sim", "doc_id", n=20,
+)
+retrieval.rrf_fuse({"lex": lex, "sem": sem}).orderBy(
+    F.desc("rrf_score"), "doc_id"
+).show(5)
+retrieval.spearman_rho(lex, sem).show()

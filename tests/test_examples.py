@@ -45,3 +45,12 @@ def test_analytics_pipeline_example():
     out = _run("analytics-pipeline.py")
     assert "curated corpus:" in out
     assert "plan audit: clean" in out
+
+
+def test_llm_pipeline_example():
+    out = _run("llm-pipeline.py")
+    assert "duplicate clusters:" in out
+    # the hybrid-retrieval stage prints the fused head and the rank
+    # agreement between the two systems
+    assert "rrf_score" in out
+    assert "rho" in out
