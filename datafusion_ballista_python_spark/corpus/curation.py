@@ -230,9 +230,9 @@ def corpus_domain_quota(spark, sf_dir):
     cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25),
     scored AS (
         SELECT c.vec_id,
-               ROUND(LIST_DOT_PRODUCT(c.embedding, e.ee) /
-                     (SQRT(LIST_DOT_PRODUCT(c.embedding, c.embedding)) *
-                      SQRT(LIST_DOT_PRODUCT(e.ee, e.ee))), 4) AS sim
+               ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.embedding, e.ee), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                     (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.embedding, c.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                      SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.ee, e.ee), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS sim
         FROM cand c CROSS JOIN ev e
     )
     SELECT vec_id, MAX(sim) AS max_eval_sim,

@@ -208,8 +208,8 @@ _COSINE_TOPK_ORACLE = """
          c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
          scored AS (
             SELECT qid, vec_id, label,
-                   ROUND(LIST_DOT_PRODUCT(qe, embedding) /
-                         (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+                   ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                         (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) * SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))),
                          4) AS cos_sim
             FROM q CROSS JOIN c
          )
@@ -246,8 +246,8 @@ WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 
 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT qid, vec_id, embedding,
-         ROUND(LIST_DOT_PRODUCT(qe, embedding) /
-               (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+         ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+               (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) * SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))),
                4) AS rel
   FROM q CROSS JOIN c
 ),
@@ -266,9 +266,9 @@ s1 AS (
 r1 AS (SELECT p.* FROM pool p ANTI JOIN s1 USING (qid, vec_id)),
 m1 AS (
   SELECT r.qid, r.vec_id,
-         MAX(ROUND(LIST_DOT_PRODUCT(r.embedding, s.embedding) /
-             (SQRT(LIST_DOT_PRODUCT(r.embedding, r.embedding)) *
-              SQRT(LIST_DOT_PRODUCT(s.embedding, s.embedding))), 4)) AS ms
+         MAX(ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(r.embedding, s.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+             (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(r.embedding, r.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(s.embedding, s.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4)) AS ms
   FROM r1 r JOIN s1 s ON r.qid = s.qid GROUP BY r.qid, r.vec_id
 ),
 s2 AS (
@@ -289,9 +289,9 @@ sel2 AS (
 ),
 m2 AS (
   SELECT r.qid, r.vec_id,
-         MAX(ROUND(LIST_DOT_PRODUCT(r.embedding, s.embedding) /
-             (SQRT(LIST_DOT_PRODUCT(r.embedding, r.embedding)) *
-              SQRT(LIST_DOT_PRODUCT(s.embedding, s.embedding))), 4)) AS ms
+         MAX(ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(r.embedding, s.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+             (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(r.embedding, r.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(s.embedding, s.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4)) AS ms
   FROM r2 r JOIN sel2 s ON r.qid = s.qid GROUP BY r.qid, r.vec_id
 ),
 s3 AS (
@@ -562,13 +562,13 @@ def dedup_simhash(spark, sf_dir):
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           ROUND(LIST_DOT_PRODUCT(a.embedding, b.embedding) /
-                 (SQRT(LIST_DOT_PRODUCT(a.embedding, a.embedding)) *
-                  SQRT(LIST_DOT_PRODUCT(b.embedding, b.embedding))), 4) AS cos_sim
+           ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                 (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, a.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                  SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(b.embedding, b.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(LIST_DOT_PRODUCT(a.embedding, b.embedding) /
-                (SQRT(LIST_DOT_PRODUCT(a.embedding, a.embedding)) *
-                 SQRT(LIST_DOT_PRODUCT(b.embedding, b.embedding))), 4) >= 0.35
+    WHERE ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, a.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                 SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(b.embedding, b.embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) >= 0.35
     ORDER BY doc_a, doc_b
     """,
 )
@@ -609,13 +609,13 @@ c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
       FROM embeddings WHERE vec_id >= 5),
 qb AS (
     SELECT qid, t,
-           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(qe, pv) > 0
+           CAST(SUM(CASE WHEN LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, pv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) > 0
                     THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
     FROM q CROSS JOIN planes GROUP BY qid, t
 ),
 cb AS (
     SELECT vec_id, t,
-           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(ce, pv) > 0
+           CAST(SUM(CASE WHEN LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(ce, pv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) > 0
                     THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
     FROM c CROSS JOIN planes GROUP BY vec_id, t
 ),
@@ -625,9 +625,9 @@ pairs AS (
 ),
 scored AS (
     SELECT p.qid, p.vec_id, c.label,
-           ROUND(LIST_DOT_PRODUCT(q.qe, c.ce) /
-                 (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe)) *
-                  SQRT(LIST_DOT_PRODUCT(c.ce, c.ce))), 4) AS cos_sim
+           ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, c.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                 (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, q.qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                  SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.ce, c.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
     FROM pairs p JOIN q ON q.qid = p.qid JOIN c ON c.vec_id = p.vec_id
 )
 SELECT qid, vec_id, label, cos_sim FROM (
@@ -681,7 +681,7 @@ ca AS (
     SELECT vec_id, label, ce, cell FROM (
         SELECT c.*, cent.cell,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                   ORDER BY LIST_DOT_PRODUCT(c.ce, cent.cv) DESC, cent.cell) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.ce, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
         FROM c CROSS JOIN cent
     ) WHERE rn = 1
 ),
@@ -689,15 +689,15 @@ qp AS (
     SELECT qid, qe, cell FROM (
         SELECT q.*, cent.cell,
                ROW_NUMBER() OVER (PARTITION BY q.qid
-                   ORDER BY LIST_DOT_PRODUCT(q.qe, cent.cv) DESC, cent.cell) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
         FROM q CROSS JOIN cent
     ) WHERE rn <= {_IVF_N_PROBE}
 ),
 scored AS (
     SELECT qp.qid, ca.vec_id, ca.label,
-           ROUND(LIST_DOT_PRODUCT(qp.qe, ca.ce) /
-                 (SQRT(LIST_DOT_PRODUCT(qp.qe, qp.qe)) *
-                  SQRT(LIST_DOT_PRODUCT(ca.ce, ca.ce))), 4) AS cos_sim
+           ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qp.qe, ca.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                 (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qp.qe, qp.qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                  SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(ca.ce, ca.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
     FROM qp JOIN ca USING (cell)
 )
 SELECT qid, vec_id, label, cos_sim FROM (
@@ -759,7 +759,7 @@ ca AS MATERIALIZED (
     SELECT vec_id, label, ce, cell FROM (
         SELECT c.*, cent.cell,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                   ORDER BY LIST_DOT_PRODUCT(c.ce, cent.cv) DESC, cent.cell) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.ce, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
         FROM c CROSS JOIN cent
     ) WHERE rn = 1
 ),
@@ -772,8 +772,8 @@ enc AS MATERIALIZED (
     SELECT vec_id, sub, cbv FROM (
         SELECT sv.vec_id, sv.sub, cb.code, cb.cbv,
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
-                   ORDER BY LIST_DOT_PRODUCT(cb.cbv, cb.cbv)
-                            - 2 * LIST_DOT_PRODUCT(sv.sv, cb.cbv), cb.code) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(cb.cbv, cb.cbv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)
+                            - 2 * LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(sv.sv, cb.cbv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e), cb.code) AS rn
         FROM subv sv JOIN cb ON cb.sub = sv.sub
     ) WHERE rn = 1
 ),
@@ -787,15 +787,15 @@ qp AS (
     SELECT qid, qe, cell FROM (
         SELECT q.*, cent.cell,
                ROW_NUMBER() OVER (PARTITION BY q.qid
-                   ORDER BY LIST_DOT_PRODUCT(q.qe, cent.cv) DESC, cent.cell) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
         FROM q CROSS JOIN cent
     ) WHERE rn <= {_IVF_N_PROBE}
 ),
 scored AS (
     SELECT qp.qid, crc.vec_id, crc.label,
-           ROUND(LIST_DOT_PRODUCT(qp.qe, crc.rv) /
-                 (SQRT(LIST_DOT_PRODUCT(qp.qe, qp.qe)) *
-                  SQRT(LIST_DOT_PRODUCT(crc.rv, crc.rv))), 4) AS cos_sim
+           ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qp.qe, crc.rv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                 (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qp.qe, qp.qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                  SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(crc.rv, crc.rv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
     FROM qp JOIN crc USING (cell)
 ),
 short AS (
@@ -807,9 +807,9 @@ short AS (
 ),
 rescored AS (
     SELECT s.qid, s.vec_id, c.label,
-           ROUND(LIST_DOT_PRODUCT(q.qe, c.ce) /
-                 (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe)) *
-                  SQRT(LIST_DOT_PRODUCT(c.ce, c.ce))), 4) AS cos_sim
+           ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, c.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                 (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, q.qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                  SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.ce, c.ce), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
     FROM short s JOIN q ON q.qid = s.qid JOIN c ON c.vec_id = s.vec_id
 )
 SELECT qid, vec_id, label, cos_sim FROM (
@@ -1240,12 +1240,9 @@ def embed_quantize_int8(spark, sf_dir):
     c AS (SELECT vec_id, label, qc FROM coded WHERE vec_id >= 5),
     scored AS (
         SELECT qid, vec_id, label,
-               ROUND(LIST_DOT_PRODUCT(LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE)),
-                                      LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE))) /
-                     (SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE)),
-                                            LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE)))) *
-                      SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE)),
-                                            LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE))))),
+               ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE)), LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE))), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                     (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE)), LIST_TRANSFORM(qq, x -> CAST(x AS DOUBLE))), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                      SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE)), LIST_TRANSFORM(qc, x -> CAST(x AS DOUBLE))), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))),
                      4) AS cos_sim
         FROM q CROSS JOIN c
     )
@@ -1378,16 +1375,16 @@ ca AS (
     SELECT vec_id, e, cell FROM (
         SELECT v.*, cent.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                   ORDER BY LIST_DOT_PRODUCT(v.e, cent.cv) DESC, cent.cell) AS rn
+                   ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v.e, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
         FROM v CROSS JOIN cent
     ) WHERE rn = 1
 ),
 pairs AS (
     SELECT a.vec_id AS ida, b.vec_id AS idb
     FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE ROUND(LIST_DOT_PRODUCT(a.e, b.e) /
-                (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) *
-                 SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 4) >= {_SEMDEDUP_TAU}
+    WHERE ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.e, b.e), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.e, a.e), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                 SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(b.e, b.e), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) >= {_SEMDEDUP_TAU}
 )
 SELECT ca.vec_id, ca.cell,
        ca.vec_id NOT IN (SELECT idb FROM pairs) AS keep
@@ -1441,10 +1438,14 @@ _PPL_CTES = """terms AS (
         FROM tf JOIN counts USING (term) CROSS JOIN total
     ),
     ppl AS (
+        -- exact integer half-up mean, mirroring the operator: engine
+        -- ROUND on the double quotient diverges at decimal midpoints
         SELECT doc_id,
                CAST(SUM(tf) AS BIGINT) AS n_tokens,
                CAST(SUM(bits) AS DOUBLE) AS sum_bits,
-               ROUND(CAST(SUM(bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
+               CAST((2 * CAST(SUM(bits) * 1000000 AS BIGINT) + CAST(SUM(tf) AS BIGINT))
+                    // (2 * CAST(SUM(tf) AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS bits_per_token
         FROM ppl_scored GROUP BY doc_id
     )"""
 
@@ -2031,9 +2032,9 @@ def graph_pagerank_directed(spark, sf_dir):
     c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
     scored AS (
         SELECT qid, qlabel, vec_id, label,
-               ROUND(LIST_DOT_PRODUCT(qe, embedding) /
-                     (SQRT(LIST_DOT_PRODUCT(qe, qe)) *
-                      SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS cos_sim
+               ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                     (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                      SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) AS cos_sim
         FROM q CROSS JOIN c
         WHERE label IS DISTINCT FROM qlabel
     )
@@ -2422,8 +2423,8 @@ _RRF_POOL_CTES = """
     ),
     sem AS (
         SELECT doc_id,
-               ROUND(LIST_DOT_PRODUCT(qe, embedding) /
-                     (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(embedding, embedding))),
+               ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                     (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe, qe), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) * SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, embedding), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))),
                      4) AS cos_sim
         FROM cand CROSS JOIN qv
     ),

@@ -713,16 +713,16 @@ def dq_skew_report(spark, sf_dir):
         SELECT doc_id, lang, n_chars, emb, cell FROM (
             SELECT q.*, cent.cell,
                    ROW_NUMBER() OVER (PARTITION BY q.doc_id
-                       ORDER BY LIST_DOT_PRODUCT(q.emb, cent.cv) DESC, cent.cell) AS rn
+                       ORDER BY LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.emb, cent.cv), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) DESC, cent.cell) AS rn
             FROM q CROSS JOIN cent
         ) WHERE rn = 1
     ),
     pairs AS (
         SELECT b.doc_id AS dropped
         FROM ca a JOIN ca b ON a.cell = b.cell AND a.doc_id < b.doc_id
-        WHERE ROUND(LIST_DOT_PRODUCT(a.emb, b.emb) /
-                    (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
-                     SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))), 4) >= 0.3
+        WHERE ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e) /
+                    (SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.emb, a.emb), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e)) *
+                     SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(b.emb, b.emb), p -> CAST(p[1] * p[2] AS DOUBLE)), (s, e) -> s + e))), 4) >= 0.3
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -411,19 +411,37 @@ def unigram_perplexity(
         )
         .withColumn("__tf", F.when(in_vocab, F.col("tf")).otherwise(F.lit(0)))
     )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__tf").cast("long").alias("n_tokens"),
+        F.sum("__bits").alias("__sum_dec"),
+    )
+    # The per-doc mean is rounded half-up at 6 decimals in EXACT INTEGER
+    # arithmetic (same discipline as bigram_perplexity / char_entropy):
+    # engine ROUND on the double quotient is a trap — a quotient landing
+    # within an ulp of a decimal midpoint rounds differently under
+    # Spark's exact-BigDecimal HALF_UP vs DuckDB's multiply-then-round.
+    # The sf0.1 full-corpus replay caught exactly that (4.910475 vs
+    # 4.910476 on one of 5000 docs); the micro-bit sum is integral, so
+    # (2*micro + n) DIV (2*n) rounds identically everywhere.
+    micro = (F.col("__sum_dec") * F.lit(1000000)).cast("long")
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.sum("__tf").cast("long").alias("n_tokens"),
-            F.sum("__bits").cast("double").alias("sum_bits"),
+        per_doc.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("__sum_dec").cast("double").alias("sum_bits"),
+            micro.alias("__micro"),
         )
         .withColumn(
             "bits_per_token",
             F.when(
                 F.col("n_tokens") > 0,
-                F.round(F.col("sum_bits") / F.col("n_tokens"), 6),
+                F.expr("(2 * __micro + n_tokens) DIV (2 * n_tokens)").cast(
+                    "double"
+                )
+                / F.lit(1000000.0),
             ),
         )
+        .drop("__micro")
     )
 
 
