@@ -157,6 +157,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the driver records the LAST line of stdout as
+        # the bench artifact; progress-bar control chars must not precede it
+        .config("spark.ui.showConsoleProgress", "false")
         # 8g, deliberately not larger: oversized heaps on virtualized hosts
         # stall tens of seconds on first-touch page backing (measured: 32g
         # heap -> intermittent 20-60s JVM freezes; 8g -> stable)
@@ -259,21 +262,49 @@ def main() -> None:
     }
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    # Per-query min/max spread + full samples go to a SIDE file: round 7
+    # inlined them into the stdout line, which overflowed the driver's
+    # 2000-char tail capture and left BENCH_r07.json unparseable
+    # (parsed: null) — the headline timings were unrecoverable from the
+    # round's official artifact.  The stdout line must stay compact.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
                 "spread": spread,
+                "samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
                 "calib_sec": [calib_pre, calib_post],
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+        fh.write("\n")
+    # Compact separators keep the line ~1.7k chars — comfortably inside the
+    # driver's 2000-char capture window (the default ", "/": " separators
+    # alone cost ~140 chars at 63 queries).  This MUST be the final stdout
+    # line of the process.
+    sys.stdout.flush()
+    headline = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calib_sec": [calib_pre, calib_post],
+        "repeats": repeats,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort: 2-decimal timings keep the line
+        # inside the capture window even on a pathologically slow host
+        headline["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line, flush=True)
     spark.stop()
 
 

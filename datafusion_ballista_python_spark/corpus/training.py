@@ -503,8 +503,12 @@ def train_bpe_encode(spark, sf_dir):
            CAST(SUM(w) AS BIGINT) AS n_words,
            CAST(SUM(p) AS BIGINT) AS n_pieces,
            CAST(SUM(c) AS BIGINT) AS n_chars,
-           ROUND(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS fertility,
-           ROUND(CAST(SUM(c) AS DOUBLE) / CAST(SUM(p) AS DOUBLE), 6) AS chars_per_piece
+           CASE WHEN SUM(w) > 0
+                THEN ROUND(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+                END AS fertility,
+           CASE WHEN SUM(p) > 0
+                THEN ROUND(CAST(SUM(c) AS DOUBLE) / CAST(SUM(p) AS DOUBLE), 6)
+                END AS chars_per_piece
     FROM (
         SELECT lang,
                LEN(ws) AS w,

@@ -425,7 +425,21 @@ _CMD_PREFIX = b"cmd:"
 class FlightSqlServer(flight.FlightServerBase if flight else object):
     """Arrow Flight SQL front-end for a SparkSession's catalog."""
 
-    def __init__(self, spark: SparkSession, location: str = "grpc://127.0.0.1:0"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str = "grpc://127.0.0.1:0",
+        planned_ttl_sec: float = 30.0,
+    ):
+        """``planned_ttl_sec`` bounds the GetSchema -> GetFlightInfo window
+        for eager (side-effecting) statements: a GetFlightInfo that follows
+        GetSchema for the same statement text WITHIN the TTL consumes the
+        already-executed plan (the statement runs exactly once); past the
+        TTL the planned entry has expired and GetFlightInfo re-plans — i.e.
+        a client that pauses longer than the TTL between the two RPCs will
+        execute a side-effecting statement twice.  Raise it for clients
+        with long think-time between metadata and execution RPCs; the
+        default matches typical driver pipelining (back-to-back RPCs)."""
         if flight is None:  # pragma: no cover
             raise BallistaError("pyarrow was built without flight support")
         super().__init__(location)
@@ -443,7 +457,11 @@ class FlightSqlServer(flight.FlightServerBase if flight else object):
         # (silently skipping re-execution) — past the TTL the entry is a
         # miss and the statement re-plans (advisor finding r6).
         self._planned_by_text: "OrderedDict[str, tuple]" = OrderedDict()
-        self._planned_ttl_sec = 30.0
+        if planned_ttl_sec <= 0:
+            raise BallistaError(
+                f"planned_ttl_sec must be positive, got {planned_ttl_sec}"
+            )
+        self._planned_ttl_sec = float(planned_ttl_sec)
         # Flight servers dispatch RPCs on a thread pool: the compound
         # read-modify-write sequences on the two shared OrderedDicts
         # (lookup+pop, insert+evict) need a lock to stay consistent

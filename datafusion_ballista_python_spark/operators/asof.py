@@ -78,7 +78,10 @@ def asof_join(
     a number for numeric ``on``; an interval Column (e.g.
     ``F.expr("INTERVAL 30 MINUTES")``) for timestamp ``on``.  Applied as
     a post-match predicate on the carried struct, so it adds ZERO
-    exchanges — the window plan is unchanged.
+    exchanges — the window plan is unchanged.  A non-positive numeric
+    tolerance raises (pandas ``merge_asof`` parity: it raises
+    ``ValueError("tolerance must be positive")``) — silently it would
+    degrade every match to NULL.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -160,6 +163,20 @@ def asof_join(
         )
         match = F.when(use_fwd, fm).otherwise(bm)
     if tolerance is not None:
+        # pandas merge_asof parity: reject a non-positive literal tolerance
+        # up front instead of silently NULLing every match (interval
+        # Columns are opaque expressions — those are the caller's contract)
+        if not isinstance(tolerance, Column):
+            try:
+                bad = float(tolerance) <= 0
+            except (TypeError, ValueError):
+                bad = False
+            if bad:
+                from ..errors import BallistaError
+
+                raise BallistaError(
+                    f"tolerance must be positive, got {tolerance!r}"
+                )
         # direction-agnostic |distance| via a side test (abs() is not
         # defined on DayTimeInterval): NULL match -> NULL dist -> NULL
         # condition -> match stays NULL, as required

@@ -16,11 +16,13 @@ Scale design:
   corpus scale;
 - labels only ever decrease, so convergence is detected from the
   monotone sum of labels (one scalar agg per iteration, no change-join);
-- each iteration is ``localCheckpoint``-ed: iterative DataFrame loops
-  otherwise double the lineage every pass, and the checkpoint also
-  caches the frame the convergence check just computed (on a real
-  cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
-  ``checkpoint`` for executor-loss resilience);
+- each iteration is checkpointed: iterative DataFrame loops otherwise
+  double the lineage every pass, and the checkpoint also caches the frame
+  the convergence check just computed.  Every iterative operator here
+  takes ``checkpoint="local"`` (default; executor-block localCheckpoint,
+  zero config) or ``"reliable"`` (``spark.sparkContext.setCheckpointDir``
+  + ``DataFrame.checkpoint`` — survives executor loss, the mode for
+  preemptible clusters); see operators/_ckpt.py for the trade-off;
 - for adversarially long chains or whale components, the
   large-star/small-star variant (Kiveris et al., "Connected Components
   in MapReduce and Beyond") halves path lengths per round (O(log d)
@@ -33,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._ckpt import make_checkpointer
+
 
 def connected_components(
     pairs: DataFrame,
@@ -42,6 +46,7 @@ def connected_components(
     node_col: str = "node",
     comp_col: str = "component",
     algorithm: str = "minlabel",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components of the undirected graph given by pair rows.
 
@@ -57,9 +62,10 @@ def connected_components(
     which halves path lengths every round — O(log d) rounds, the scale
     path for chain-heavy graphs whose diameter exceeds the round budget.
     """
+    ckpt = make_checkpointer(checkpoint)
     if algorithm == "star":
         return _connected_components_star(
-            pairs, id_a, id_b, max_iterations, node_col, comp_col
+            pairs, id_a, id_b, max_iterations, node_col, comp_col, ckpt
         )
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'minlabel' or 'star'")
@@ -84,8 +90,8 @@ def connected_components(
         edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select("src", F.least(F.col("src"), F.col("mn")).alias("label"))
-        .localCheckpoint()
     )
+    labels = ckpt(labels)
 
     # Convergence fingerprint: decimal sum of xxhash64(label), NOT a raw
     # F.sum(label) — a raw sum silently casts string labels to double
@@ -113,7 +119,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("label"))
         )
-        labels = labels.localCheckpoint()
+        labels = ckpt(labels)
         cur_sum = fingerprint(labels)
         if cur_sum == prev_sum:
             n_changed = (
@@ -149,6 +155,7 @@ def _connected_components_star(
     max_iterations: int,
     node_col: str,
     comp_col: str,
+    ckpt,
 ) -> DataFrame:
     """Two-phase star algorithm (Kiveris et al. 2014, §3: Two-Phase):
     alternate
@@ -177,8 +184,8 @@ def _connected_components_star(
         .where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
     )
+    edges = ckpt(edges)
 
     def finalize(star_edges: DataFrame) -> DataFrame:
         members = star_edges.select(
@@ -230,7 +237,7 @@ def _connected_components_star(
 
     prev = fingerprint(edges)
     for _ in range(max_iterations):
-        edges_next = small_star(large_star(edges)).localCheckpoint()
+        edges_next = ckpt(small_star(large_star(edges)))
         cur = fingerprint(edges_next)
         if cur == prev:
             # fingerprints match => almost surely identical; confirm
@@ -255,12 +262,13 @@ def duplicate_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iterations: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Cluster roll-up of :func:`connected_components`: one row per
     component with its size and canonical (minimum) member id.  Keep rows
     of the corpus whose id joins ``component`` (or anti-join the
     non-canonical members) to deduplicate."""
-    cc = connected_components(pairs, id_a, id_b, max_iterations)
+    cc = connected_components(pairs, id_a, id_b, max_iterations, checkpoint=checkpoint)
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").alias("canonical_id"),
@@ -273,6 +281,7 @@ def pagerank(
     id_b: str = "doc_b",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """PageRank over the undirected graph given by pair rows (each pair
     contributes both directions), run for a FIXED number of power
@@ -304,8 +313,9 @@ def pagerank(
         .distinct()
         .persist()
     )
+    ckpt = make_checkpointer(checkpoint)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    nodes = deg.select("src", "deg").localCheckpoint()
+    nodes = ckpt(deg.select("src", "deg"))
     n = nodes.count()
     # rounding must happen ENGINE-side (Spark round == DuckDB ROUND ==
     # half-away-from-zero for positives); python round() is half-even and
@@ -334,8 +344,8 @@ def pagerank(
                     12,
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        pr = ckpt(pr)
     edges.unpersist()
     return pr.select(F.col("src").alias("node"), "pr")
 
@@ -346,6 +356,7 @@ def pagerank_directed(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list with dangling-node mass
     redistribution — the real PageRank recurrence (Page et al. 1999),
@@ -383,8 +394,9 @@ def pagerank_directed(
         .distinct()
         .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
         .select("node", F.coalesce(F.col("od"), F.lit(0).cast("long")).alias("od"))
-        .localCheckpoint()
     )
+    ckpt = make_checkpointer(checkpoint)
+    nodes = ckpt(nodes)
     n = nodes.count()
     base = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 12)
     pr = nodes.withColumn("pr", F.round(F.lit(1.0) / F.lit(float(n)), 12))
@@ -417,8 +429,8 @@ def pagerank_directed(
                     12,
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        pr = ckpt(pr)
     edges.unpersist()
     return pr.select("node", "pr")
 
@@ -544,6 +556,7 @@ def kcore(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """k-core decomposition over the undirected pair graph: iteratively
     peel nodes with degree < k until fixpoint, returning each surviving
@@ -562,13 +575,14 @@ def kcore(
     longest thin appendage, not corpus size).
 
     Scale shape per round: ONE degree partial-aggregate + two semi-joins
-    (keep edges whose BOTH endpoints survive), localCheckpoint-ed like
+    (keep edges whose BOTH endpoints survive), checkpointed like
     every iterative loop in this module; the convergence probe is a
     1-scalar edge count.  Rounds are data-bounded and small, never
     corpus-proportional.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    ckpt = make_checkpointer(checkpoint)
     edges = (
         pairs.select(
             F.explode(
@@ -581,8 +595,8 @@ def kcore(
         .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    edges = ckpt(edges)
     n_edges = edges.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -597,8 +611,8 @@ def kcore(
             edges.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
         )
+        pruned = ckpt(pruned)
         n_pruned = pruned.count()
         if n_pruned == n_edges:
             break
@@ -609,8 +623,9 @@ def kcore(
         raise BallistaError(
             f"k-core peel did not converge within {max_rounds} rounds"
         )
-    return (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-        .orderBy("node")
+    # unordered return: a global sort over the surviving-core node set is a
+    # needless full range-Exchange at scale; callers (and the oracle harness)
+    # order when they need order
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
     )

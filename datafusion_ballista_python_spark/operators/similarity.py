@@ -800,6 +800,15 @@ def mmr_topk(
     (IEEE-identical in both engines when literals match); argmax orders
     by (score DESC, id ASC).  Output: (query_id, rank 1..k, id,
     mmr_score rounded to ``score_digits``, rel).
+
+    A query whose candidate set (or cosine_topk pool) holds fewer than
+    ``k`` members returns that many rows — never padded, never an error
+    (the greedy rounds simply run dry, which is what re-ranking an
+    under-filled pool means).  Note also that unlike the framework's
+    other operators this one is EAGER: the per-round ``localCheckpoint``
+    calls run Spark jobs at construction time, so building the plan
+    already costs ``k`` bounded jobs — call it when you want the answer,
+    not as a lazily-composed subexpression.
     """
     from ..errors import BallistaError
 

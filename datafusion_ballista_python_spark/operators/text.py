@@ -1126,10 +1126,21 @@ def tokenizer_fertility(
         F.sum("__w").cast("long").alias("n_words"),
         F.sum("__p").cast("long").alias("n_pieces"),
         F.sum("__c").cast("long").alias("n_chars"),
-        F.round(
-            F.sum("__p").cast("double") / F.sum("__w").cast("double"), 6
+        # 0/0 guard: a language whose docs yield zero words (or zero
+        # pieces) must be NULL in BOTH engines — Spark's non-ANSI division
+        # already returns NULL on x/0, but DuckDB's IEEE float division
+        # returns NaN, so the oracle carries the matching CASE WHEN
+        # (advisor finding r7)
+        F.when(
+            F.sum("__w") > 0,
+            F.round(
+                F.sum("__p").cast("double") / F.sum("__w").cast("double"), 6
+            ),
         ).alias("fertility"),
-        F.round(
-            F.sum("__c").cast("double") / F.sum("__p").cast("double"), 6
+        F.when(
+            F.sum("__p") > 0,
+            F.round(
+                F.sum("__c").cast("double") / F.sum("__p").cast("double"), 6
+            ),
         ).alias("chars_per_piece"),
     )

@@ -67,6 +67,7 @@ def merge_into_path(
     key: str,
     partition_col: str,
     delete_col: Optional[str] = None,
+    checkpoint: str = "local",
 ) -> list:
     """Copy-on-write MERGE into a hive-partitioned parquet table: only the
     touched partitions are read, merged and rewritten (dynamic partition
@@ -89,15 +90,25 @@ def merge_into_path(
     whole partition) are removed explicitly: dynamic overwrite only
     rewrites partitions present in the output, so an empty partition
     would otherwise silently keep its old files.
+
+    ``checkpoint``: how the two internal snapshots (the pinned update
+    batch, the merged partitions) are materialized — ``"local"``
+    (executor blocks, default) or ``"reliable"`` (the registered
+    ``setCheckpointDir`` DFS path; survives executor loss on preemptible
+    clusters).  See operators/_ckpt.py.
     """
+    from ..operators._ckpt import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint)
     # Pin the update batch ONCE: merge_into_path drives 4+ separate actions
     # off this frame (dup check, partition collect, current-location semi
     # join, merge/write).  A nondeterministic source (unordered limit,
     # sample, shuffled input) could pass the dup check yet resolve to
     # different rows at write time, fabricating duplicate keys or a wrong
-    # touched set — localCheckpoint materializes one snapshot all internal
-    # actions share (bounded: update batches are MBs, not the table).
-    updates = updates.localCheckpoint(eager=True)
+    # touched set — the eager checkpoint materializes one snapshot all
+    # internal actions share (bounded: update batches are MBs, not the
+    # table).
+    updates = ckpt(updates)
     dup = (
         updates.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -134,11 +145,11 @@ def merge_into_path(
     target = spark.read.parquet(path).where(read_cond)
     merged = merge_frames(target, updates, key, delete_col=delete_col)
     # Spark refuses to overwrite a path it is still lazily reading
-    # (read-before-write hazard); localCheckpoint materializes the merged
+    # (read-before-write hazard); the checkpoint materializes the merged
     # partitions — bounded by the TOUCHED partitions, not the table — and
     # severs the lineage so the overwrite is safe.  (A production variant
     # with huge single partitions would stage to a sibling dir + rename.)
-    merged = merged.localCheckpoint()
+    merged = ckpt(merged)
     # dynamic overwrite only rewrites partitions PRESENT in the output; a
     # touched partition with zero surviving rows (whole-partition takedown)
     # must be deleted explicitly or its old files silently survive.  Delete
