@@ -69,7 +69,11 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
 # every oracle / corpus-function edit mechanically; this list exists only
 # for that residual class.  Entries: (name, changed_in_round) —
 # self-clearing once a driver row from >= changed_in_round lands.
-_MANUAL_CHANGED: list[tuple[str, int]] = []
+_MANUAL_CHANGED: list[tuple[str, int]] = [
+    # r8: graph.kcore dropped its baked-in output orderBy (operator-internal;
+    # result SET identical, but re-certify the hash under the new plan)
+    ("graph_kcore", 8),
+]
 
 
 def _certified_fingerprints() -> dict[str, str]:
@@ -119,9 +123,16 @@ def _rotated(reg: dict) -> list[str]:
         )
     ]
     changed_set = set(changed)
-    rest = [
-        n for n in names if n in seen and n not in failed and n not in changed_set
-    ]
+    # STALENESS order inside the rest tier (r7 verdict item #4): entries
+    # whose only green row is rounds old were certified under an older
+    # harness/canonicalizer — the stalest lead so each round's sample
+    # re-certifies the oldest tail instead of resampling recent greens.
+    # Stable sort keys on (last certified round, registry order).
+    order = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n in seen and n not in failed and n not in changed_set),
+        key=lambda n: (last_round.get(n, 0), order[n]),
+    )
     return refail + fresh + changed + rest
 
 

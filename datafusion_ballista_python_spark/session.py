@@ -56,7 +56,52 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this deployment; keep going
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors when they are SEPARATE processes.
+
+    In ``local[*]`` the Python workers fork from the driver and inherit its
+    ``sys.path``; on any real deployment (``local-cluster``, standalone,
+    YARN, k8s) executors spawn their own workers, and a cloudpickled
+    pandas_udf / mapInPandas closure that references this package by module
+    name dies with ModuleNotFoundError at deserialization — found by the
+    round-8 ``tools/local_cluster_smoke.py`` run (dedup_semantic's centroid
+    matmul was the first casualty).  The fix is the idiomatic Spark one:
+    ``sc.addPyFile`` a zip of the package, which every executor appends to
+    its worker ``sys.path``.  Zipped lazily, once per JVM (re-adding the
+    same path is a Spark no-op but re-zipping 20k LoC per session is not).
+    """
+    sc = spark.sparkContext
+    if sc.master.startswith("local[") or sc.master == "local":
+        return  # forked workers share the driver's sys.path
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_root)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dbps_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for pkg in ("datafusion_ballista_python_spark", "ballista"):
+                top = os.path.join(repo_root, pkg)
+                if not os.path.isdir(top):
+                    continue
+                for dirpath, dirnames, filenames in os.walk(top):
+                    dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                    for fn in filenames:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            zf.write(full, os.path.relpath(full, repo_root))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under another name / restricted deployment
 
 
 def translate_conf(key: str) -> str | None:
