@@ -1104,3 +1104,77 @@ def eval_brier_score(spark, sf_dir):
     )
     labeled = scored.select("score", (F.col("lang") == "en").alias("is_en"))
     return quality.brier_score(labeled, "score", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_dsir_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           x -> LENGTH(x) > 0) AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, tgt, ws[i] || ' ' || ws[i + 1] AS g
+        FROM toks, UNNEST(RANGE(1, LEN(ws))) AS r(i)
+        WHERE LEN(ws) >= 2
+    ),
+    hashed AS (
+        SELECT doc_id, tgt,
+               CAST(CAST('0x' || SUBSTRING(MD5('dsir:' || g), 1, 15) AS BIGINT)
+                    % 256 AS BIGINT) AS bucket
+        FROM grams
+    ),
+    per_doc AS (
+        SELECT doc_id, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(tgt) AS tgt
+        FROM hashed GROUP BY doc_id, bucket
+    ),
+    dist AS (
+        SELECT bucket,
+               CAST(SUM(n) AS BIGINT) AS c_raw,
+               CAST(SUM(n * tgt) AS BIGINT) AS c_tgt
+        FROM per_doc GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_raw) AS BIGINT) AS cr,
+               CAST(SUM(c_tgt) AS BIGINT) AS ct
+        FROM dist
+    ),
+    ratio AS (
+        SELECT bucket,
+               CAST(ROUND(LN(CAST(c_tgt + 1 AS DOUBLE) / CAST(ct + 256 AS DOUBLE))
+                          - LN(CAST(c_raw + 1 AS DOUBLE) / CAST(cr + 256 AS DOUBLE)),
+                          6) AS DECIMAL(25,6)) AS r
+        FROM dist CROSS JOIN tot
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n) AS BIGINT) AS n_feats,
+           CAST(SUM(p.n * r.r) AS DOUBLE) AS log_weight
+    FROM per_doc p JOIN ratio r USING (bucket)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def train_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/training.dsir_weights, public
+    method: Xie et al. 2023): hashed-bigram log-likelihood ratio of each
+    document under the target distribution (here: the English subset,
+    standing in for a high-quality reference corpus) vs the raw corpus —
+    the cheap "select web docs that look like the reference set" scorer.
+    256 md5 buckets, Laplace-smoothed; per-bucket log-ratios round at 6
+    then accumulate exactly in DECIMAL against integer per-doc counts,
+    so the driver hash certifies the full pipeline.  Non-vacuous: en docs
+    score positive, zh/de/es/fr docs negative, with per-doc spread."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return training.dsir_weights(
+        docs, F.col("lang") == "en", buckets=256
+    ).orderBy("doc_id")

@@ -2590,3 +2590,134 @@ def text_zipf_slope(spark, sf_dir):
     TakeOrderedAndProject, never a global sort."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return text.zipf_fit(docs, top_n=500)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets / NDCG retrieval eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH {_PPL_CTES},
+    scored AS (
+        SELECT ppl.doc_id, d.lang, ppl.bits_per_token
+        FROM ppl JOIN documents d USING (doc_id)
+    ),
+    b AS (
+        SELECT doc_id, lang, bits_per_token,
+               CAST(NTILE(3) OVER (
+                   PARTITION BY lang ORDER BY bits_per_token, doc_id
+               ) AS INTEGER) AS bucket
+        FROM scored
+    )
+    SELECT doc_id, lang, bits_per_token, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM b ORDER BY doc_id
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail split (operators/text.
+    perplexity_buckets, public method: Wenzek et al. 2020): per-language
+    NTILE(3) over the corpus-trained unigram bits-per-token — the
+    standard pretraining quality strata.  Exact mode certified here
+    (deterministic tie-break on doc id); the approx mode (percentile
+    cutoffs, no per-language sort) is the 100 TB path and is asserted
+    equal on this data by tests/test_operators.py.  The perplexity CTE
+    chain is shared verbatim with text_unigram_perplexity, so the two
+    entries can never diverge on tokenization."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return text.perplexity_buckets(docs, n_buckets=3).orderBy("doc_id")
+
+
+_NDCG_ORACLE = f"""
+    WITH {{pool_ctes}},
+    pool AS (
+        SELECT doc_id, bm25 FROM lex ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(DISTINCT t.term) AS BIGINT) AS nq
+        FROM terms t JOIN qterms USING (term)
+        GROUP BY t.doc_id
+    ),
+    graded AS (
+        SELECT CAST(0 AS BIGINT) AS qid, p.doc_id, p.bm25,
+               CAST(LEAST(3, COALESCE(h.nq, 0)) AS INTEGER) AS rel
+        FROM pool p LEFT JOIN hits h USING (doc_id)
+    ),
+    ranked AS (
+        SELECT qid,
+               CAST(POW(2, rel) - 1 AS BIGINT) AS g,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS ri
+        FROM graded
+    ),
+    dterms AS (
+        SELECT qid,
+               CASE WHEN ra <= 10
+                    THEN g * CAST(ROUND(1.0 / (LN(ra + 1.0) / LN(2.0)), 6)
+                                  AS DECIMAL(25,6))
+                    ELSE CAST(0 AS DECIMAL(25,6)) END AS dt,
+               CASE WHEN ri <= 10
+                    THEN g * CAST(ROUND(1.0 / (LN(ri + 1.0) / LN(2.0)), 6)
+                                  AS DECIMAL(25,6))
+                    ELSE CAST(0 AS DECIMAL(25,6)) END AS it
+        FROM ranked
+    ),
+    agg AS (
+        SELECT qid, CAST(SUM(dt) AS DOUBLE) AS dcg,
+               CAST(SUM(it) AS DOUBLE) AS idcg
+        FROM dterms GROUP BY qid
+    )
+    SELECT qid, dcg, idcg,
+           CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+    FROM agg
+""".format(pool_ctes=_RRF_POOL_CTES)
+
+
+@query("eval_ndcg_retrieval", oracle=_NDCG_ORACLE)
+def eval_ndcg_retrieval(spark, sf_dir):
+    """NDCG@10 of the BM25 retriever (operators/quality.ndcg_at_k) over
+    the shared 50-doc lexical pool, with graded relevance = number of
+    distinct query terms present in the document (capped at 3) — the
+    standard ranked-retrieval eval next to the corpus' AUC/Spearman
+    entries.  Rank discounts round at 6 before exact DECIMAL
+    accumulation; both the actual and the ideal ranking tie-break on doc
+    id, so the single-row result is engine-exact.  The candidate set,
+    query terms and BM25 arithmetic are the SAME CTE chain the RRF and
+    Spearman entries certify."""
+    from ..operators import quality
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    cand_docs = docs.filter(F.col("doc_id") >= 5).join(
+        emb_ids, "doc_id", "left_semi"
+    )
+    qterms = (
+        text._terms(docs.filter(F.col("doc_id") == 0), "text", "doc_id")
+        .select("term")
+        .distinct()
+    )
+    scores = retrieval.bm25_query_scores(cand_docs, qterms)
+    pool = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
+    hits = (
+        text._terms(cand_docs, "text", "doc_id")
+        .join(qterms, "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("__nq"))
+    )
+    graded = pool.join(hits, "doc_id", "left").select(
+        F.lit(0).cast("long").alias("qid"),
+        "doc_id",
+        "bm25",
+        F.least(F.lit(3), F.coalesce(F.col("__nq"), F.lit(0)))
+        .cast("int")
+        .alias("rel"),
+    )
+    return quality.ndcg_at_k(
+        graded, k=10, query_col="qid", id_col="doc_id",
+        score_col="bm25", rel_col="rel",
+    )

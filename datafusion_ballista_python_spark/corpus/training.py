@@ -536,3 +536,46 @@ def train_tokenizer_fertility(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return text.tokenizer_fertility(docs).orderBy("lang")
+
+
+@query(
+    "sample_temperature_weights",
+    oracle="""
+    WITH per AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM per),
+    sc AS (
+        SELECT lang, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / n, 6) AS p,
+               CAST(ROUND(POW(CAST(n_rows AS DOUBLE) / n, 0.7), 6)
+                    AS DECIMAL(25,6)) AS u
+        FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(u) AS z FROM sc)
+    SELECT lang, n_rows, p,
+           ROUND(CAST(u AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+           CASE WHEN p > 0
+                THEN ROUND((CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) / p, 6)
+                END AS boost
+    FROM sc CROSS JOIN z ORDER BY lang
+    """,
+)
+def sample_temperature_weights(spark, sf_dir):
+    """Temperature-smoothed mixture weights over the LANGUAGE mix
+    (operators/sampling.temperature_weights, alpha=0.7): the standard
+    multilingual pretraining re-balancer — q_d proportional to p_d^alpha
+    up-weights tail languages without drowning the head.  The corpus'
+    lang column is deliberately skewed (en-majority), so every boost is
+    a distinct non-1.0 value (the source column is uniform 25-per-source
+    and would make this vacuous).  One partial-agg shuffle collapses the
+    corpus to #languages rows; the libm pow is rounded to 6 before the
+    exact DECIMAL normalizing sum, so the oracle replays every weight
+    bit-for-bit."""
+    from ..operators import sampling
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return sampling.temperature_weights(docs, "lang", alpha=0.7).orderBy(
+        "lang"
+    )

@@ -632,3 +632,89 @@ def benford_digits(
         )
         .orderBy("digit")
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    k: int = 10,
+    query_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query NDCG@k (Jarvelin & Kekalainen 2002, exponential-gain
+    form) of a ranking against graded relevance — the standard retrieval
+    eval alongside the corpus' AUC/Brier/Spearman entries: is the
+    retriever putting the most-relevant documents at the top?
+
+        DCG@k  = sum_{i<=k} (2^rel_i - 1) / log2(i + 1)   ranked by score
+        IDCG@k = the same sum under the ideal (rel-sorted) ranking
+        NDCG@k = DCG / IDCG   (NULL when IDCG = 0: no relevant doc)
+
+    Determinism contract (same style as unigram_perplexity): the gain
+    ``2^rel - 1`` is integer-exact (rel is capped small); the rank
+    discount ``1/log2(i+1)`` is libm-dependent, so it is rounded to 6
+    decimals BEFORE the gain multiply, and the products accumulate
+    exactly in DECIMAL(25,6) — bit-identical across engines and
+    partition orders.  Ranking ties break on ascending ``id_col`` in
+    both the actual and the ideal ordering, so every rank is total.
+    Rows with a NULL score or NULL relevance are excluded (same contract
+    as auc_roc).
+
+    Output: one row per query — (query_col, dcg, idcg, ndcg).
+
+    Scale: both rankings are windows partitioned on the query key over
+    the SAME exchange (Spark reuses the hash partitioning; no second
+    shuffle), each truncated at k before any arithmetic; the final
+    per-query aggregate is map-side partial.  Cost is O(candidates per
+    query * log) within each query partition — never corpus-global.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    df = df.where(F.col(score_col).isNotNull() & F.col(rel_col).isNotNull())
+    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("int")) - F.lit(1.0)).cast(
+        "long"
+    )
+    wa = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wi = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.asc(id_col)
+    )
+    ranked = df.select(
+        F.col(query_col),
+        gain.alias("__g"),
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wi).alias("__ri"),
+    )
+
+    def disc(rank_col: str):
+        # 1/log2(rank+1) rounded to 6 BEFORE the exact gain multiply
+        return F.round(
+            F.lit(1.0) / (F.log(F.col(rank_col) + F.lit(1.0)) / F.log(F.lit(2.0))),
+            6,
+        ).cast("decimal(25,6)")
+
+    terms = ranked.select(
+        query_col,
+        F.when(F.col("__ra") <= k, F.col("__g") * disc("__ra"))
+        .otherwise(F.lit(0).cast("decimal(25,6)"))
+        .alias("__dcg_t"),
+        F.when(F.col("__ri") <= k, F.col("__g") * disc("__ri"))
+        .otherwise(F.lit(0).cast("decimal(25,6)"))
+        .alias("__idcg_t"),
+    )
+    agg = terms.groupBy(query_col).agg(
+        F.sum("__dcg_t").cast("double").alias("dcg"),
+        F.sum("__idcg_t").cast("double").alias("idcg"),
+    )
+    return agg.select(
+        query_col,
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg"),
+    )

@@ -228,3 +228,71 @@ def domain_quota(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .where(F.col(rank_col) <= quota)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group: str | Column = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-smoothed mixture weights over a grouping column — the
+    standard multilingual / multi-domain pretraining re-balancer
+    (exponent-smoothed sampling, e.g. mBERT/XLM-R: q_d ∝ p_d^alpha):
+    alpha=1 keeps the empirical mix, alpha->0 approaches uniform, and
+    values in between up-weight tail domains without drowning the head.
+
+        p_d = n_d / N          (empirical share, exact integer ratio)
+        q_d = p_d^a / sum p^a  (the sampling weight to draw batches by)
+
+    Output: one row per group value — (group, n_rows, p, weight, boost)
+    where ``boost = weight / p`` is the per-domain over/under-sampling
+    factor (>1 = tail boosted).  All ratios rounded to 6 decimals; the
+    libm-dependent ``p^alpha`` is rounded to 6 BEFORE the normalizing
+    sum, which accumulates exactly in DECIMAL(25,6) (corpus determinism
+    contract), so a SQL oracle replays the arithmetic bit-for-bit.
+
+    Scale: ONE partial-agg shuffle on the group key collapses the corpus
+    to #domains rows; the total and the normalizer are 1-row broadcast
+    cross-joins over that tiny frame.  Nothing downstream is
+    corpus-proportional.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    g = F.col(group) if isinstance(group, str) else group
+    per = df.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = per.agg(F.sum("n_rows").cast("long").alias("__N"))
+    scored = per.crossJoin(F.broadcast(total)).select(
+        "grp",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("__N"), 6).alias("p"),
+        # p^alpha before any rounding of p: the exponent sees the exact
+        # integer ratio, and only the libm result is rounded
+        F.round(
+            F.pow(F.col("n_rows").cast("double") / F.col("__N"), F.lit(float(alpha))),
+            6,
+        )
+        .cast("decimal(25,6)")
+        .alias("__u"),
+    )
+    norm = scored.agg(F.sum("__u").alias("__Z"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("grp").alias(group if isinstance(group, str) else "grp"),
+            "n_rows",
+            "p",
+            F.round(
+                F.col("__u").cast("double") / F.col("__Z").cast("double"), 6
+            ).alias("weight"),
+            F.when(
+                F.col("p") > 0,
+                F.round(
+                    (F.col("__u").cast("double") / F.col("__Z").cast("double"))
+                    / F.col("p"),
+                    6,
+                ),
+            ).alias("boost"),
+        )
+    )

@@ -15,7 +15,7 @@ roll-up), not a one-partition window over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -649,4 +649,131 @@ def bpe_apply(
     )
     return df.withColumn("__bpe_s", expr).select(
         F.col(id_col), tokens.alias(out_col)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    public method): score every document by how much more likely its
+    hashed n-gram features are under a TARGET distribution than under
+    the raw corpus — the standard cheap proxy for "select web docs that
+    look like the high-quality reference set".
+
+    Features are word bigrams hashed into ``buckets`` cells (the
+    hashing-trick estimator from the paper, md5-bucketed with the same
+    cross-engine idiom as feature_hashing); both distributions get
+    Laplace add-1 smoothing over the bucket space, so every bucket has
+    mass and the log-ratio is always finite:
+
+        r_b = ln( (c_tgt_b + 1) / (C_tgt + B) )
+            - ln( (c_raw_b + 1) / (C_raw + B) )
+        log_w(doc) = sum_b n_b(doc) * r_b
+
+    ``target`` is a boolean Column over ``df``'s columns selecting the
+    target-domain subset (rows where it is NULL count as false); the raw
+    distribution is the whole frame.  Raises if the target subset is
+    empty — importance against a zero-mass target is meaningless.
+
+    Determinism: per-bucket ``r_b`` is rounded to 6 decimals (libm ln),
+    then multiplied by the exact integer per-doc bucket count and
+    accumulated in DECIMAL(25,6) — bit-identical across engines (the
+    unigram_perplexity contract).  Output: (id_col, n_feats, log_weight)
+    for every document with >= 1 bigram; resample downstream with
+    weighted_sample on exp(log_weight) or gate on a threshold.
+
+    Scale: per-(doc, bucket) counts collapse map-side before ONE shuffle;
+    the two distribution tables are ``buckets``-row aggregates joined
+    back by broadcast; the per-doc sum is map-side partial.  Zero Python,
+    zero collect, nothing corpus-proportional after the first collapse.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(target, F.lit(False)).alias("__tgt"),
+        toks.alias("__t"),
+    )
+    grams = d.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+                F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("__g"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("__g"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    per_doc = grams.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # a doc is entirely in or out of the target subset; max is exact
+        F.max(F.col("__tgt").cast("int")).alias("__tgt"),
+    )
+    # the empty-target guard below is an action, and the ratio plan reads
+    # the same aggregate: pin the bucket table (bounded: <= `buckets` rows)
+    # so the corpus-wide count shuffle runs exactly once
+    dist = (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("c_raw"),
+            F.sum(F.col("n") * F.col("__tgt")).cast("long").alias("c_tgt"),
+        )
+        .localCheckpoint()
+    )
+    # total column names must differ from dist's per-bucket names in more
+    # than case: Spark resolves references case-insensitively by default
+    totals = dist.agg(
+        F.sum("c_raw").cast("long").alias("tot_raw"),
+        F.sum("c_tgt").cast("long").alias("tot_tgt"),
+    )
+    from ..errors import BallistaError
+
+    trow = totals.collect()[0]  # 1-row action: two longs to the driver
+    if not trow["tot_tgt"]:
+        raise BallistaError(
+            "dsir_weights: target predicate selects no features — "
+            "importance against an empty target distribution is undefined"
+        )
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c_tgt") + F.lit(1)).cast("double")
+                / (F.col("tot_tgt") + F.lit(buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1)).cast("double")
+                / (F.col("tot_raw") + F.lit(buckets)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(25,6)")
+        .alias("__r"),
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(F.col("n") * F.col("__r")).cast("double").alias("log_weight"),
+        )
     )

@@ -1,0 +1,168 @@
+"""Round-8 curation operators: NDCG@k, temperature mixture weights,
+DSIR importance weights, CCNet perplexity buckets."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ballista_python_spark.operators import (
+    quality,
+    sampling,
+    text,
+    training,
+)
+
+
+# -- ndcg_at_k --------------------------------------------------------------
+
+
+def _dcg(rels):
+    return sum((2 ** r - 1) * round(1 / math.log2(i + 2), 6)
+               for i, r in enumerate(rels))
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    rows = [(0, i, 10.0 - i, 3 - min(i, 3)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.ndcg_at_k(df, k=10).collect()[0]
+    # score order == rel order -> DCG == IDCG
+    assert out["ndcg"] == 1.0
+    assert out["dcg"] == pytest.approx(_dcg([3, 2, 1, 0, 0, 0]), abs=1e-9)
+
+
+def test_ndcg_worst_ranking_below_one_and_hand_value(spark):
+    # relevance inverted vs score: rel 0,1,2 ranked first
+    rows = [(0, 1, 3.0, 0), (0, 2, 2.0, 1), (0, 3, 1.0, 3)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.ndcg_at_k(df, k=10).collect()[0]
+    dcg = _dcg([0, 1, 3])
+    idcg = _dcg([3, 1, 0])
+    assert out["dcg"] == pytest.approx(dcg, abs=1e-9)
+    assert out["idcg"] == pytest.approx(idcg, abs=1e-9)
+    assert out["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+    assert out["ndcg"] < 1.0
+
+
+def test_ndcg_k_truncates_and_null_on_zero_idcg(spark):
+    # only rank > k carries relevance -> dcg 0; all-zero rel -> idcg 0 -> NULL
+    rows = [(0, i, 10.0 - i, 0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.ndcg_at_k(df, k=3).collect()[0]
+    assert out["idcg"] == 0.0 and out["ndcg"] is None
+    # k=1 sees only the top doc
+    rows = [(0, 1, 2.0, 0), (0, 2, 1.0, 3)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.ndcg_at_k(df, k=1).collect()[0]
+    assert out["dcg"] == 0.0 and out["idcg"] > 0 and out["ndcg"] == 0.0
+
+
+def test_ndcg_multi_query_and_validation(spark):
+    rows = [(q, d, float(-d), 1) for q in (0, 1) for d in range(3)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    got = {r["qid"]: r["ndcg"] for r in quality.ndcg_at_k(df, k=2).collect()}
+    assert got == {0: 1.0, 1: 1.0}
+    with pytest.raises(ValueError, match="k must be"):
+        quality.ndcg_at_k(df, k=0)
+
+
+# -- temperature_weights ----------------------------------------------------
+
+
+def test_temperature_alpha_one_keeps_empirical_mix(spark):
+    rows = [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, ["src"])
+    out = {r["src"]: r for r in
+           sampling.temperature_weights(df, "src", alpha=1.0).collect()}
+    assert out["a"]["weight"] == pytest.approx(0.8, abs=1e-6)
+    assert out["b"]["weight"] == pytest.approx(0.2, abs=1e-6)
+    assert out["a"]["boost"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_temperature_boosts_tail(spark):
+    rows = [("head",)] * 90 + [("tail",)] * 10
+    df = spark.createDataFrame(rows, ["src"])
+    out = {r["src"]: r for r in
+           sampling.temperature_weights(df, "src", alpha=0.5).collect()}
+    assert out["tail"]["boost"] > 1.0 > out["head"]["boost"]
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_weights(df, "src", alpha=0.0)
+
+
+# -- dsir_weights -----------------------------------------------------------
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    rows = (
+        [(i, "the quick brown fox jumps over lazy dogs", "tgt") for i in range(5)]
+        + [(10 + i, "zzz qqq xxx vvv kkk www jjj yyy", "raw") for i in range(5)]
+        # a held-out doc that LOOKS like the target but is not labeled tgt
+        + [(100, "the quick brown fox jumps again", "raw")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    out = {r["doc_id"]: r["log_weight"] for r in
+           training.dsir_weights(df, F.col("grp") == "tgt", buckets=64).collect()}
+    # target-distribution text scores above anti-target text
+    assert out[0] > out[10]
+    assert out[100] > out[10]  # generalizes by content, not by label
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(1, "a b c", "x")], ["doc_id", "text", "grp"])
+    from datafusion_ballista_python_spark.errors import BallistaError
+
+    with pytest.raises(BallistaError, match="target"):
+        training.dsir_weights(df, F.col("grp") == "nope")
+    with pytest.raises(ValueError, match="buckets"):
+        training.dsir_weights(df, F.col("grp") == "x", buckets=1)
+
+
+# -- perplexity_buckets -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_perplexity_buckets_balanced_and_ordered(docs):
+    out = text.perplexity_buckets(docs, n_buckets=3)
+    rows = out.collect()
+    assert rows, "no documents bucketed"
+    per = {}
+    for r in rows:
+        per.setdefault((r["lang"], r["bucket"]), []).append(r["bits_per_token"])
+    langs = {l for l, _ in per}
+    for lang in langs:
+        sizes = [len(per.get((lang, b), [])) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1  # NTILE balance
+        if all(sizes):
+            assert max(per[(lang, 1)]) <= min(per[(lang, 3)])  # ordered tiers
+    tiers = {r["bucket"]: r["tier"] for r in rows}
+    assert tiers == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_perplexity_buckets_approx_agrees_on_small_data(docs):
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in text.perplexity_buckets(docs, n_buckets=3).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in text.perplexity_buckets(docs, n_buckets=3, cutoffs="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    # value-ties at a cutoff may land one bucket apart; the overwhelming
+    # majority must agree exactly and nothing may drift further than 1
+    diffs = [abs(exact[d] - approx[d]) for d in exact]
+    assert max(diffs) <= 1
+    assert sum(1 for d in diffs if d == 0) >= 0.9 * len(diffs)
+
+
+def test_perplexity_buckets_validation(docs):
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.perplexity_buckets(docs, n_buckets=1)
+    with pytest.raises(ValueError, match="cutoffs"):
+        text.perplexity_buckets(docs, cutoffs="banana")
