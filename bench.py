@@ -80,6 +80,11 @@ HEADLINE = [
     "embed_mmr_topk",
     "retrieval_rrf_hybrid",
     "eval_rank_correlation",
+    "train_dsir_weights",
+    "sample_temperature_weights",
+    "text_perplexity_buckets",
+    "eval_ndcg_retrieval",
+    "eval_map_retrieval",
 ]
 
 
@@ -300,9 +305,13 @@ def main() -> None:
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
     }
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort: 2-decimal timings keep the line
-        # inside the capture window even on a pathologically slow host
-        headline["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    # last-resort precision ladder: keep the line inside the driver's
+    # 2000-char capture window even on a pathologically slow host (full
+    # 3-decimal timings live in BENCH_DETAIL.json regardless)
+    for prec in (2, 1):
+        if len(line) <= 1900:
+            break
+        headline["queries"] = {n: round(t, prec) for n, t in timings.items()}
         line = json.dumps(headline, separators=(",", ":"))
     print(line, flush=True)
     spark.stop()

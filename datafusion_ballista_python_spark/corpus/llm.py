@@ -2677,6 +2677,42 @@ _NDCG_ORACLE = f"""
 """.format(pool_ctes=_RRF_POOL_CTES)
 
 
+def _graded_bm25_pool(spark, sf_dir):
+    """Shared by eval_ndcg_retrieval / eval_map_retrieval: the 50-doc
+    BM25 pool with term-overlap graded relevance (qid, doc_id, bm25,
+    rel) — the same candidate set / query terms / BM25 arithmetic the
+    RRF and Spearman entries certify."""
+    from ..operators import quality  # noqa: F401  (kept for callers)
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    cand_docs = docs.filter(F.col("doc_id") >= 5).join(
+        emb_ids, "doc_id", "left_semi"
+    )
+    qterms = (
+        text._terms(docs.filter(F.col("doc_id") == 0), "text", "doc_id")
+        .select("term")
+        .distinct()
+    )
+    scores = retrieval.bm25_query_scores(cand_docs, qterms)
+    pool = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
+    hits = (
+        text._terms(cand_docs, "text", "doc_id")
+        .join(qterms, "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("__nq"))
+    )
+    return pool.join(hits, "doc_id", "left").select(
+        F.lit(0).cast("long").alias("qid"),
+        "doc_id",
+        "bm25",
+        F.least(F.lit(3), F.coalesce(F.col("__nq"), F.lit(0)))
+        .cast("int")
+        .alias("rel"),
+    )
+
+
 @query("eval_ndcg_retrieval", oracle=_NDCG_ORACLE)
 def eval_ndcg_retrieval(spark, sf_dir):
     """NDCG@10 of the BM25 retriever (operators/quality.ndcg_at_k) over
@@ -2718,6 +2754,68 @@ def eval_ndcg_retrieval(spark, sf_dir):
         .alias("rel"),
     )
     return quality.ndcg_at_k(
+        graded, k=10, query_col="qid", id_col="doc_id",
+        score_col="bm25", rel_col="rel",
+    )
+
+
+_MAP_ORACLE = f"""
+    WITH {{pool_ctes}},
+    pool AS (
+        SELECT doc_id, bm25 FROM lex ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(DISTINCT t.term) AS BIGINT) AS nq
+        FROM terms t JOIN qterms USING (term)
+        GROUP BY t.doc_id
+    ),
+    graded AS (
+        SELECT CAST(0 AS BIGINT) AS qid, p.doc_id, p.bm25,
+               CAST(LEAST(3, COALESCE(h.nq, 0)) AS INTEGER) AS rel
+        FROM pool p LEFT JOIN hits h USING (doc_id)
+    ),
+    ranked AS (
+        SELECT qid,
+               CASE WHEN rel > 0 THEN 1 ELSE 0 END AS r,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS i,
+               SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY qid ORDER BY bm25 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM graded
+    ),
+    pterms AS (
+        SELECT qid, r,
+               CAST(CASE WHEN i <= 10 AND r = 1
+                         THEN ROUND(CAST(cum AS DOUBLE) / i, 6)
+                         ELSE 0.0 END AS DECIMAL(25,6)) AS p
+        FROM ranked
+    ),
+    agg AS (
+        SELECT qid, CAST(SUM(r) AS BIGINT) AS n_rel, SUM(p) AS sp
+        FROM pterms GROUP BY qid
+    )
+    SELECT qid, n_rel,
+           CASE WHEN n_rel > 0
+                THEN ROUND(CAST(sp AS DOUBLE) / CAST(LEAST(n_rel, 10) AS DOUBLE), 6)
+                END AS ap
+    FROM agg
+""".format(pool_ctes=_RRF_POOL_CTES)
+
+
+@query("eval_map_retrieval", oracle=_MAP_ORACLE)
+def eval_map_retrieval(spark, sf_dir):
+    """Average Precision@10 of the BM25 retriever
+    (operators/quality.map_at_k) over the shared 50-doc lexical pool —
+    the binary-relevance companion to eval_ndcg_retrieval (rel > 0 =
+    relevant), on the SAME candidate/BM25 CTE chain, so the three
+    ranked-retrieval evals (NDCG, AP, Spearman) certify one another's
+    setup.  Each precision@i is one exact-integer IEEE division rounded
+    at 6 into a DECIMAL sum; the single-row result is engine-exact."""
+    from ..operators import quality
+
+    graded = _graded_bm25_pool(spark, sf_dir)
+    return quality.map_at_k(
         graded, k=10, query_col="qid", id_col="doc_id",
         score_col="bm25", rel_col="rel",
     )

@@ -718,3 +718,77 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
         ).alias("ndcg"),
     )
+
+
+def map_at_k(
+    df: DataFrame,
+    k: int = 10,
+    query_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query (Mean) Average Precision at k — the binary-relevance
+    companion to :func:`ndcg_at_k` (rel > 0 counts as relevant):
+
+        AP@k = sum_{i<=k, rel_i} P(i)  /  min(R, k)
+
+    where P(i) is precision at rank i (relevant-so-far / i) and R is the
+    total number of relevant candidates for the query.  Averaging the
+    ``ap`` column over queries gives MAP.
+
+    Determinism: each P(i) is one IEEE division of two exact integers
+    (correctly rounded, engine-identical), rounded to 6 and accumulated
+    in DECIMAL(25,6); ranking ties break on ascending ``id_col``.  Rows
+    with NULL score/relevance are excluded (auc_roc contract).  Queries
+    with R = 0 return NULL ``ap`` (same NULL-not-zero contract as
+    ndcg_at_k's idcg).
+
+    Output: (query_col, n_rel, ap).  Scale: one window partitioned on
+    the query key (rank + running relevant count over the same sort — a
+    single exchange), then a map-side-partial per-query aggregate.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    df = df.where(F.col(score_col).isNotNull() & F.col(rel_col).isNotNull())
+    is_rel = (F.col(rel_col) > 0).cast("long")
+    wa = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = df.select(
+        F.col(query_col),
+        is_rel.alias("__r"),
+        F.row_number().over(wa).alias("__i"),
+        F.sum(is_rel).over(
+            Window.partitionBy(query_col)
+            .orderBy(F.desc(score_col), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+    )
+    terms = ranked.select(
+        query_col,
+        "__r",
+        F.when(
+            (F.col("__i") <= k) & (F.col("__r") == 1),
+            F.round(F.col("__cum").cast("double") / F.col("__i"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(25,6)")
+        .alias("__p"),
+    )
+    agg = terms.groupBy(query_col).agg(
+        F.sum("__r").cast("long").alias("n_rel"),
+        F.sum("__p").alias("__sp"),
+    )
+    return agg.select(
+        query_col,
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("__sp").cast("double")
+                / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                6,
+            ),
+        ).alias("ap"),
+    )

@@ -166,3 +166,33 @@ def test_perplexity_buckets_validation(docs):
         text.perplexity_buckets(docs, n_buckets=1)
     with pytest.raises(ValueError, match="cutoffs"):
         text.perplexity_buckets(docs, cutoffs="banana")
+
+
+# -- map_at_k ---------------------------------------------------------------
+
+
+def test_map_perfect_and_hand_value(spark):
+    # relevant docs ranked 1 and 3 of 4, R=2: AP = (1/1 + 2/3)/2
+    rows = [(0, 1, 4.0, 1), (0, 2, 3.0, 0), (0, 3, 2.0, 2), (0, 4, 1.0, 0)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.map_at_k(df, k=10).collect()[0]
+    assert out["n_rel"] == 2
+    assert out["ap"] == pytest.approx((1.0 + round(2 / 3, 6)) / 2, abs=1e-6)
+    # perfect ranking -> AP 1
+    rows = [(0, 1, 2.0, 1), (0, 2, 1.0, 0)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    assert quality.map_at_k(df, k=10).collect()[0]["ap"] == 1.0
+
+
+def test_map_no_relevant_is_null_and_k_cap(spark):
+    rows = [(0, i, 10.0 - i, 0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.map_at_k(df, k=2).collect()[0]
+    assert out["n_rel"] == 0 and out["ap"] is None
+    # relevant only beyond k -> ap 0 (min(R,k) normalizer, R=1, k=1)
+    rows = [(0, 1, 2.0, 0), (0, 2, 1.0, 1)]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "score", "rel"])
+    out = quality.map_at_k(df, k=1).collect()[0]
+    assert out["ap"] == 0.0
+    with pytest.raises(ValueError, match="k must be"):
+        quality.map_at_k(df, k=0)
