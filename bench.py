@@ -85,6 +85,9 @@ HEADLINE = [
     "text_perplexity_buckets",
     "eval_ndcg_retrieval",
     "eval_map_retrieval",
+    "dq_k_anonymity",
+    "text_js_divergence",
+    "merge_snapshot_diff",
 ]
 
 

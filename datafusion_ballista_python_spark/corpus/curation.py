@@ -1178,3 +1178,164 @@ def train_dsir_weights(spark, sf_dir):
     return training.dsir_weights(
         docs, F.col("lang") == "en", buckets=256
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# privacy gate / corpus comparison / snapshot diff (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(8 - COUNT(*) AS BIGINT) AS deficit
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)
+    HAVING COUNT(*) < 8
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/quality.k_anonymity, k=8) over the
+    quasi-identifiers (nation, market segment, account-balance band):
+    every returned row is an equivalence class small enough to
+    re-identify its members — the privacy gate before releasing
+    user-derived tables.  Non-vacuous at sf0.1: 207 of 1375 classes
+    violate (both gate arms exercised).  One partial-agg shuffle on the
+    QI key; HAVING cuts to violations before anything else moves."""
+    cust = load(spark, sf_dir, "customer")["customer"]
+    banded = cust.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return quality.k_anonymity(
+        banded, ["c_nationkey", "c_mktsegment", "bal_band"], k=8
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH ta AS (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c_a FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents WHERE lang = 'en'
+        ) WHERE LENGTH(t) > 0 GROUP BY t
+    ),
+    tb AS (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c_b FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+')) AS t
+            FROM documents WHERE lang <> 'en'
+        ) WHERE LENGTH(t) > 0 GROUP BY t
+    ),
+    joined AS (
+        SELECT COALESCE(ta.term, tb.term) AS term,
+               COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        FROM ta FULL OUTER JOIN tb ON ta.term = tb.term
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM joined
+    ),
+    scored AS (
+        SELECT term,
+               ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a,
+               ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b,
+               CAST(
+                 CASE WHEN c_a > 0 THEN
+                   ROUND((CAST(c_a AS DOUBLE) / n_a / 2.0)
+                         * (LN((CAST(c_a AS DOUBLE) / n_a)
+                               / ((CAST(c_a AS DOUBLE) / n_a
+                                   + CAST(c_b AS DOUBLE) / n_b) / 2.0))
+                            / LN(2.0)), 6)
+                 ELSE 0.0 END AS DECIMAL(25,6))
+               + CAST(
+                 CASE WHEN c_b > 0 THEN
+                   ROUND((CAST(c_b AS DOUBLE) / n_b / 2.0)
+                         * (LN((CAST(c_b AS DOUBLE) / n_b)
+                               / ((CAST(c_a AS DOUBLE) / n_a
+                                   + CAST(c_b AS DOUBLE) / n_b) / 2.0))
+                            / LN(2.0)), 6)
+                 ELSE 0.0 END AS DECIMAL(25,6)) AS js_dec
+        FROM joined CROSS JOIN tot
+    )
+    SELECT term, p_a, p_b, CAST(js_dec AS DOUBLE) AS js_contrib
+    FROM scored
+    ORDER BY js_contrib DESC, term
+    LIMIT 20
+    """,
+)
+def text_js_divergence(spark, sf_dir):
+    """Top-20 terms by Jensen-Shannon divergence contribution between the
+    English and non-English sub-corpora (operators/text.
+    token_js_divergence) — the "which tokens distinguish corpus A from
+    corpus B" diagnostic for comparing a new ingest batch against the
+    corpus it joins.  Probabilities are exact integer ratios; each log2
+    half rounds at 6 and the halves add as DECIMAL, so the oracle
+    replays every contribution bit-for-bit.  Map-side term collapse on
+    both sides + one vocabulary-sized full outer join; the cut is
+    TakeOrderedAndProject."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return t.token_js_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        top_k=20,
+    )
+
+
+@query(
+    "merge_snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+)
+def merge_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (sources/merge.snapshot_diff): classify every
+    doc id across two table versions as added/removed/changed/unchanged
+    — the between-ingest audit and the incremental-recompute work list.
+    The 'new' snapshot is derived deterministically from the corpus
+    (ids %11 removed, %7 re-texted, %13 re-added under a shifted id), so
+    all four statuses are exercised at every SF.  Spark ships two
+    xxhash64 longs per key through the full outer join (never the row
+    bodies); the oracle compares the text directly — a hash collision is
+    the only way they could disagree."""
+    from ..sources.merge import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    kept = docs.where(F.col("doc_id") % 11 != 0)
+    newsnap = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    ).select("doc_id", "text")
+    adds = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + F.lit(10000000)).alias("doc_id"), "text")
+    )
+    return snapshot_diff(
+        docs.select("doc_id", "text"),
+        newsnap.unionByName(adds),
+        "doc_id",
+        ["text"],
+    ).orderBy("doc_id")

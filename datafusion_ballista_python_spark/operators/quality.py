@@ -792,3 +792,38 @@ def map_at_k(
             ),
         ).alias("ap"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns (Sweeney
+    2002): every row must share its quasi-identifier combination with at
+    least ``k - 1`` others, or the combination re-identifies people — the
+    privacy gate a pipeline runs before releasing user-derived tables
+    (NULLs group as their own value, matching SQL GROUP BY).
+
+    Returns one row per VIOLATING combination (equivalence-class size
+    < k): the quasi-identifier values, ``class_size``, and the deficit
+    ``k - class_size`` — empty result means the table IS k-anonymous.
+    Gate with ``.isEmpty()``, or feed the violating keys to a
+    suppression/generalization step.
+
+    Scale: ONE partial-agg shuffle on the quasi-identifier key; the
+    HAVING filter cuts to violations before anything else moves.  Output
+    is bounded by the number of rare combinations, which is what a
+    release gate wants to see anyway.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must name at least one column")
+    qi = [F.col(c) for c in quasi_identifiers]
+    return (
+        df.groupBy(*qi)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .where(F.col("class_size") < k)
+        .withColumn("deficit", (F.lit(k) - F.col("class_size")).cast("long"))
+    )

@@ -1236,3 +1236,81 @@ def perplexity_buckets(
         else F.concat(F.lit("b"), F.col("bucket").cast("string"))
     )
     return bucketed.withColumn("tier", tier)
+
+
+def token_js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-term contributions to the Jensen-Shannon divergence between two
+    corpora's unigram distributions — the "which tokens make corpus A
+    different from corpus B" diagnostic a curation pipeline runs when a
+    new crawl batch, a new source, or a filtered snapshot needs to be
+    compared against the corpus it joins (JSD is symmetric and bounded
+    [0, 1] in bits, unlike KL which explodes on disjoint support).
+
+        m(t)   = (p(t) + q(t)) / 2
+        jsd(t) = (p/2) log2(p/m) + (q/2) log2(q/m)      [0 when p=q]
+        JSD    = sum_t jsd(t)
+
+    Terms missing from one side contribute with probability 0 there (the
+    0 log 0 = 0 convention — no smoothing needed for JS).  Returns the
+    ``top_k`` terms by contribution DESC (ties on term ASC):
+    ``(term, p_a, p_b, js_contrib)`` — probabilities are exact integer
+    ratios of BIGINT counts; each log2 term is rounded to 6 decimals and
+    the two halves combine in one fixed double-op order, so a SQL oracle
+    replays every contribution bit-for-bit.  Sum ``js_contrib`` over ALL
+    terms (top_k=None upstream of the cut) for the scalar JSD.
+
+    Scale: each corpus collapses to one (term, count) table via map-side
+    partial aggregation; the FULL OUTER join on term is vocabulary-sized
+    (AQE handles it); the top-k cut is TakeOrderedAndProject, never a
+    global sort.  Zero Python.
+    """
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1 or None, got {top_k}")
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _terms(df, text_col, id_col)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{side}"))
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+    )
+    tot = joined.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.col("c_b").cast("double") / F.col("n_b")
+    m = (p + q) / F.lit(2.0)
+    ln2 = F.log(F.lit(2.0))
+    half_a = F.when(
+        F.col("c_a") > 0,
+        F.round((p / F.lit(2.0)) * (F.log(p / m) / ln2), 6),
+    ).otherwise(F.lit(0.0))
+    half_b = F.when(
+        F.col("c_b") > 0,
+        F.round((q / F.lit(2.0)) * (F.log(q / m) / ln2), 6),
+    ).otherwise(F.lit(0.0))
+    scored = joined.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(p, 6).alias("p_a"),
+        F.round(q, 6).alias("p_b"),
+        # decimal sum of the two rounded halves: exact, engine-identical
+        (half_a.cast("decimal(25,6)") + half_b.cast("decimal(25,6)"))
+        .cast("double")
+        .alias("js_contrib"),
+    )
+    if top_k is None:
+        return scored
+    return scored.orderBy(F.desc("js_contrib"), F.asc("term")).limit(top_k)

@@ -21,7 +21,7 @@ scan.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,3 +215,51 @@ def _delete_partition_dirs(spark, path: str, partition_col: str, values: list) -
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             fs.delete(p, True)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Corpus snapshot diff: classify every key across two table versions
+    as ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit a
+    living corpus runs between ingest cycles (what did this week's crawl
+    + takedowns + re-scores actually touch?) and the input to incremental
+    downstream recomputation (re-embed only ``added``+``changed``).
+
+    ``compare_cols`` defaults to every shared non-key column.  Change
+    detection hashes the compared columns with xxhash64 on EACH SIDE
+    (column order fixed by the caller's list or sorted shared names), so
+    the full outer join ships two longs per row, not the row bodies —
+    the diff of two 100 TB snapshots moves O(keys) bytes, and the join
+    is the only shuffle.  NULL-safe: a NULL field hashes like any other
+    value; a key present on both sides with all compared fields equal is
+    ``unchanged``.
+
+    Returns ``(key, status)`` — one row per key in either snapshot.
+    Aggregate ``groupBy("status").count()`` for the release-note summary;
+    join back to ``new`` on the added/changed keys for the work list.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c != key and c in set(new.columns)]
+        compare_cols = sorted(shared)
+    if not compare_cols:
+        raise ValueError("no columns to compare — pass compare_cols")
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.xxhash64(*[F.col(c) for c in compare_cols]).alias(f"__h_{side}"),
+        )
+
+    j = hashed(old, "o").join(hashed(new, "n"), key, "full_outer")
+    return j.select(
+        key,
+        F.when(F.col("__h_o").isNull(), F.lit("added"))
+        .when(F.col("__h_n").isNull(), F.lit("removed"))
+        .when(F.col("__h_o") == F.col("__h_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

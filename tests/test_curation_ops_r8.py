@@ -196,3 +196,87 @@ def test_map_no_relevant_is_null_and_k_cap(spark):
     assert out["ap"] == 0.0
     with pytest.raises(ValueError, match="k must be"):
         quality.map_at_k(df, k=0)
+
+
+# -- k_anonymity ------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_classes_only(spark):
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")]
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    viol = {(r["country"], r["segment"]): (r["class_size"], r["deficit"])
+            for r in quality.k_anonymity(df, ["country", "segment"], k=3).collect()}
+    assert viol == {("us", "b"): (2, 1), ("de", "a"): (1, 2)}
+    # k=2: only the singleton violates; empty when k covers everything
+    assert quality.k_anonymity(df, ["country", "segment"], k=2).count() == 1
+    with pytest.raises(ValueError, match="k must be"):
+        quality.k_anonymity(df, ["country"], k=1)
+    with pytest.raises(ValueError, match="quasi_identifiers"):
+        quality.k_anonymity(df, [], k=3)
+
+
+def test_k_anonymity_groups_nulls(spark):
+    rows = [(None, "a"), (None, "a"), ("us", "a")]
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    out = {(r["country"], r["segment"]): r["class_size"]
+           for r in quality.k_anonymity(df, ["country", "segment"], k=3).collect()}
+    assert out == {(None, "a"): 2, ("us", "a"): 1}
+
+
+# -- token_js_divergence ------------------------------------------------------
+
+
+def test_js_divergence_identical_corpora_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")], ["doc_id", "text"]
+    )
+    out = text.token_js_divergence(df, df, top_k=None).collect()
+    assert out and all(r["js_contrib"] == 0.0 for r in out)
+
+
+def test_js_divergence_disjoint_support_and_ranking(spark):
+    a = spark.createDataFrame([(1, "xx xx yy")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "zz zz zz")], ["doc_id", "text"])
+    rows = {r["term"]: r for r in text.token_js_divergence(a, b, top_k=None).collect()}
+    # disjoint terms: each side contributes (p/2)*log2(2) = p/2 bits
+    assert rows["zz"]["js_contrib"] == pytest.approx(0.5, abs=1e-6)
+    assert rows["xx"]["js_contrib"] == pytest.approx(round(2 / 3, 6) / 2, abs=1e-6)
+    assert rows["yy"]["js_contrib"] == pytest.approx(round(1 / 3, 6) / 2, abs=1e-6)
+    # total JSD of fully disjoint corpora = 1 bit
+    total = sum(r["js_contrib"] for r in rows.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    top1 = text.token_js_divergence(a, b, top_k=1).collect()
+    assert top1[0]["term"] == "zz"
+    with pytest.raises(ValueError, match="top_k"):
+        text.token_js_divergence(a, b, top_k=0)
+
+
+# -- snapshot_diff ------------------------------------------------------------
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from datafusion_ballista_python_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "w"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["k", "v", "w"]
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # compare_cols restriction: ignoring v makes key 2 unchanged
+    got_w = {r["k"]: r["status"]
+             for r in snapshot_diff(old, new, "k", ["w"]).collect()}
+    assert got_w[2] == "unchanged"
+    with pytest.raises(ValueError, match="compare"):
+        snapshot_diff(old.select("k"), new.select("k"), "k")
+
+
+def test_snapshot_diff_null_safe(spark):
+    from datafusion_ballista_python_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed"}
