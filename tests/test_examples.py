@@ -54,3 +54,11 @@ def test_llm_pipeline_example():
     # agreement between the two systems
     assert "rrf_score" in out
     assert "rho" in out
+
+
+def test_corpus_maintenance_example():
+    out = _run("corpus-maintenance.py")
+    assert "snapshot diff:" in out and "'added'" in out
+    assert "DSIR-scored touched docs:" in out
+    assert "k-anonymity violations" in out
+    assert "corpus-maintenance pipeline complete" in out
