@@ -307,15 +307,30 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
     }
-    line = json.dumps(headline, separators=(",", ":"))
-    # last-resort precision ladder: keep the line inside the driver's
-    # 2000-char capture window even on a pathologically slow host (full
-    # 3-decimal timings live in BENCH_DETAIL.json regardless)
-    for prec in (2, 1):
-        if len(line) <= 1900:
+    # Degradation ladder: the driver records only the last ~2000 chars of
+    # stdout, so the line must fit.  Shed information in order of least
+    # value — 3dp -> 2dp (10 ms granularity, still under host jitter),
+    # then drop fields duplicated in BENCH_DETAIL.json (repeats, calib),
+    # and only as a last resort go to 1dp.  Full 3-decimal timings live
+    # in BENCH_DETAIL.json regardless.
+    LIMIT = 1995
+
+    def render() -> str:
+        return json.dumps(headline, separators=(",", ":"))
+
+    line = render()
+    for step in ("prec2", "drop_repeats", "drop_calib", "prec1"):
+        if len(line) <= LIMIT:
             break
-        headline["queries"] = {n: round(t, prec) for n, t in timings.items()}
-        line = json.dumps(headline, separators=(",", ":"))
+        if step == "prec2":
+            headline["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        elif step == "drop_repeats":
+            headline.pop("repeats", None)
+        elif step == "drop_calib":
+            headline.pop("calib_sec", None)
+        else:
+            headline["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = render()
     print(line, flush=True)
     spark.stop()
 
