@@ -88,6 +88,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "text_js_divergence",
     "merge_snapshot_diff",
+    "dq_domain_concentration",
 ]
 
 

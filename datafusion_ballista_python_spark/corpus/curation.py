@@ -1339,3 +1339,48 @@ def merge_snapshot_diff(spark, sf_dir):
         "doc_id",
         ["text"],
     ).orderBy("doc_id")
+
+
+@query(
+    "dq_domain_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(LEN(LIST_FILTER(
+                   REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                   x -> LENGTH(x) > 0))) AS BIGINT) AS x
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(x) AS BIGINT) AS total,
+           ROUND(2.0 * CAST(SUM(CAST(i * x AS DECIMAL(38,0))) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS gini,
+           ROUND(CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS DOUBLE), 6) AS top_share
+    FROM ranked
+    """,
+)
+def dq_domain_concentration(spark, sf_dir):
+    """Corpus concentration report (operators/quality.concentration_report)
+    over per-source TOKEN mass (doc counts are deliberately uniform in the
+    testdata, so the weighted variant is the non-vacuous arm): Gini
+    coefficient + top-source share — the domain-dominance health check.
+    Rank-weighted sums are tie-order invariant and accumulate in DECIMAL,
+    so the single-row result is engine-exact."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return quality.concentration_report(toks, "source", weight="n_tokens")

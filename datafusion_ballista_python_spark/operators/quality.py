@@ -827,3 +827,56 @@ def k_anonymity(
         .where(F.col("class_size") < k)
         .withColumn("deficit", (F.lit(k) - F.col("class_size")).cast("long"))
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group: str = "source",
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Corpus concentration diagnostic over a grouping column: Gini
+    coefficient + largest-group share of the per-group mass (row counts,
+    or ``weight`` sums) — the "is one domain/source eating the corpus"
+    health check a curation pipeline runs alongside the mixture
+    re-balancer (a Gini near 1 means a handful of sources dominate; near
+    0 means a flat mix).
+
+        G = (2 * sum_i i * x_(i)) / (n * sum x) - (n + 1) / n
+
+    with group masses x sorted ascending and ranked 1..n.  Tied masses
+    make the rank-weighted sum invariant to their order (swapping equal
+    values swaps ranks of equal terms), so NO tie-break is needed for
+    determinism; masses are exact BIGINTs, the rank-weighted sum
+    accumulates in DECIMAL(38,0), and only the final two divisions are
+    double (rounded at 6).
+
+    Output: one row — (n_groups, total, gini, top_share).  Scale: one
+    partial-agg shuffle on the group key collapses the corpus to
+    #groups rows; the rank window runs over that bounded frame (same
+    documented pattern as auc_roc's score-cardinality window).
+    """
+    from pyspark.sql import Window
+
+    mass = (
+        F.sum(F.col(weight)).cast("long") if weight else F.count(F.lit(1)).cast("long")
+    )
+    per = df.groupBy(F.col(group).alias("__g")).agg(mass.alias("__x"))
+    w = Window.orderBy("__x")
+    ranked = per.select(
+        "__x", F.row_number().over(w).cast("long").alias("__i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__x").cast("long").alias("total"),
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("__i") * F.col("__x")).cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("__x")).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.max("__x").cast("double") / F.sum("__x").cast("double"), 6).alias(
+            "top_share"
+        ),
+    )

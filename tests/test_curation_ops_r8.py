@@ -280,3 +280,29 @@ def test_snapshot_diff_null_safe(spark):
     new = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+# -- concentration_report -----------------------------------------------------
+
+
+def test_concentration_uniform_is_zero_gini(spark):
+    rows = [(f"s{i % 4}",) for i in range(40)]  # 4 groups x 10
+    df = spark.createDataFrame(rows, ["src"])
+    out = quality.concentration_report(df, "src").collect()[0]
+    assert out["n_groups"] == 4 and out["total"] == 40
+    assert out["gini"] == pytest.approx(0.0, abs=1e-9)
+    assert out["top_share"] == pytest.approx(0.25, abs=1e-9)
+
+
+def test_concentration_skew_and_weighted(spark):
+    # hand value: masses 1, 1, 8 -> sorted ranks (1,1),(2,1),(3,8):
+    # G = 2*(1+2+24)/(3*10) - 4/3 = 54/30 - 40/30 = 14/30
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 8)], ["src", "w"]
+    )
+    out = quality.concentration_report(df, "src", weight="w").collect()[0]
+    assert out["gini"] == pytest.approx(round(14 / 30, 6), abs=1e-9)
+    assert out["top_share"] == pytest.approx(0.8, abs=1e-9)
+    # unweighted on the same frame: 3 singleton groups -> flat
+    flat = quality.concentration_report(df, "src").collect()[0]
+    assert flat["gini"] == pytest.approx(0.0, abs=1e-9)
