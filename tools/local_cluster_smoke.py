@@ -42,6 +42,8 @@ SMOKE = [
     "graph_pagerank_directed",   # iterative: per-round checkpoint blocks
     "graph_kcore",               # iterative: semi-join peel + checkpoints
     "stream_dedup_keys",         # streaming sink path
+    "train_dsir_weights",        # r8: hashed-bigram LLR, broadcast ratio table
+    "text_perplexity_buckets",   # r8: corpus LM + per-language NTILE window
 ]
 
 
