@@ -663,6 +663,13 @@ def ndcg_at_k(
 
     Output: one row per query — (query_col, dcg, idcg, ndcg).
 
+    Relevance domain: ``rel_col`` must be a SMALL NON-NEGATIVE integer
+    grade (the standard 0-5).  Negative grades would make the
+    ``2^rel - 1`` gain fractional, where Spark's double->long cast
+    truncates toward zero but other engines round — a cross-engine
+    divergence this operator's contract excludes rather than papers
+    over.
+
     Scale: both rankings are windows partitioned on the query key over
     the SAME exchange (Spark reuses the hash partitioning; no second
     shuffle), each truncated at k before any arithmetic; the final
