@@ -80,13 +80,23 @@ HEADLINE = [
     "embed_mmr_topk",
     "retrieval_rrf_hybrid",
     "eval_rank_correlation",
+    # r8 additions: only the perf-interesting four — the stdout artifact
+    # must stay inside the driver's 2000-char capture at 3-decimal
+    # precision WITH calibration, which caps the list at ~67 names.  The
+    # five sub-0.5s r8 entries (temperature weights, MAP, k-anonymity,
+    # snapshot diff, concentration) are corpus-certified but not benched.
     "train_dsir_weights",
-    "sample_temperature_weights",
     "text_perplexity_buckets",
     "eval_ndcg_retrieval",
+    "text_js_divergence",
+]
+
+# Not timed (see the cap note above), but still held to the same
+# plan-quality bar: tests/test_plans.py audits HEADLINE + AUDIT_EXTRA.
+AUDIT_EXTRA = [
+    "sample_temperature_weights",
     "eval_map_retrieval",
     "dq_k_anonymity",
-    "text_js_divergence",
     "merge_snapshot_diff",
     "dq_domain_concentration",
 ]

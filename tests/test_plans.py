@@ -296,7 +296,7 @@ def test_audit_clean_on_headline_queries(spark, sf_dir, registry):
 
     from datafusion_ballista_python_spark.plans import audit
 
-    for name in bench.HEADLINE:
+    for name in bench.HEADLINE + bench.AUDIT_EXTRA:
         findings = [f for f in audit(registry[name].fn(spark, sf_dir))
                     if f["severity"] == "error"]
         assert not findings, f"{name}: {findings}"
