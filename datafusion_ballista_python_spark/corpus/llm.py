@@ -2819,3 +2819,50 @@ def eval_map_retrieval(spark, sf_dir):
         graded, k=10, query_col="qid", id_col="doc_id",
         score_col="bm25", rel_col="rel",
     )
+
+
+@query(
+    "embed_covariance",
+    oracle="""
+    WITH idx AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 64)),
+    pairs AS (
+        SELECT x.i AS i, y.i AS j,
+               CAST(e.embedding[x.i + 1] * e.embedding[y.i + 1] AS DOUBLE) AS xy
+        FROM embeddings e, idx x, idx y
+        WHERE y.i >= x.i
+    ),
+    s AS (
+        SELECT i, j,
+               CAST(SUM(CAST(xy AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+               COUNT(*) AS n
+        FROM pairs GROUP BY i, j
+    ),
+    m AS (
+        SELECT x.i AS i,
+               CAST(SUM(CAST(CAST(e.embedding[x.i + 1] AS DOUBLE)
+                             AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean
+        FROM embeddings e, idx x
+        GROUP BY x.i
+    )
+    SELECT s.i, s.j,
+           ROUND(s.sxy / s.n - mi.mean * mj.mean, 6) + 0.0 AS cov
+    FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+    ORDER BY s.i, s.j
+    """,
+)
+def embed_covariance(spark, sf_dir):
+    """Distributed covariance of the 64-dim embedding corpus as the
+    2080-row upper triangle (operators/similarity.embed_covariance,
+    exact mode) — the one-pass statistic behind PCA projection /
+    whitening (similarity.pca_project runs the d x d eigh on the driver
+    and projects JVM-side).  Every E[x_i x_j] and E[x_i] is a DECIMAL
+    accumulation over float*float-widened-to-double products (the
+    certified dot arithmetic), so the matrix is engine-exact.  Scale:
+    per-row pair explosion is partial-aggregated map-side before the
+    only shuffle, whose key space (i, j) is dim^2-bounded and uniform;
+    the mapInPandas Gram mode (tested, not certified) cuts the exploded
+    rows to one d x d partial per Arrow batch when dim is large."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.embed_covariance(emb, dim=64, method="exact").orderBy(
+        "i", "j"
+    )

@@ -14,6 +14,7 @@ Vector math uses Catalyst higher-order functions (``aggregate``/
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -889,3 +890,217 @@ def mmr_topk(
         F.round(F.col("__score"), score_digits).alias("mmr_score"),
         F.col("__rel").alias("rel"),
     ).orderBy(query_id, "rank")
+
+
+# -- distributed covariance / PCA -------------------------------------------
+
+def embed_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    method: str = "exact",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Covariance matrix of an embedding column as the upper-triangle long
+    frame ``(i, j, cov)`` with ``0 <= i <= j < dim`` — the one-pass input
+    to PCA whitening / decorrelation over a corpus of vectors.
+
+    ``cov(i,j) = E[x_i * x_j] - E[x_i] * E[x_j]`` with every expectation
+    an exact DECIMAL accumulation (order-independent, engine-exact) and
+    the final value rounded at ``round_digits``.
+
+    Two physical strategies:
+
+    - ``method='exact'`` (certified): each row explodes into its
+      ``dim*(dim+1)/2`` index-pair products inside one generator
+      projection (no self-join), partial-aggregated map-side before the
+      single ``(i, j)`` shuffle.  Bit-identical to the DuckDB oracle —
+      products are computed float*float then widened to double, spelled
+      the same on both engines (the certified dot arithmetic).
+    - ``method='gram'`` (scale path): per-Arrow-batch numpy ``X.T @ X``
+      via mapInPandas — each batch collapses to one d x d partial Gram
+      before anything shuffles, so shuffle bytes are O(partitions * d^2)
+      instead of O(rows * d^2).  Float, not bit-certified; equal to
+      'exact' within 1e-6 (tested).
+
+    Scale shape: output is dim^2-bounded (d=1024 -> ~524k rows) and the
+    only shuffle key is (i, j) — uniform by construction, no skew.  The
+    reference engine has no covariance operator; this extends its
+    aggregate family (SURVEY §2.5) the way a training pipeline needs.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("embed_covariance: empty input and no dim given")
+        dim = first["d"]
+    v = F.col(vec_col)
+
+    if method == "gram":
+        d = dim
+        out_schema = "i int, j int, kind int, s double, n long"
+
+        def gram(batches):
+            for pdf in batches:
+                mat = _matrix(pdf[vec_col])
+                if mat.shape[0] == 0:
+                    continue
+                g = mat.T @ mat
+                iu, ju = np.triu_indices(d)
+                colsum = mat.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([iu, np.arange(d)]),
+                        "j": np.concatenate([ju, np.full(d, -1)]),
+                        "kind": np.concatenate(
+                            [np.zeros(len(iu), int), np.ones(d, int)]
+                        ),
+                        "s": np.concatenate([g[iu, ju], colsum]),
+                        "n": np.full(len(iu) + d, mat.shape[0], dtype=np.int64),
+                    }
+                )
+
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(gram, schema=out_schema)
+            .groupBy("i", "j", "kind")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        sums = parts.where(F.col("kind") == 0).select(
+            "i", "j", F.col("s").alias("sxy"), F.col("n").alias("n")
+        )
+        means = parts.where(F.col("kind") == 1).select(
+            F.col("i").alias("mi"), (F.col("s") / F.col("n")).alias("mean")
+        )
+        return _assemble_cov(sums, means, round_digits)
+
+    if method != "exact":
+        raise ValueError(f"embed_covariance: unknown method {method!r}")
+
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (
+                            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                        )
+                        .cast("double")
+                        .alias("xy"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    sums = (
+        df.select(pair)
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xy").cast("decimal(25,6)")).cast("double").alias("sxy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    means = (
+        df.select(
+            F.posexplode(F.transform(v, lambda x: x.cast("double"))).alias(
+                "mi", "x"
+            )
+        )
+        .groupBy("mi")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+    )
+    return _assemble_cov(sums, means, round_digits)
+
+
+def _assemble_cov(
+    sums: DataFrame, means: DataFrame, round_digits: int
+) -> DataFrame:
+    """Join pair sums (i, j, sxy, n) with per-dimension means (mi, mean)
+    and emit (i, j, cov).  ``+ 0.0`` folds IEEE -0.0 to +0.0 — engines
+    disagree on the sign of an underflowing round and the driver's
+    repr-keyed row sort would misalign on it."""
+    mj = means.select(F.col("mi").alias("mj_i"), F.col("mean").alias("mean_j"))
+    return (
+        sums.join(F.broadcast(means), sums["i"] == means["mi"])
+        .join(F.broadcast(mj), sums["j"] == mj["mj_i"])
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("sxy") / F.col("n") - F.col("mean") * F.col("mean_j"),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Fits on the :func:`embed_covariance` Gram path (shuffle bytes bounded
+    by partitions * d^2), eigendecomposes the d x d matrix on the DRIVER
+    (numpy ``eigh`` — d x d is dim-bounded, independent of corpus size:
+    the sanctioned driver-side footprint, same class as k-means
+    centroids), then projects JVM-side with the Catalyst dot fold — no
+    Python in the per-row path.  Components are sign-normalized (largest-
+    |loading| coordinate positive) so output is deterministic.
+
+    Eager: fitting runs Spark jobs at call time (like train_centroids).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("pca_project: empty input and no dim given")
+        dim = first["d"]
+    if not 1 <= k <= dim:
+        raise ValueError(f"pca_project: k={k} out of range for dim={dim}")
+    cov_rows = embed_covariance(
+        df, vec_col=vec_col, dim=dim, method="gram", round_digits=12
+    ).collect()
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in order:
+        comp = vecs[:, c]
+        if comp[np.argmax(np.abs(comp))] < 0:
+            comp = -comp
+        comps.append([float(x) for x in comp])
+    comp_col = F.array(
+        *[
+            F.array(*[F.lit(x) for x in comp])
+            for comp in comps
+        ]
+    )
+    proj = F.transform(
+        comp_col,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias(out_col))
