@@ -2866,3 +2866,74 @@ def embed_covariance(spark, sf_dir):
     return similarity.embed_covariance(emb, dim=64, method="exact").orderBy(
         "i", "j"
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH newdocs AS (
+        SELECT doc_id + 5000000 AS doc_id, text || ' ok' AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 7000000, text || ' plus an entirely new trailing sentence'
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 8000000, 'za ' || text FROM documents WHERE doc_id % 13 = 0
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+        FROM documents a JOIN newdocs b
+          ON SUBSTRING(a.text, 1, 16) = SUBSTRING(b.text, 1, 16)
+         AND ABS(LENGTH(a.text) - LENGTH(b.text)) <= 3
+        UNION
+        SELECT a.doc_id, b.doc_id, a.text, b.text
+        FROM documents a JOIN newdocs b
+          ON SUBSTRING(REVERSE(a.text), 1, 16) = SUBSTRING(REVERSE(b.text), 1, 16)
+         AND ABS(LENGTH(a.text) - LENGTH(b.text)) <= 3
+    )
+    SELECT doc_a, doc_b, CAST(MIN(LEVENSHTEIN(ta, tb)) AS INTEGER) AS dist
+    FROM cand
+    WHERE LEVENSHTEIN(ta, tb) <= 3
+    GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Character-level fuzzy dedup of an ingest batch against the corpus
+    (operators/dedup.fuzzy_levenshtein_pairs, max_dist=3): the batch is
+    derived deterministically so every arm fires at every SF — %5 docs
+    get a 3-char tail edit (dist 3, caught by the HEAD block), %11 are
+    unchanged (dist 0), %13 get a 3-char head edit (caught only by the
+    reversed-tail block — certifies the two-ended blocking union), %7
+    get a long suffix (length filter prunes before the DP verify).  The
+    oracle replays the same blocked algorithm — both engines implement
+    textbook Levenshtein, and Spark's bounded form (threshold arg)
+    returns the true distance whenever it is within the bound.  Scale:
+    candidates are bounded by the 16-char block keys + the length
+    filter; verify is O(len * max_dist) early-abandon, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    tail_edit = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ok")).alias("text"),
+    )
+    unchanged = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"), "text"
+    )
+    long_suffix = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" plus an entirely new trailing sentence")
+        ).alias("text"),
+    )
+    head_edit = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat(F.lit("za "), F.col("text")).alias("text"),
+    )
+    batch = tail_edit.unionByName(unchanged).unionByName(long_suffix).unionByName(
+        head_edit
+    )
+    return dedup.fuzzy_levenshtein_pairs(
+        docs, batch, max_dist=3, block_prefix=16
+    ).orderBy("doc_a", "doc_b")

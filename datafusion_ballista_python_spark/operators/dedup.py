@@ -1136,3 +1136,97 @@ def minhash_lsh_pairs_against(
                          F.col(id_col).alias("ref_id")), "__rk")
         .select("doc_id", "ref_id", "jaccard")
     )
+
+
+def fuzzy_levenshtein_pairs(
+    left: DataFrame,
+    right: Optional[DataFrame] = None,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Optional[Sequence[str]] = None,
+    block_prefix: int = 16,
+) -> DataFrame:
+    """Edit-distance near-dup pairs ``(doc_a, doc_b, dist)`` with
+    ``dist = levenshtein(text_a, text_b) <= max_dist`` — the
+    character-level fuzzy join (OCR noise, trailing-boilerplate variants,
+    typo dupes) that token-set Jaccard misses when a single word changes
+    spelling.
+
+    Self-join when ``right`` is None (``doc_a < doc_b``), cross-corpus
+    otherwise (left ids -> doc_a).
+
+    Scale shape (never all-pairs):
+
+    - **blocking**: candidates must agree on every ``block_cols`` value
+      AND on a ``block_prefix``-char signature of the text — taken from
+      BOTH ends (head prefix, and head-of-reversed for the tail), two
+      block joins unioned then de-duplicated, so an edit confined to one
+      end of the document still pairs via the other end's key.  Like LSH
+      banding this is a recall contract, not exactness: a pair edited at
+      both ends within ``max_dist`` total can be missed (documented;
+      raise ``block_prefix`` or add ``block_cols`` to trade recall vs
+      candidate volume).
+    - **length filter**: ``|len(a) - len(b)| <= max_dist`` inside the
+      join condition (a true levenshtein bound — never drops a real
+      pair) prunes candidates before the O(len^2) verify.
+    - **bounded verify**: the threshold form ``levenshtein(a, b,
+      max_dist)`` abandons the DP early (returns -1) once the distance
+      provably exceeds the bound, so verify cost is O(len * max_dist)
+      per candidate, not O(len^2).
+
+    ``max_dist`` must be non-negative (``dist = 0`` = exact duplicate).
+    """
+    if max_dist < 0:
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"fuzzy_levenshtein_pairs: max_dist must be >= 0, got {max_dist}"
+        )
+    if block_prefix < 1:
+        from ..errors import BallistaError
+
+        raise BallistaError(
+            f"fuzzy_levenshtein_pairs: block_prefix must be >= 1, got {block_prefix}"
+        )
+    block_cols = list(block_cols or [])
+    self_join = right is None
+    right = left if self_join else right
+
+    def side(df: DataFrame, tag: str, key: Column) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"doc_{tag}"),
+            F.col(text_col).alias(f"text_{tag}"),
+            F.length(text_col).alias(f"len_{tag}"),
+            *[F.col(c).alias(f"__b{tag}_{c}") for c in block_cols],
+            key.alias(f"__k_{tag}"),
+        )
+
+    head = lambda c: F.substring(F.col(c), 1, block_prefix)  # noqa: E731
+    tail = lambda c: F.substring(F.reverse(F.col(c)), 1, block_prefix)  # noqa: E731
+
+    out = None
+    for keyer in (head, tail):
+        a = side(left, "a", keyer(text_col))
+        b = side(right, "b", keyer(text_col))
+        cond = [F.col("__k_a") == F.col("__k_b")]
+        cond += [
+            F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols
+        ]
+        cond.append(F.col("doc_a") < F.col("doc_b") if self_join else F.lit(True))
+        cond.append(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist)
+        )
+        cands = a.join(b, on=cond, how="inner").select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist).alias(
+                "dist"
+            ),
+        )
+        out = cands if out is None else out.unionByName(cands)
+    return (
+        out.where(F.col("dist") >= 0)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("dist").cast("int").alias("dist"))
+    )
