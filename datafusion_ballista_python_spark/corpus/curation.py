@@ -1384,3 +1384,90 @@ def dq_domain_concentration(spark, sf_dir):
         ).cast("long").alias("n_tokens"),
     )
     return quality.concentration_report(toks, "source", weight="n_tokens")
+
+
+@query(
+    "eval_rouge_bigram",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                           x -> LENGTH(x) > 0) AS ws
+        FROM documents
+    ),
+    sides AS (
+        SELECT doc_id, ws,
+               CASE WHEN doc_id % 17 = 0 THEN ws[1:1]
+                    ELSE LIST_FILTER(ws, (x, i) -> (i - 1) % 3 <> 0) END AS cw
+        FROM words
+    ),
+    cc AS (
+        SELECT doc_id, g.g AS gram, COUNT(*) AS c
+        FROM sides, UNNEST(LIST_TRANSFORM(
+            generate_series(1, GREATEST(LEN(cw) - 1, 0)),
+            k -> cw[k] || ' ' || cw[k + 1])) AS g(g)
+        GROUP BY doc_id, g.g
+    ),
+    rc AS (
+        SELECT doc_id, g.g AS gram, COUNT(*) AS c
+        FROM sides, UNNEST(LIST_TRANSFORM(
+            generate_series(1, GREATEST(LEN(ws) - 1, 0)),
+            k -> ws[k] || ' ' || ws[k + 1])) AS g(g)
+        GROUP BY doc_id, g.g
+    ),
+    ov AS (
+        SELECT cc.doc_id, SUM(LEAST(cc.c, rc.c)) AS ov
+        FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
+        GROUP BY cc.doc_id
+    ),
+    pr AS (
+        SELECT s.doc_id,
+               CAST(CASE WHEN LEN(cw) >= 2 THEN LEN(cw) - 1 ELSE 0 END AS BIGINT) AS n_cand,
+               CAST(CASE WHEN LEN(ws) >= 2 THEN LEN(ws) - 1 ELSE 0 END AS BIGINT) AS n_ref,
+               CAST(COALESCE(o.ov, 0) AS BIGINT) AS overlap
+        FROM sides s LEFT JOIN ov o ON s.doc_id = o.doc_id
+    ),
+    m AS (
+        SELECT doc_id, n_cand, n_ref, overlap,
+               CASE WHEN n_cand > 0
+                    THEN ROUND(CAST(overlap AS DOUBLE) / n_cand, 6) END AS "precision",
+               CASE WHEN n_ref > 0
+                    THEN ROUND(CAST(overlap AS DOUBLE) / n_ref, 6) END AS recall
+        FROM pr
+    )
+    SELECT doc_id, n_cand, n_ref, overlap, "precision", recall,
+           CASE WHEN "precision" + recall > 0
+                THEN ROUND(2.0 * "precision" * recall / ("precision" + recall), 6)
+           END AS f1
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def eval_rouge_bigram(spark, sf_dir):
+    """ROUGE-2 of a lossy candidate against its reference
+    (operators/quality.rouge_ngram, n=2, clipped counts): the candidate
+    drops every 3rd word (0-based), so precision/recall land in a
+    varied mid band and bigram overlap is genuinely clipped where the
+    word-soup corpus repeats grams; %17 docs keep a single word so the
+    zero-bigram NULL arms (precision, f1) fire at every SF.  The
+    rounded-p/r f1 arithmetic replays identically in the oracle.
+    Scale: per-(doc, gram) counts collapse map-side before the only
+    shuffle; the overlap join stays co-partitioned on (doc, gram)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    staged = docs.select(
+        "doc_id", F.col("text").alias("ref"), words.alias("__w")
+    ).select(
+        "doc_id",
+        "ref",
+        F.array_join(
+            F.when(
+                F.col("doc_id") % 17 == 0, F.slice("__w", 1, 1)
+            ).otherwise(F.filter("__w", lambda x, i: i % 3 != 0)),
+            " ",
+        ).alias("cand"),
+    )
+    return quality.rouge_ngram(staged, "cand", "ref", n=2).orderBy("doc_id")

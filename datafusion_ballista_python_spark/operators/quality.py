@@ -887,3 +887,106 @@ def concentration_report(
             "top_share"
         ),
     )
+
+
+def rouge_ngram(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+    n: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ROUGE-N overlap between a candidate and a reference text column:
+    per row ``(id, n_cand, n_ref, overlap, precision, recall, f1)`` —
+    the standard summarization / decontamination-audit overlap metric
+    (Lin 2004), with CLIPPED counts: each n-gram's contribution is
+    ``min(count_in_cand, count_in_ref)``, so repeating a matched gram
+    cannot inflate the score.
+
+    Tokenization is the corpus word convention (lower, split on
+    non-alphanumeric runs, empties dropped); n-grams join words with a
+    single space.  ``precision = overlap / n_cand`` and ``recall =
+    overlap / n_ref`` are NULL when the denominator is 0 (a side with
+    fewer than ``n`` words has no n-grams), and ``f1`` is NULL unless
+    ``precision + recall > 0`` — both engines return NULL on the
+    degenerate arms rather than diverging on 0/0.  f1 is computed from
+    the ROUNDED precision/recall so the arithmetic replays bit-for-bit.
+
+    Scale: each side collapses to per-(id, gram) counts map-side before
+    the only data-sized shuffle; the overlap join is keyed by (id, gram)
+    — co-partitioned with the counts, no skew beyond a single document's
+    vocabulary.  No Python anywhere.
+    """
+    if n < 1:
+        from ..errors import BallistaError
+
+        raise BallistaError(f"rouge_ngram: n must be >= 1, got {n}")
+
+    def prep(col: str, tag: str):
+        words = F.filter(
+            F.split(F.lower(F.trim(F.col(col))), r"[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        )
+        base = df.select(
+            F.col(id_col).alias("__id"), words.alias("__w")
+        ).withColumn(
+            "__g",
+            F.when(
+                F.size("__w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - n),
+                    lambda i: F.array_join(F.slice("__w", i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        totals = base.select(
+            "__id", F.size("__g").cast("long").alias(f"n_{tag}")
+        )
+        counts = (
+            base.select("__id", F.explode("__g").alias("gram"))
+            .groupBy("__id", "gram")
+            .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
+        )
+        return totals, counts
+
+    tot_c, cnt_c = prep(cand_col, "cand")
+    tot_r, cnt_r = prep(ref_col, "ref")
+    overlap = (
+        cnt_c.join(cnt_r, ["__id", "gram"])
+        .groupBy("__id")
+        .agg(F.sum(F.least("c_cand", "c_ref")).cast("long").alias("__ov"))
+    )
+    out = (
+        tot_c.join(tot_r, "__id")
+        .join(overlap, "__id", "left")
+        .withColumn("overlap", F.coalesce(F.col("__ov"), F.lit(0)).cast("long"))
+    )
+    p = F.when(
+        F.col("n_cand") > 0,
+        F.round(F.col("overlap").cast("double") / F.col("n_cand"), round_digits),
+    )
+    r = F.when(
+        F.col("n_ref") > 0,
+        F.round(F.col("overlap").cast("double") / F.col("n_ref"), round_digits),
+    )
+    out = out.withColumn("precision", p).withColumn("recall", r)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        F.round(
+            F.lit(2.0)
+            * F.col("precision")
+            * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            round_digits,
+        ),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_cand",
+        "n_ref",
+        "overlap",
+        "precision",
+        "recall",
+        f1.alias("f1"),
+    )
