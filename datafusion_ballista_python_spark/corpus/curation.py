@@ -1471,3 +1471,108 @@ def eval_rouge_bigram(spark, sf_dir):
         ).alias("cand"),
     )
     return quality.rouge_ngram(staged, "cand", "ref", n=2).orderBy("doc_id")
+
+
+@query(
+    "text_gopher_gate",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INTEGER)
+                 WHEN 0 THEN text || ' 12 345 678 90 123 456 789 012 345 678'
+                 WHEN 1 THEN '- ' || REPLACE(text, ' ', CHR(10) || '- ')
+                 WHEN 2 THEN REPLACE(text, ' ', '...' || CHR(10))
+                 WHEN 3 THEN text || ' # # # # # # # #'
+                 ELSE text END AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, t,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(t), '\\s+'),
+                           x -> LENGTH(x) > 0) AS ws,
+               STR_SPLIT(t, CHR(10)) AS ls
+        FROM d
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(LEN(ws) AS BIGINT) AS n_words,
+               CAST(LEN(ls) AS BIGINT) AS n_lines,
+               CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))) AS BIGINT) AS sum_len,
+               LENGTH(t) - LENGTH(REPLACE(t, '#', '')) AS n_hash,
+               (LENGTH(t) - LENGTH(REPLACE(t, '...', ''))) / 3 AS n_dots,
+               LENGTH(t) - LENGTH(REPLACE(t, '…', '')) AS n_uni,
+               LEN(LIST_FILTER(ls, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS n_bullet,
+               LEN(LIST_FILTER(ls, x -> x LIKE '%...' OR x LIKE '%…')) AS n_ell,
+               LEN(LIST_FILTER(ws, x -> REGEXP_MATCHES(x, '[a-zA-Z]'))) AS n_alpha,
+               CAST(LEN(LIST_FILTER(['the','be','to','of','and','that','have','with'],
+                    s -> LIST_CONTAINS(LIST_TRANSFORM(ws, x -> LOWER(x)), s))) AS BIGINT) AS stop_hits
+        FROM w
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0 THEN ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) END AS mean_word_len,
+               CASE WHEN n_words > 0 THEN ROUND(CAST(n_hash + n_dots + n_uni AS DOUBLE) / n_words, 6) END AS symbol_ratio,
+               ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+               ROUND(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+               CASE WHEN n_words > 0 THEN ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END AS alpha_frac,
+               stop_hits
+        FROM m
+    ),
+    f AS (
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+               ellipsis_frac, alpha_frac, stop_hits,
+               COALESCE(n_words >= 40 AND n_words <= 90, FALSE) AS ok_words,
+               COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 4.5, FALSE) AS ok_mean_len,
+               COALESCE(symbol_ratio <= 0.1, FALSE) AS ok_symbol,
+               COALESCE(bullet_frac <= 0.9, FALSE) AS ok_bullet,
+               COALESCE(ellipsis_frac <= 0.3, FALSE) AS ok_ellipsis,
+               COALESCE(alpha_frac >= 0.8, FALSE) AS ok_alpha,
+               stop_hits >= 1 AS ok_stop
+        FROM r
+    )
+    SELECT *, (ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
+               AND ok_ellipsis AND ok_alpha AND ok_stop) AS pass_gate
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_gate(spark, sf_dir):
+    """Gopher quality-rule gate (operators/text.gopher_rules) over a
+    deterministically perturbed corpus so every rule fires both ways at
+    every SF: %5=0 docs gain 10 numeric words (alpha-fraction arm —
+    fails short docs, passes long ones), %5=1 are bulletized (bullet +
+    mean-word-len + alpha arms), %5=2 get ellipsis-terminated lines
+    (ellipsis + symbol arms), %5=3 gain '#' symbol words (symbol arm,
+    splitting within the class by doc length), %5=4 stay plain.
+    Thresholds are corpus-adapted (word count 40-90 straddles the 10-99
+    range, mean word length cap 4.5 straddles the 3.7-5.3 spread,
+    stopword floor 1 since the vocabulary carries only 'the') — the
+    operator's defaults are the paper's.  All ratios are exact-integer
+    divisions rounded at 6; the gate is a pure projection, no shuffle."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    m5 = F.col("doc_id") % 5
+    text2 = (
+        F.when(
+            m5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" 12 345 678 90 123 456 789 012 345 678")
+            ),
+        )
+        .when(
+            m5 == 1,
+            F.concat(F.lit("- "), F.regexp_replace("text", " ", "\n- ")),
+        )
+        .when(m5 == 2, F.regexp_replace("text", " ", "...\n"))
+        .when(m5 == 3, F.concat(F.col("text"), F.lit(" # # # # # # # #")))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", text2.alias("text"))
+    return t.gopher_rules(
+        staged,
+        min_words=40,
+        max_words=90,
+        max_mean_word_len=4.5,
+        min_stopword_hits=1,
+    ).orderBy("doc_id")

@@ -1314,3 +1314,145 @@ def token_js_divergence(
     if top_k is None:
         return scored
     return scored.orderBy(F.desc("js_contrib"), F.asc("term")).limit(top_k)
+
+
+# -- Gopher composite quality gate -------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021, appendix A): the
+    standard pre-training heuristic filter, as per-rule booleans plus the
+    combined verdict — keep the raw metrics AND the flags so a pipeline
+    can audit which rule rejected a document (the release-card question),
+    not just that one did.
+
+    Rules (defaults are the paper's): word count in [min_words,
+    max_words]; mean word length in [min_mean_word_len,
+    max_mean_word_len]; symbol-to-word ratio (``#`` characters and
+    ``...``/``…`` ellipses) at most ``max_symbol_word_ratio``; at most
+    ``max_bullet_line_frac`` of lines starting with a bullet; at most
+    ``max_ellipsis_line_frac`` of lines ending with an ellipsis; at
+    least ``min_alpha_word_frac`` of words containing an alphabetic
+    character; at least ``min_stopword_hits`` DISTINCT stopwords
+    present.  Words are whitespace-split (the paper's convention — NOT
+    the corpus [^a-z0-9] convention, punctuation stays attached); lines
+    split on newline.
+
+    A document with zero words fails every word-denominated rule
+    (ratio flags are NULL-folded to false), never divides by zero.
+
+    Scale: one pass, pure per-row projection — no shuffle, no Python,
+    whole-stage codegen end to end; put it FIRST in a curation pipeline
+    so later (shuffling) stages see only survivors.
+    """
+    t = F.col(text_col)
+    ws = F.filter(
+        F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.split(t, r"\n")
+    staged = df.select(
+        F.col(id_col), t.alias("__t"), ws.alias("__ws"), lines.alias("__ls")
+    )
+    n_words = F.size("__ws").cast("long")
+    n_lines = F.size("__ls").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("__ws"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length("__t") - F.length(F.regexp_replace("__t", "#", ""))
+    n_dots = (
+        F.length("__t") - F.length(F.regexp_replace("__t", r"\.\.\.", ""))
+    ) / 3
+    n_uni = F.length("__t") - F.length(F.regexp_replace("__t", "…", ""))
+    n_bullet = F.size(
+        F.filter(
+            F.col("__ls"),
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    )
+    n_ellipsis_end = F.size(
+        F.filter(F.col("__ls"), lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    n_alpha = F.size(F.filter(F.col("__ws"), lambda x: x.rlike("[a-zA-Z]")))
+    lowered = F.transform(F.col("__ws"), F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    ).cast("long")
+
+    metrics = staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.round(sum_len.cast("double") / n_words, round_digits),
+        ).alias("mean_word_len"),
+        F.when(
+            n_words > 0,
+            F.round(
+                (n_hash + n_dots + n_uni).cast("double") / n_words,
+                round_digits,
+            ),
+        ).alias("symbol_ratio"),
+        F.round(n_bullet.cast("double") / n_lines, round_digits).alias(
+            "bullet_frac"
+        ),
+        F.round(n_ellipsis_end.cast("double") / n_lines, round_digits).alias(
+            "ellipsis_frac"
+        ),
+        F.when(
+            n_words > 0,
+            F.round(n_alpha.cast("double") / n_words, round_digits),
+        ).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    flag = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    flags = metrics.select(
+        "*",
+        flag(
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        ).alias("ok_words"),
+        flag(
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("ok_mean_len"),
+        flag(F.col("symbol_ratio") <= max_symbol_word_ratio).alias("ok_symbol"),
+        flag(F.col("bullet_frac") <= max_bullet_line_frac).alias("ok_bullet"),
+        flag(F.col("ellipsis_frac") <= max_ellipsis_line_frac).alias(
+            "ok_ellipsis"
+        ),
+        flag(F.col("alpha_frac") >= min_alpha_word_frac).alias("ok_alpha"),
+        (F.col("stop_hits") >= min_stopword_hits).alias("ok_stop"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_words")
+            & F.col("ok_mean_len")
+            & F.col("ok_symbol")
+            & F.col("ok_bullet")
+            & F.col("ok_ellipsis")
+            & F.col("ok_alpha")
+            & F.col("ok_stop")
+        ).alias("pass_gate"),
+    )
