@@ -89,6 +89,10 @@ HEADLINE = [
     "text_perplexity_buckets",
     "eval_ndcg_retrieval",
     "text_js_divergence",
+    # r8 late additions (the two with a data-sized shuffle/join; the two
+    # cheap projections went to AUDIT_EXTRA)
+    "dedup_fuzzy_levenshtein",
+    "embed_covariance",
 ]
 
 # Not timed (see the cap note above), but still held to the same
@@ -99,6 +103,8 @@ AUDIT_EXTRA = [
     "dq_k_anonymity",
     "merge_snapshot_diff",
     "dq_domain_concentration",
+    "eval_rouge_bigram",
+    "text_gopher_gate",
 ]
 
 

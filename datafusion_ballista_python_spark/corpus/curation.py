@@ -1576,3 +1576,62 @@ def text_gopher_gate(spark, sf_dir):
         max_mean_word_len=4.5,
         min_stopword_hits=1,
     ).orderBy("doc_id")
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT lang AS a,
+               CASE WHEN doc_id % 7 = 0 THEN 'zz'
+                    WHEN doc_id % 5 = 0 THEN REVERSE(lang)
+                    ELSE lang END AS b
+        FROM documents
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS c FROM r GROUP BY a, b),
+    rm AS (SELECT a, SUM(c) AS ra FROM cells GROUP BY a),
+    cm AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        FROM cells
+    ),
+    pen AS (
+        SELECT CAST(SUM(CAST(ra AS DECIMAL(38,0)) * cb) AS DOUBLE) AS pe_num
+        FROM rm JOIN cm ON rm.a = cm.b
+    ),
+    m AS (
+        SELECT n,
+               ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+               ROUND(COALESCE(pe_num, 0.0)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe
+        FROM tot, pen
+    )
+    SELECT n, po, pe,
+           CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+    FROM m
+    """,
+)
+def eval_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (operators/quality.cohens_kappa) between the corpus
+    language label and a simulated second annotator: %7 docs get a
+    systematic out-of-set label ('zz'), %5 docs a deterministic
+    confusion (reversed lang code), the rest agree — so the confusion
+    matrix is non-square (category union), po sits mid-band, and kappa
+    exercises the chance-correction arithmetic.  Every division input
+    is an exact BIGINT/DECIMAL count, so po/pe/kappa replay
+    bit-for-bit; kappa is computed from the ROUNDED po/pe on both
+    engines.  Scale: one shuffle collapses the corpus to the |A| x |B|
+    confusion matrix; pe's marginal products accumulate in
+    DECIMAL(38,0) (BIGINT would overflow past ~3e9 rows)."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    staged = docs.select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .when(F.col("doc_id") % 5 == 0, F.reverse(F.col("lang")))
+        .otherwise(F.col("lang"))
+        .alias("b"),
+    )
+    return q.cohens_kappa(staged, "a", "b")

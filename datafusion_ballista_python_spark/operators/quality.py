@@ -990,3 +990,78 @@ def rouge_ngram(
         "recall",
         f1.alias("f1"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two label columns (Cohen 1960): one row
+    ``(n, po, pe, kappa)`` — the chance-corrected agreement number behind
+    every "how reliable are these labels" audit (annotator QA, judge
+    model vs human, heuristic-vs-model curation gates).
+
+    ``po`` = observed agreement fraction, ``pe`` = expected-by-chance
+    agreement from the raters' marginals, ``kappa = (po - pe) / (1 -
+    pe)``, NULL when ``pe = 1`` (both raters constant and equal — kappa
+    is undefined; both engines return NULL rather than 0/0).  Labels
+    need not come from the same closed set: categories are the union.
+
+    All inputs to the divisions are exact BIGINT counts, so ``po``/
+    ``pe``/``kappa`` are single IEEE divisions rounded at
+    ``round_digits`` — engine-exact.  NULL labels in either column are
+    excluded (pairwise-complete, the standard convention).
+
+    Scale: one partial-agg shuffle on the (a, b) label pair collapses
+    the corpus to a confusion matrix bounded by |labels_a| x |labels_b|;
+    marginals and the final scalar reduce over that tiny frame.
+    """
+    cells = (
+        df.where(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+        .groupBy(
+            F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    row_marg = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    col_marg = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    # marginal products and their sum reach n^2 — accumulate in
+    # DECIMAL(38,0) (exact), not BIGINT (overflows past ~3e9 rows)
+    chance = (
+        row_marg.join(
+            col_marg, row_marg["__a"] == col_marg["__b"], "inner"
+        ).agg(
+            F.sum(
+                F.col("__ra").cast("decimal(38,0)") * F.col("__cb")
+            ).alias("__pe_num")
+        )
+    )
+    totals = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__agree"
+        ),
+    )
+    out = totals.crossJoin(F.broadcast(chance)).select(
+        "n",
+        F.round(
+            F.coalesce(F.col("__agree"), F.lit(0)).cast("double") / F.col("n"),
+            round_digits,
+        ).alias("po"),
+        F.round(
+            F.coalesce(F.col("__pe_num").cast("double"), F.lit(0.0))
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            round_digits,
+        ).alias("pe"),
+    )
+    return out.select(
+        "n",
+        "po",
+        "pe",
+        F.when(
+            F.col("pe") < 1.0,
+            F.round((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), round_digits),
+        ).alias("kappa"),
+    )
