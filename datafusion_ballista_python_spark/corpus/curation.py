@@ -1635,3 +1635,72 @@ def eval_cohens_kappa(spark, sf_dir):
         .alias("b"),
     )
     return q.cohens_kappa(staged, "a", "b")
+
+
+@query(
+    "dq_rank_sum_drift",
+    oracle="""
+    WITH pa AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS ca
+        FROM documents WHERE lang = 'en' GROUP BY 1
+    ),
+    pb AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS cb
+        FROM documents WHERE lang <> 'en' GROUP BY 1
+    ),
+    m AS (
+        SELECT COALESCE(pa.v, pb.v) AS v,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM pa FULL OUTER JOIN pb ON pa.v = pb.v
+    ),
+    w AS (
+        SELECT ca, ca + cb AS c,
+               SUM(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - (ca + cb) AS before
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(c - ca) AS BIGINT) AS n_b,
+               CAST(SUM(CAST(ca AS DECIMAL(38,0)) * (2 * before + c + 1))
+                    AS DOUBLE) AS two_ra,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS DOUBLE) AS ties
+        FROM w
+    ),
+    u AS (
+        SELECT n_a, n_b,
+               (two_ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                 / 2.0 AS u_a,
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - ties / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS var,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu
+        FROM s
+    )
+    SELECT n_a, n_b, u_a,
+           CASE WHEN var > 0 THEN ROUND((u_a - mu) / SQRT(var), 6) END AS z
+    FROM u
+    """,
+)
+def dq_rank_sum_drift(spark, sf_dir):
+    """Mann-Whitney U rank-sum drift test
+    (operators/quality.mann_whitney_u): document length (n_chars) of the
+    English sub-corpus vs everything else — the directional companion to
+    dq_ks_drift (U detects stochastic dominance; KS detects any shape
+    change).  n_chars is integer-valued, so tie groups are large and the
+    average-rank identity (2R_a accumulates the exact integer
+    ``ca * (2*before + c + 1)``) plus the DECIMAL tie term are genuinely
+    exercised, not degenerate.  z's handful of IEEE ops is spelled
+    identically in both engines from exact integer inputs.  Scale: each
+    side collapses to one row per distinct value; the one window runs
+    over that value-domain-bounded frame."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return q.mann_whitney_u(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        "n_chars",
+    )

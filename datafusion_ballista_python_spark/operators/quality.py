@@ -1065,3 +1065,106 @@ def cohens_kappa(
             F.round((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), round_digits),
         ).alias("kappa"),
     )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two samples of a numeric
+    column: one row ``(n_a, n_b, u_a, z)`` — the nonparametric "did this
+    score distribution shift" test that, unlike KS, is sensitive to
+    stochastic dominance (one-directional drift) and, unlike a t-test,
+    needs no normality.  ``u_a`` is sample A's U statistic; ``z`` is the
+    tie-corrected normal approximation (no continuity correction), NULL
+    when the variance is 0 (every observation identical).
+
+    Exactness: ranks never materialize per row — per DISTINCT value the
+    average rank times count is ``ca * (2*before + c + 1) / 2``, an
+    integer identity, so ``2*R_a`` accumulates exactly in DECIMAL(38,0)
+    (as does the tie term ``sum(c^3 - c)``); u_a is an exact half-
+    integer and z is a handful of IEEE ops from exact inputs, spelled
+    identically in the DuckDB oracle.
+
+    Distributed shape, same pattern as :func:`ks_statistic` /
+    :func:`auc_roc`: each side collapses map-side to one row per
+    DISTINCT value; ONE ordered window runs over that bounded frame
+    (value-domain cardinality, not data size — quantize heavy continuous
+    columns upstream).  Raises on an empty side (a drift gate over
+    nothing must fail loudly, psi_drift precedent).
+    """
+    from pyspark.sql import Window
+
+    def per_value(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        return (
+            df.where(v.isNotNull())
+            .select(v.alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    merged = (
+        per_value(a, "ca")
+        .join(per_value(b, "cb"), "__v", "full")
+        .na.fill({"ca": 0, "cb": 0})
+        .localCheckpoint()
+    )
+    tot = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = tot["n_a"], tot["n_b"]
+    if not n_a or not n_b:
+        raise ValueError(
+            f"mann_whitney_u: empty sample for {col!r} "
+            f"(n_a={n_a}, n_b={n_b}) — a rank test over nothing is "
+            "meaningless; fix the feed"
+        )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    c = (F.col("ca") + F.col("cb")).alias("c")
+    cum = merged.select(
+        "ca",
+        c,
+        (F.sum(F.col("ca") + F.col("cb")).over(w) - (F.col("ca") + F.col("cb")))
+        .cast("long")
+        .alias("before"),
+    )
+    sums = cum.agg(
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("before") + F.col("c") + F.lit(1))
+        )
+        .cast("double")
+        .alias("two_ra"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    fa, fb = float(n_a), float(n_b)
+    fn = fa + fb
+    u_a = (F.col("two_ra") - F.lit(fa) * F.lit(fa + 1.0)) / F.lit(2.0)
+    var = (F.lit(fa) * F.lit(fb) / F.lit(12.0)) * (
+        F.lit(fn + 1.0) - F.col("ties") / F.lit(fn * (fn - 1.0))
+    )
+    mu = F.lit(fa) * F.lit(fb) / F.lit(2.0)
+    staged = sums.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        var.alias("__var"),
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        "u_a",
+        F.when(
+            F.col("__var") > 0,
+            F.round((F.col("u_a") - mu) / F.sqrt(F.col("__var")), round_digits),
+        ).alias("z"),
+    )
