@@ -68,4 +68,20 @@ print("k-anonymity violations (k=2):", viol.count())
 drift = text.token_js_divergence(docs, new_snapshot, top_k=5)
 drift.show(truncate=False)
 
+# 7. (r8 continuation) quality gate + label QA + directional drift:
+#    Gopher rules on the refreshed corpus (corpus-adapted thresholds),
+#    kappa between the stored language label and a re-run heuristic
+#    language ID, and a rank-sum test on doc length old-vs-new
+gate = text.gopher_rules(new_snapshot, min_words=40, max_words=90,
+                         max_mean_word_len=4.5, min_stopword_hits=1)
+kept = new_snapshot.join(
+    gate.where("pass_gate").select("doc_id"), "doc_id", "left_semi"
+)
+relabeled = text.language_id(new_snapshot)  # (doc_id, lang, lang_guess)
+agreement = quality.cohens_kappa(relabeled, "lang", "lang_guess")
+shift = quality.mann_whitney_u(docs, new_snapshot, "n_chars")
+print("gopher survivors:", kept.count())
+agreement.show()
+shift.show()
+
 print("corpus-maintenance pipeline complete")

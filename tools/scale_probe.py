@@ -34,6 +34,9 @@ OPS = [
     "graph_triangle_count",
     "embed_mmr_topk",
     "train_bpe_merges",
+    # r8-continuation additions: the two new shuffle/join-heavy operators
+    "dedup_fuzzy_levenshtein",
+    "embed_covariance",
 ]
 
 
