@@ -1704,3 +1704,50 @@ def dq_rank_sum_drift(spark, sf_dir):
         docs.where(F.col("lang") != "en"),
         "n_chars",
     )
+
+
+@query(
+    "dq_chi_square_lang_source",
+    oracle="""
+    WITH cells AS (
+        SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+    cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT rm.a, cm.b, rm.ra, cm.cb, tot.n,
+               CAST(COALESCE(cells.o, 0) AS BIGINT) AS oc
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b
+    ),
+    terms AS (
+        SELECT n, a, b,
+               ROUND((CAST(oc AS DOUBLE)
+                      - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(oc AS DOUBLE)
+                        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)),
+                     6) AS term
+        FROM grid
+    )
+    SELECT MAX(n) AS n,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def dq_chi_square_lang_source(spark, sf_dir):
+    """Chi-square independence of language x source
+    (operators/quality.chi_square_independence): is the language mix the
+    same across ingest sources — the shard-balance audit before mixture
+    weighting trusts per-source stats.  Unobserved (lang, source) cells
+    contribute their full expected mass; per-cell terms round at 6 and
+    sum as DECIMAL, so the statistic replays bit-for-bit.  Scale: data
+    collapses to the contingency cells in one partial-agg shuffle; the
+    cell grid is the broadcast product of two marginal frames."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return q.chi_square_independence(docs, "lang", "source")

@@ -1168,3 +1168,65 @@ def mann_whitney_u(
             F.round((F.col("u_a") - mu) / F.sqrt(F.col("__var")), round_digits),
         ).alias("z"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row ``(n, dof, chi2)`` — the "is the label mix uniform
+    across sources / shards / time buckets" audit (pair with
+    :func:`cohens_kappa`, which asks the different question "do two
+    raters agree").
+
+    Every |A| x |B| cell contributes ``(o - e)^2 / e`` with ``e =
+    row_marginal * col_marginal / n`` — including UNOBSERVED cells
+    (o = 0), which contribute ``e``; omitting them understates the
+    statistic.  Per-cell terms are rounded at ``round_digits`` and
+    accumulate as DECIMAL (order-independent, engine-exact); the p-value
+    is intentionally not computed (needs the incomplete gamma — compare
+    chi2 against a critical value for the dof instead).  NULL rows in
+    either column are excluded pairwise.
+
+    Scale: one partial-agg shuffle collapses the data to the observed
+    contingency cells; the full cell grid is the broadcast product of
+    the two marginal frames (bounded by label cardinalities, never data
+    size).
+    """
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    row_marg = cells.groupBy("__a").agg(F.sum("__o").cast("long").alias("__ra"))
+    col_marg = cells.groupBy("__b").agg(F.sum("__o").cast("long").alias("__cb"))
+    tot = cells.agg(F.sum("__o").cast("long").alias("n"))
+    grid = (
+        row_marg.crossJoin(F.broadcast(col_marg))
+        .join(F.broadcast(cells), ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__oc", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("__oc").cast("double") - e) * (F.col("__oc").cast("double") - e) / e,
+        round_digits,
+    )
+    agg = grid.agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (F.count_distinct(F.col("__a")) - F.lit(1))
+            * (F.count_distinct(F.col("__b")) - F.lit(1))
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum(term.cast("decimal(25,6)")).cast("double").alias("chi2"),
+    )
+    return agg.select("n", "dof", "chi2")
