@@ -1751,3 +1751,79 @@ def dq_chi_square_lang_source(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return q.chi_square_independence(docs, "lang", "source")
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    """CASE ladder mapping a uniform to a Poisson(1) weight, generated
+    from the SAME Python floats the operator embeds as Spark literals
+    (operators/quality.POISSON1_CUM) — one source of truth, so the two
+    engines compare identical IEEE doubles."""
+    from ..operators.quality import POISSON1_CUM
+
+    arms = "\n             ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CUM)
+    )
+    return f"CASE {arms}\n             ELSE 7 END"
+
+
+_BOOTSTRAP_ORACLE = f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DOUBLE) AS x
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS point
+        FROM base
+    ),
+    rep AS (
+        SELECT id, x, r.r AS r
+        FROM base, (SELECT CAST(range AS INTEGER) AS r FROM range(0, 200)) r
+    ),
+    ku AS (
+        SELECT r, x,
+               CAST(CAST('0x' || SUBSTRING(MD5('boot:' || CAST(r AS VARCHAR) || ':' || id), 1, 15)
+                         AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM rep
+    ),
+    w2 AS (
+        SELECT r, x,
+             {_poisson_case_sql('u')} AS k
+        FROM ku
+    ),
+    means AS (
+        SELECT r,
+               CAST(SUM(k) AS BIGINT) AS nk,
+               CAST(SUM(CAST(k * x AS DECIMAL(25,6))) AS DOUBLE) AS sx
+        FROM w2 GROUP BY r
+    ),
+    valid AS (SELECT r, ROUND(sx / nk, 6) AS m FROM means WHERE nk > 0),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn, COUNT(*) OVER () AS b
+        FROM valid
+    ),
+    ci AS (
+        SELECT CAST(MAX(b) AS BIGINT) AS n_boot,
+               MAX(CASE WHEN rn = 6 THEN m END) AS lo,
+               MAX(CASE WHEN rn = b - 6 + 1 THEN m END) AS hi
+        FROM ranked
+    )
+    SELECT n, n_boot, point, lo, hi FROM pt, ci
+    """
+
+
+@query("dq_bootstrap_mean_ci", oracle=_BOOTSTRAP_ORACLE)
+def dq_bootstrap_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean document length
+    (operators/quality.bootstrap_mean_ci, n_boot=200): the error bar a
+    corpus metric ships with.  The oracle replays all 200 resamples —
+    md5-derived uniforms, the shared POISSON1_CUM weight ladder (one
+    Python source of truth embedded as literals in BOTH engines),
+    DECIMAL-exact weighted sums, and the order-statistic interval — so
+    every sampled weight is bit-identical cross-engine.  Scale: the
+    n_boot x scan explosion collapses map-side to one (sum, count) pair
+    per replicate; the shuffle is 200 rows."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return q.bootstrap_mean_ci(docs, "n_chars", n_boot=200, seed="boot")

@@ -1230,3 +1230,133 @@ def chi_square_independence(
         F.sum(term.cast("decimal(25,6)")).cast("double").alias("chi2"),
     )
     return agg.select("n", "dof", "chi2")
+
+
+def _poisson1_cum(max_k: int = 7) -> tuple[float, ...]:
+    """Cumulative Poisson(1) probabilities P(X <= k) for k = 0..max_k-1,
+    computed once in Python floats — BOTH engines compare the same IEEE
+    literals, so the sampled weights are bit-identical cross-engine."""
+    import math
+
+    p = math.exp(-1.0)
+    out, cum, fact = [], 0.0, 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        cum += p / fact
+        out.append(cum)
+    return tuple(out)
+
+
+POISSON1_CUM = _poisson1_cum()
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_boot: int = 200,
+    seed: str = "boot",
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Poisson(1) bootstrap confidence interval for the MEAN of a column:
+    one row ``(n, n_boot, point, lo, hi)`` — the error bar every corpus
+    metric should ship with (a mean quality score without a CI cannot
+    tell drift from noise).
+
+    The Poisson bootstrap (Chamandy et al. 2012) replaces multinomial
+    resampling with an independent Poisson(1) weight per (row,
+    replicate): weights derive from a 60-bit md5 uniform compared
+    against the POISSON1_CUM ladder (weights > 7 truncated, ~1e-5 mass),
+    so the whole procedure is DETERMINISTIC — same corpus, same seed,
+    same interval, on any partitioning and in the DuckDB oracle.
+
+    Per replicate, ``sum(k * x)`` accumulates in DECIMAL(25,6) (exact,
+    order-free) against an integer ``sum(k)``; the interval is the
+    (floor(alpha/2 * n_boot) + 1)-th / mirrored order statistic of the
+    rounded replicate means (empirical percentile, tie-broken by
+    replicate id).  A replicate whose weights all land 0 is dropped
+    (possible only for tiny inputs; both engines drop identically).
+
+    Scale: the replicate explosion multiplies the scan by ``n_boot``,
+    but each replicate collapses map-side to one (sum, count) pair, so
+    the shuffle is n_boot rows total — the standard price of a
+    distributed bootstrap, paid in the scan stage where it parallelizes.
+    """
+    if n_boot < 2:
+        raise ValueError(f"bootstrap_mean_ci: n_boot must be >= 2, got {n_boot}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"bootstrap_mean_ci: alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("__x").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("point"),
+    )
+    rep = base.select(
+        "__id",
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col("__r").cast("string"),
+                        F.lit(":"),
+                        F.col("__id"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+    ) / float(16**15)
+    k = F.lit(7)
+    for kk in range(len(POISSON1_CUM) - 1, -1, -1):
+        k = F.when(u < F.lit(POISSON1_CUM[kk]), F.lit(kk)).otherwise(k)
+    means = (
+        rep.select("__r", k.alias("__k"), "__x")
+        .groupBy("__r")
+        .agg(
+            F.sum("__k").cast("long").alias("__nk"),
+            F.sum((F.col("__k") * F.col("__x")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("__sx"),
+        )
+        .where(F.col("__nk") > 0)
+        .select(
+            "__r",
+            F.round(F.col("__sx") / F.col("__nk"), round_digits).alias("__m"),
+        )
+    )
+    k_lo = int(alpha / 2.0 * n_boot) + 1
+    w = Window.orderBy("__m", "__r")
+    ranked = means.select(
+        "__m",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__b"),
+    )
+    ci = ranked.agg(
+        F.max(F.col("__b")).cast("long").alias("n_boot"),
+        F.max(F.when(F.col("__rn") == F.lit(k_lo), F.col("__m"))).alias("lo"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__b") - F.lit(k_lo) + 1, F.col("__m"))
+        ).alias("hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", "n_boot", "point", "lo", "hi"
+    )
