@@ -579,3 +579,71 @@ def sample_temperature_weights(spark, sf_dir):
     return sampling.temperature_weights(docs, "lang", alpha=0.7).orderBy(
         "lang"
     )
+
+
+@query(
+    "train_mixture_allocation",
+    oracle="""
+    WITH per AS (
+        SELECT lang AS "group", CAST(SUM(n_chars) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY lang
+    ),
+    b AS (SELECT 2.0 * CAST(SUM(n_chars) AS DOUBLE) AS budget FROM documents),
+    s AS (
+        SELECT "group", avail_tokens, budget,
+               CAST(CASE "group" WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+                                 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                                 WHEN 'zh' THEN 0.15 ELSE 0.0 END
+                    AS DOUBLE) AS share
+        FROM per, b
+    ),
+    calc AS (
+        SELECT "group", avail_tokens,
+               ROUND(share, 6) AS target_share,
+               budget * share AS desired,
+               2.0 * CAST(avail_tokens AS DOUBLE) AS cap
+        FROM s
+    ),
+    alloc AS (
+        SELECT "group", avail_tokens, target_share,
+               ROUND(desired, 6) AS desired_tokens,
+               ROUND(LEAST(desired / CAST(avail_tokens AS DOUBLE), 2.0), 6) AS epochs,
+               ROUND(LEAST(desired, cap), 6) AS allocated_tokens,
+               desired > cap AS capped
+        FROM calc
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(allocated_tokens AS DECIMAL(25,6))) AS DOUBLE) AS t
+        FROM alloc
+    )
+    SELECT "group", avail_tokens, target_share, desired_tokens, epochs,
+           allocated_tokens, capped,
+           ROUND(allocated_tokens / t, 6) AS realized_share
+    FROM alloc, tot
+    ORDER BY "group"
+    """,
+)
+def train_mixture_allocation(spark, sf_dir):
+    """Token-budget mixture allocation
+    (operators/training.mixture_allocation): turn target language shares
+    (en-heavy 40/15/15/15/15) plus a budget of 2x the corpus into
+    per-language epochs, capped at 2 — with this corpus's real mix
+    (~44% en) the en allocation stays under the cap while the minority
+    languages hit it, so BOTH capped arms fire at every SF.  The budget
+    is 2x the exact corpus token count (BIGINT -> double, exact), so the
+    entry is scale-free; all downstream arithmetic is a handful of IEEE
+    ops from exact inputs, spelled identically in the oracle.  Scale:
+    one partial-agg shuffle to per-language sums; everything else runs
+    on the dozens-row domain frame."""
+    from ..operators import training as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    total = docs.agg(F.sum("n_chars").cast("long")).collect()[0][0]
+    return t.mixture_allocation(
+        docs,
+        "lang",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        token_col="n_chars",
+        budget=2.0 * float(total),
+        max_epochs=2.0,
+    ).orderBy("group")

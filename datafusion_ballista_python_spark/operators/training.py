@@ -777,3 +777,107 @@ def dsir_weights(
             F.sum(F.col("n") * F.col("__r")).cast("double").alias("log_weight"),
         )
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    token_col: str = "n_chars",
+    budget: float = 1.0e9,
+    max_epochs: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Token-budget mixture allocation: given target mixture shares and a
+    total token budget, compute per-domain sampling epochs — the "how
+    many passes over each source" calculation that turns mixture weights
+    (temperature_weights / DSIR) into an actual training plan.
+
+    Per group ``d`` with available tokens ``T_d`` and normalized target
+    share ``w_d``: ``desired_d = budget * w_d``; ``epochs_d = desired_d /
+    T_d`` **capped at** ``max_epochs`` (repeating a small domain beyond a
+    few epochs degrades models faster than under-weighting it — the
+    standard data-constrained scaling guidance); ``allocated_d =
+    min(desired_d, max_epochs * T_d)`` with ``capped`` flagged, plus
+    ``realized_share`` (allocated / total allocated) so the gap between
+    the target mix and what the budget + caps actually yield is explicit.
+
+    Groups absent from ``targets`` get share 0 (reported, zero
+    allocation) — dropping them silently would hide corpus mass from the
+    audit.  ``targets`` is normalized over the groups PRESENT in the
+    data, so a target naming an absent group fails loudly via the
+    normalizer rather than skewing every share.
+
+    Output: one row per group ``(group, avail_tokens, target_share,
+    desired_tokens, epochs, allocated_tokens, capped, realized_share)``.
+
+    Exactness: ``T_d`` is an exact BIGINT sum; every downstream value is
+    a handful of IEEE ops from literals, rounded at ``round_digits``.
+    Scale: one partial-agg shuffle to per-group token sums (domains are
+    dozens, not millions); everything after runs on that tiny frame.
+    """
+    if budget <= 0:
+        raise ValueError(f"mixture_allocation: budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(
+            f"mixture_allocation: max_epochs must be > 0, got {max_epochs}"
+        )
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("avail_tokens")
+    )
+    present = {r["group"] for r in per.select("group").collect()}
+    missing = sorted(set(targets) - present)
+    if missing:
+        raise ValueError(
+            f"mixture_allocation: targets name absent groups {missing}"
+        )
+    norm = sum(float(v) for k, v in targets.items() if k in present)
+    if norm <= 0:
+        raise ValueError("mixture_allocation: target shares sum to 0")
+    share = F.lit(0.0)
+    for g, v in sorted(targets.items()):
+        share = F.when(F.col("group") == F.lit(g), F.lit(float(v) / norm)).otherwise(
+            share
+        )
+    staged = per.select(
+        "group",
+        "avail_tokens",
+        F.round(share, round_digits).alias("target_share"),
+        (F.lit(float(budget)) * share).alias("__desired"),
+        (F.lit(float(max_epochs)) * F.col("avail_tokens").cast("double")).alias(
+            "__cap"
+        ),
+    ).select(
+        "group",
+        "avail_tokens",
+        "target_share",
+        F.round(F.col("__desired"), round_digits).alias("desired_tokens"),
+        F.round(
+            F.least(
+                F.col("__desired") / F.col("avail_tokens").cast("double"),
+                F.lit(float(max_epochs)),
+            ),
+            round_digits,
+        ).alias("epochs"),
+        F.round(F.least(F.col("__desired"), F.col("__cap")), round_digits).alias(
+            "allocated_tokens"
+        ),
+        (F.col("__desired") > F.col("__cap")).alias("capped"),
+    )
+    total = staged.agg(
+        F.sum(F.col("allocated_tokens").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("__tot")
+    )
+    return staged.crossJoin(F.broadcast(total)).select(
+        "group",
+        "avail_tokens",
+        "target_share",
+        "desired_tokens",
+        "epochs",
+        "allocated_tokens",
+        "capped",
+        F.round(F.col("allocated_tokens") / F.col("__tot"), round_digits).alias(
+            "realized_share"
+        ),
+    )
