@@ -1827,3 +1827,72 @@ def dq_bootstrap_mean_ci(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return q.bootstrap_mean_ci(docs, "n_chars", n_boot=200, seed="boot")
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle="""
+    WITH ratings AS (
+        SELECT doc_id AS i, lang AS l FROM documents
+        UNION ALL
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN REVERSE(lang) ELSE lang END
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END
+        FROM documents
+    ),
+    cells AS (
+        SELECT i, l, CAST(COUNT(*) AS BIGINT) AS c FROM ratings GROUP BY i, l
+    ),
+    per AS (
+        SELECT i, CAST(SUM(c) AS BIGINT) AS r, CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM cells GROUP BY i
+    ),
+    pb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(CAST(sq - r AS DECIMAL(38,0))) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 6.0), 6) AS p_bar
+        FROM per
+    ),
+    nj AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nj FROM cells GROUP BY l),
+    pe AS (
+        SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   (CAST(nj.nj AS DOUBLE) / t.t) * (CAST(nj.nj AS DOUBLE) / t.t),
+                   12) AS DECIMAL(25,12))) AS DOUBLE), 6) AS p_e
+        FROM nj, (SELECT CAST(n_items * 3 AS DOUBLE) AS t FROM pb) t
+    )
+    SELECT pb.n_items, CAST(3 AS BIGINT) AS n_raters, pb.p_bar, pe.p_e,
+           CASE WHEN pe.p_e < 1.0
+                THEN ROUND((pb.p_bar - pe.p_e) / (1.0 - pe.p_e), 6) END AS kappa
+    FROM pb, pe
+    """,
+)
+def eval_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (operators/quality.fleiss_kappa) over a 3-rater
+    panel simulated from the language label: rater 1 is the stored
+    label, rater 2 confuses %5 docs (reversed code), rater 3 sends %7
+    docs to an out-of-set label — so per-item label counts mix full
+    agreement, 2-1 splits, and 1-1-1 splits, and the category set is
+    the union.  P_i numerators and the squared label shares accumulate
+    in DECIMAL from exact integer counts; kappa comes from the rounded
+    p_bar/p_e identically in both engines.  Scale: one shuffle to
+    (item, label) counts, one to per-item sums; the label-share reduce
+    runs on the label-cardinality frame."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    r1 = docs.select("doc_id", F.col("lang").alias("label"))
+    r2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.reverse(F.col("lang")))
+        .otherwise(F.col("lang"))
+        .alias("label"),
+    )
+    r3 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("label"),
+    )
+    panel = r1.unionByName(r2).unionByName(r3)
+    return q.fleiss_kappa(panel, "doc_id", "label")

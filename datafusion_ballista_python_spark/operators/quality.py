@@ -1360,3 +1360,101 @@ def bootstrap_mean_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "n", "n_boot", "point", "lo", "hi"
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa for MULTI-rater agreement (Fleiss 1971): one row
+    ``(n_items, n_raters, p_bar, p_e, kappa)`` over a long frame of
+    ``(item, label)`` ratings — the generalization of
+    :func:`cohens_kappa` past two annotators (label-QA panels, k-way
+    judge ensembles).  Raters are anonymous (Fleiss' model): only the
+    per-item label counts matter.
+
+    Every item must carry the SAME number of ratings (the statistic is
+    undefined otherwise) — validated with one aggregate, loud error on
+    violation.  ``P_i = (sum_j n_ij^2 - r) / (r (r - 1))``;
+    ``p_bar`` averages P_i (exact DECIMAL numerators, one division);
+    ``p_e = sum_j p_j^2`` from the pooled label shares (each share one
+    exact division, rounded, squared and summed as DECIMAL); ``kappa =
+    (p_bar - p_e) / (1 - p_e)``, NULL when ``p_e = 1``.  NULL labels are
+    excluded before the raters-per-item check (pairwise-complete would
+    break the equal-ratings invariant silently — better to surface it).
+
+    Scale: one shuffle to (item, label) counts, one to per-item sums;
+    label shares reduce over the label-cardinality frame.
+    """
+    rated = df.where(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(item_col).alias("__i"), F.col(label_col).alias("__l"))
+    cells = rated.groupBy("__i", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__c").cast("long").alias("__r"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__sq"),
+    )
+    spread = per_item.agg(
+        F.min("__r").alias("__rmin"),
+        F.max("__r").alias("__rmax"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    ).collect()[0]
+    if spread["n_items"] == 0:
+        raise ValueError("fleiss_kappa: no ratings after NULL exclusion")
+    if spread["__rmin"] != spread["__rmax"]:
+        raise ValueError(
+            "fleiss_kappa: unequal ratings per item "
+            f"(min={spread['__rmin']}, max={spread['__rmax']}) — the "
+            "statistic is undefined; complete or drop partial items"
+        )
+    r = spread["__rmin"]
+    if r < 2:
+        raise ValueError(f"fleiss_kappa: need >= 2 ratings per item, got {r}")
+    n_items = spread["n_items"]
+    denom = float(r * (r - 1))
+    p_bar = per_item.agg(
+        F.round(
+            F.sum((F.col("__sq") - F.col("__r")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(n_items) * denom),
+            round_digits,
+        ).alias("p_bar")
+    )
+    total = float(n_items * r)
+    p_e = (
+        cells.groupBy("__l")
+        .agg(F.sum("__c").cast("long").alias("__nj"))
+        .select(
+            F.round(
+                (F.col("__nj").cast("double") / F.lit(total))
+                * (F.col("__nj").cast("double") / F.lit(total)),
+                round_digits + 6,
+            ).alias("__pj2")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("__pj2").cast("decimal(25,12)")).cast("double"),
+                round_digits,
+            ).alias("p_e")
+        )
+    )
+    return (
+        p_bar.crossJoin(F.broadcast(p_e))
+        .select(
+            F.lit(n_items).cast("long").alias("n_items"),
+            F.lit(r).cast("long").alias("n_raters"),
+            "p_bar",
+            "p_e",
+            F.when(
+                F.col("p_e") < 1.0,
+                F.round(
+                    (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")),
+                    round_digits,
+                ),
+            ).alias("kappa"),
+        )
+    )

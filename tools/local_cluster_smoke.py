@@ -44,6 +44,9 @@ SMOKE = [
     "stream_dedup_keys",         # streaming sink path
     "train_dsir_weights",        # r8: hashed-bigram LLR, broadcast ratio table
     "text_perplexity_buckets",   # r8: corpus LM + per-language NTILE window
+    "embed_covariance",          # r8b: dim^2 pair explode + (i,j) shuffle
+    "dedup_fuzzy_levenshtein",   # r8b: two-ended block join + bounded DP verify
+    "dq_bootstrap_mean_ci",      # r8b: replicate explode + order-stat window
 ]
 
 
@@ -111,6 +114,24 @@ def main() -> int:
     except Exception as e:
         ok = False
         results["kcore_reliable_ckpt"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    # pca_project's Gram path: mapInPandas partial Gram matrices computed
+    # in REMOTE executor Python workers (package import via addPyFile),
+    # eigh on the driver, projection broadcast back as literals
+    try:
+        from datafusion_ballista_python_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        n = similarity.pca_project(emb, k=2).count()
+        results["pca_project_gram"] = {
+            "rows": n, "sec": round(time.perf_counter() - t0, 2),
+        }
+        if n != emb.count():
+            ok = False
+    except Exception as e:
+        ok = False
+        results["pca_project_gram"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # metadata-only COUNT(*) (SURVEY §4): the driver-side footer read and
     # the distributed variant must agree with a real scan under multi-JVM
