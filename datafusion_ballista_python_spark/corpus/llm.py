@@ -2937,3 +2937,57 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     return dedup.fuzzy_levenshtein_pairs(
         docs, batch, max_dist=3, block_prefix=16
     ).orderBy("doc_a", "doc_b")
+
+
+_SILHOUETTE_ORACLE = f"""
+WITH cent(cell, cv) AS (VALUES {{centroid_values}}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (
+    SELECT v.vec_id, cent.cell,
+           SQRT(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v.e, cent.cv),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                (s, e) -> s + e)) AS dist
+    FROM v CROSS JOIN cent
+),
+r AS (
+    SELECT vec_id, cell, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d
+),
+ab AS (
+    SELECT vec_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN cell END) AS INTEGER) AS cell,
+           MIN(CASE WHEN rn = 1 THEN dist END) AS a,
+           MIN(CASE WHEN rn = 2 THEN dist END) AS b
+    FROM r WHERE rn <= 2 GROUP BY vec_id
+),
+s AS (
+    SELECT cell,
+           CASE WHEN GREATEST(a, b) > 0
+                THEN ROUND((b - a) / GREATEST(a, b), 6)
+                ELSE 0.0 END AS s
+    FROM ab
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_s
+FROM s GROUP BY cell ORDER BY cell
+""".format(centroid_values=_semdedup_centroid_values())
+
+
+@query("embed_silhouette", oracle=_SILHOUETTE_ORACLE)
+def embed_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette
+    (operators/similarity.silhouette_simplified) over the SemDeDup
+    pinned centroids — the "are these cells real clusters" health check
+    for the IVF/SemDeDup blocking that several scale paths rely on.
+    Random hyperplane centroids on near-isotropic synthetic vectors
+    give mean_s near 0 (no real cluster structure) — exactly what the
+    diagnostic should report here.  All k distances compute in one
+    map-side projection per row (certified float->double fold + IEEE
+    sqrt); per-point s rounds at 6 into per-cell DECIMAL means.  The
+    only shuffle is the k-cell partial aggregate."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.silhouette_simplified(
+        emb, _SEMDEDUP_CENTROIDS
+    ).orderBy("cell")

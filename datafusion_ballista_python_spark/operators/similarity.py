@@ -1104,3 +1104,80 @@ def pca_project(
         ),
     )
     return df.select(F.col(id_col), proj.alias(out_col))
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Simplified silhouette score per cluster (Hruschka et al. 2004 —
+    the centroid-distance variant that makes silhouette computable at
+    corpus scale): for each vector, ``a`` = euclidean distance to its
+    own (nearest) centroid, ``b`` = distance to the second-nearest, and
+    ``s = (b - a) / max(a, b)`` — the standard "are these clusters
+    real" diagnostic for the k-means behind IVF cells and SemDeDup
+    blocks.  True silhouette is O(n^2) pairwise; this variant is O(n*k)
+    and fully map-side.
+
+    Returns one row per cluster: ``(cell, n, mean_s)``; ``s`` is 0 when
+    ``max(a, b) = 0`` (point coincides with tied centroids).  Ties on
+    the nearest centroid assign the lowest cell id (first index of the
+    min — same rule as the IVF/SemDeDup assignment).
+
+    Determinism: distances are IEEE sqrt over the certified
+    float->double fold; per-point ``s`` rounds at ``round_digits`` and
+    accumulates per cell as DECIMAL, so means are partition-order-free
+    and oracle-exact.
+
+    Scale: all k distances compute in ONE projection per row (no join
+    against a centroid table); the only shuffle is the per-cell partial
+    aggregate — k cells, bounded.
+    """
+    if len(centroids) < 2:
+        raise ValueError(
+            f"silhouette_simplified: need >= 2 centroids, got {len(centroids)}"
+        )
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col)
+    dists = F.transform(
+        cents,
+        lambda c: F.sqrt(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    staged = df.select(F.col(id_col), dists.alias("__d")).select(
+        id_col,
+        (F.array_position(F.col("__d"), F.array_min("__d")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.element_at(F.array_sort("__d"), 1).alias("__a"),
+        F.element_at(F.array_sort("__d"), 2).alias("__b"),
+    )
+    s = F.when(
+        F.greatest("__a", "__b") > 0,
+        F.round(
+            (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"),
+            round_digits,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.select("cell", s.alias("__s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("mean_s"),
+        )
+    )
