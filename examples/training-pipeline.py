@@ -123,3 +123,20 @@ from datafusion_ballista_python_spark.operators import graph
 pairs = dedup.minhash_lsh_pairs(clean, num_hashes=16, bands=4, threshold=0.8)
 cores = graph.kcore(pairs, k=2)
 print("dense-duplicate core nodes:", cores.count())
+
+# 11. (r8 continuation) turn the final mix into a training plan: target
+#     shares + a token budget -> per-language epochs (capped at 2), with
+#     the realized-vs-target gap made explicit; then a bootstrap CI on
+#     the mean doc length so the release card carries an error bar
+total_tokens = final.agg(F.sum("n_chars")).collect()[0][0]
+plan = training.mixture_allocation(
+    final, "lang",
+    {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    token_col="n_chars", budget=2.0 * float(total_tokens), max_epochs=2.0,
+)
+plan.orderBy("group").show()
+
+ci = quality.bootstrap_mean_ci(final, "n_chars", n_boot=100)
+ci.show()
+
+print("training-pipeline complete")

@@ -39,6 +39,7 @@ def test_flight_sql_example():
 def test_training_pipeline_example():
     out = _run("training-pipeline.py")
     assert "docs: " in out and "chunks: " in out and "sequences: " in out
+    assert "training-pipeline complete" in out
 
 
 def test_analytics_pipeline_example():
