@@ -2991,3 +2991,61 @@ def embed_silhouette(spark, sf_dir):
     return similarity.silhouette_simplified(
         emb, _SEMDEDUP_CENTROIDS
     ).orderBy("cell")
+
+
+@query(
+    "dedup_fuse_records",
+    oracle="""
+    WITH d AS (
+        SELECT *, CAST(doc_id % 97 AS BIGINT) AS cluster FROM documents
+    ),
+    base AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(n_chars) AS n_chars, MIN(doc_id) AS doc_id
+        FROM d GROUP BY cluster
+    ),
+    longest AS (
+        SELECT cluster, text FROM (
+            SELECT cluster, text,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY LENGTH(text) DESC, doc_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    modes AS (
+        SELECT cluster, lang FROM (
+            SELECT cluster, lang,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM d GROUP BY cluster, lang
+        ) WHERE rn = 1
+    )
+    SELECT b.cluster, b.n_members, b.n_chars, b.doc_id, l.text, m.lang
+    FROM base b JOIN longest l USING (cluster) JOIN modes m USING (cluster)
+    ORDER BY cluster
+    """,
+)
+def dedup_fuse_records(spark, sf_dir):
+    """Record fusion (operators/dedup.fuse_records): collapse each
+    duplicate cluster to one golden record with field-level survivorship
+    — longest text (ties -> lowest id), max n_chars, earliest doc_id,
+    modal language (ties -> lexicographic).  Clusters here are synthetic
+    (doc_id % 97, ~5 members each) so every rule sees real multi-member
+    groups with genuine mode ties at every SF; the production input is
+    exact_clusters / survivor_selection components.  Every rule is
+    deterministic under ties, so the fused table replays bit-for-bit.
+    Scale: windows partitioned by the cluster key (skew bounded by the
+    largest duplicate family) + one per-cluster aggregate."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    clustered = docs.withColumn(
+        "cluster", (F.col("doc_id") % 97).cast("long")
+    )
+    return dedup.fuse_records(
+        clustered,
+        "cluster",
+        id_col="doc_id",
+        longest_col="text",
+        max_cols=["n_chars"],
+        min_cols=["doc_id"],
+        mode_cols=["lang"],
+    ).orderBy("cluster")

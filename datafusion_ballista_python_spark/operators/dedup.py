@@ -1230,3 +1230,68 @@ def fuzzy_levenshtein_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("dist").cast("int").alias("dist"))
     )
+
+
+def fuse_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "doc_id",
+    longest_col: Optional[str] = None,
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    mode_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Record fusion ("golden record"): collapse each duplicate cluster
+    to ONE representative row with field-level survivorship rules — the
+    step after clustering (exact_clusters / survivor_selection /
+    connected components) when the pipeline wants a merged record
+    instead of just a kept id:
+
+    - ``longest_col``: keep the value from the cluster's LONGEST text
+      (ties -> lowest ``id_col``) — the usual rule for the document body;
+    - ``max_cols`` / ``min_cols``: per-field max/min (freshest
+      timestamp, earliest crawl, highest score);
+    - ``mode_cols``: the most frequent value in the cluster (ties ->
+      lexicographically smallest) — the consensus rule for labels.
+
+    Output: ``(cluster_col, n_members, <longest_col>, <maxs>, <mins>,
+    <modes>)``.  Every rule is deterministic under ties, so the fused
+    table is reproducible across partitionings and oracle-checkable.
+
+    Scale: one window per rule family partitioned by the cluster key
+    (skew bounded by the largest duplicate family — same bound as
+    survivor_selection) plus one final per-cluster aggregate; no
+    cross-cluster traffic.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(cluster_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    aggs += [F.max(m).alias(m) for m in max_cols]
+    aggs += [F.min(m).alias(m) for m in min_cols]
+    out = df.groupBy(c.alias(cluster_col)).agg(*aggs)
+
+    if longest_col is not None:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.length(longest_col).desc(), F.col(id_col)
+        )
+        longest = (
+            df.select(cluster_col, id_col, longest_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(cluster_col, longest_col)
+        )
+        out = out.join(longest, cluster_col)
+
+    for m in mode_cols:
+        counts = df.groupBy(cluster_col, m).agg(F.count(F.lit(1)).alias("__c"))
+        wm = Window.partitionBy(cluster_col).orderBy(
+            F.col("__c").desc(), F.col(m)
+        )
+        winner = (
+            counts.withColumn("__rn", F.row_number().over(wm))
+            .where(F.col("__rn") == 1)
+            .select(cluster_col, m)
+        )
+        out = out.join(winner, cluster_col)
+    return out
