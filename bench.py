@@ -105,6 +105,14 @@ AUDIT_EXTRA = [
     "dq_domain_concentration",
     "eval_rouge_bigram",
     "text_gopher_gate",
+    "eval_cohens_kappa",
+    "eval_fleiss_kappa",
+    "dq_chi_square_lang_source",
+    "train_mixture_allocation",
+    "embed_silhouette",
+    "dedup_fuse_records",
+    "dq_rank_sum_drift",
+    "dq_bootstrap_mean_ci",
 ]
 
 
