@@ -1896,3 +1896,60 @@ def eval_fleiss_kappa(spark, sf_dir):
     )
     panel = r1.unionByName(r2).unionByName(r3)
     return q.fleiss_kappa(panel, "doc_id", "label")
+
+
+@query(
+    "eval_weighted_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(doc_id % 4 AS BIGINT) AS a,
+               CAST(LEAST(3, doc_id % 4
+                             + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                             + CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM documents
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY a, b),
+    obs AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST((a - b) * (a - b) * c AS DECIMAL(38,0))) AS swo
+        FROM cells
+    ),
+    rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
+    cm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+    exp AS (
+        SELECT SUM(CAST((a - b) * (a - b) AS DECIMAL(38,0)) * ra * cb) AS swe
+        FROM rm CROSS JOIN cm
+    )
+    SELECT n,
+           CASE WHEN swe > 0
+                THEN ROUND(1.0 - CAST(n AS DOUBLE) * CAST(swo AS DOUBLE)
+                                 / CAST(swe AS DOUBLE), 6)
+           END AS kappa
+    FROM obs, exp
+    """,
+)
+def eval_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa (operators/quality.weighted_kappa)
+    between a 0-3 ordinal grade (doc_id % 4) and a noisy second grader
+    that drifts +1 on %7 docs and +2 on %13 docs (clamped at 3) — so
+    one-step and two-step disagreements both occur and the quadratic
+    penalty is genuinely exercised.  Both kappa sums are exact integers
+    in DECIMAL; the statistic is ONE IEEE division rounded at 6.
+    Scale: one shuffle to confusion cells; the expected sum is the
+    broadcast marginal product, label-cardinality-bounded."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    staged = docs.select(
+        (F.col("doc_id") % 4).cast("long").alias("a"),
+        F.least(
+            F.lit(3),
+            F.col("doc_id") % 4
+            + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+            + F.when(F.col("doc_id") % 13 == 0, 2).otherwise(0),
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    return q.weighted_kappa(staged, "a", "b", weights="quadratic")

@@ -1458,3 +1458,75 @@ def fleiss_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    weights: str = "quadratic",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL integer labels (Cohen 1968):
+    one row ``(n, kappa)`` — the agreement statistic for graded scales
+    (relevance 0-3, quality 1-5) where disagreeing by one grade should
+    cost less than disagreeing by three.  ``weights='quadratic'`` is the
+    ICC-equivalent standard; ``'linear'`` penalizes proportionally.
+
+    Identity used: ``kappa_w = 1 - n * sum(w_ij * o_ij) /
+    sum(w_ij * ra_i * cb_j)`` — both sums are EXACT integers (integer
+    labels, integer weights, DECIMAL accumulation), so kappa is ONE
+    IEEE division rounded at ``round_digits``; NULL when the expected
+    disagreement is 0 (both raters constant and equal).  NULL labels
+    excluded pairwise.
+
+    Scale: one shuffle to the observed confusion cells; the weighted
+    expected sum is the broadcast product of the two marginal frames
+    (label-cardinality-bounded, like :func:`chi_square_independence`).
+    """
+    if weights not in ("linear", "quadratic"):
+        raise ValueError(
+            f"weighted_kappa: weights must be 'linear' or 'quadratic', "
+            f"got {weights!r}"
+        )
+    cells = (
+        df.where(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+        .groupBy(
+            F.col(rater_a).cast("long").alias("__a"),
+            F.col(rater_b).cast("long").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+
+    def w(i, j):
+        d = F.abs(i - j)
+        return d if weights == "linear" else d * d
+
+    obs = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(
+            (w(F.col("__a"), F.col("__b")) * F.col("__c")).cast("decimal(38,0)")
+        ).alias("__swo"),
+    )
+    rm = cells.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ra"))
+    cm = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    exp = rm.crossJoin(F.broadcast(cm)).agg(
+        F.sum(
+            w(F.col("__a"), F.col("__b")).cast("decimal(38,0)")
+            * F.col("__ra")
+            * F.col("__cb")
+        ).alias("__swe")
+    )
+    return obs.crossJoin(F.broadcast(exp)).select(
+        "n",
+        F.when(
+            F.col("__swe") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n").cast("double")
+                * F.col("__swo").cast("double")
+                / F.col("__swe").cast("double"),
+                round_digits,
+            ),
+        ).alias("kappa"),
+    )

@@ -54,3 +54,45 @@ def test_disjoint_label_sets(spark):
 def test_null_labels_excluded(spark):
     got = _run(spark, [("x", "x")] * 8 + [(None, "x"), ("x", None)])
     assert got["n"] == 8
+
+
+# -- weighted kappa ----------------------------------------------------------
+
+from datafusion_ballista_python_spark.operators.quality import weighted_kappa
+
+
+def _runw(spark, pairs, weights="quadratic"):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return weighted_kappa(df, "a", "b", weights=weights).collect()[0].asDict()
+
+
+def test_weighted_perfect_agreement(spark):
+    got = _runw(spark, [(0, 0)] * 5 + [(1, 1)] * 5 + [(2, 2)] * 5)
+    assert got["kappa"] == 1.0
+
+
+def test_weighted_hand_computed(spark):
+    # 2x2 ordinal {0,1}: weights reduce to unweighted kappa
+    pairs = [(0, 0)] * 20 + [(0, 1)] * 5 + [(1, 0)] * 10 + [(1, 1)] * 15
+    got = _runw(spark, pairs, weights="linear")
+    # swo = 15 (disagreements), swe = (ra0*cb1 + ra1*cb0) = 25*20 + 25*30 = 1250
+    assert got["kappa"] == round(1.0 - 50 * 15 / 1250, 6)
+
+
+def test_quadratic_penalizes_far_disagreement_more(spark):
+    near = _runw(spark, [(0, 0)] * 8 + [(0, 1), (3, 2)])
+    far = _runw(spark, [(0, 0)] * 8 + [(0, 3), (3, 0)])
+    assert far["kappa"] < near["kappa"]
+
+
+def test_weighted_constant_raters_null(spark):
+    got = _runw(spark, [(2, 2)] * 10)
+    assert got["kappa"] is None
+
+
+def test_weighted_bad_weights_raise(spark):
+    import pytest as _pytest
+
+    df = None
+    with _pytest.raises(ValueError, match="linear"):
+        weighted_kappa(df, "a", "b", weights="cubic")
