@@ -427,3 +427,54 @@ def stream_cdc_upsert(spark, sf_dir):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "events_rolling_anomalies",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, v,
+               CAST(COUNT(v) OVER fr AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER fr AS DOUBLE) AS s,
+               CAST(SUM(CAST(v * v AS DECIMAL(25,6))) OVER fr AS DOUBLE) AS s2
+        FROM e
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ep
+                      RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_id, n AS n_prior,
+               CASE WHEN n >= 5 AND (s2 / n - (s / n) * (s / n)) > 0
+                    THEN ROUND((v - s / n) / SQRT(s2 / n - (s / n) * (s / n)), 6)
+               END AS z
+        FROM w
+    )
+    SELECT event_id, n_prior, z,
+           CASE WHEN z IS NOT NULL THEN ABS(z) > 2.0 END AS is_anomaly
+    FROM z
+    ORDER BY event_id
+    """,
+)
+def events_rolling_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly monitor
+    (operators/events.rolling_anomalies): each event's value scored
+    against the same user's events in the preceding 7 days (current
+    event excluded from its own baseline), z over the DECIMAL-exact
+    frame sums, NULL below 5 prior events or at zero variance — all
+    three is_anomaly arms (true / false / NULL) live at every SF.  The
+    RANGE frame is defined on integer epoch seconds, so both engines
+    see identical frames including tie groups.  Scale: one window
+    partitioned by the entity key; per-task state is one entity's
+    in-window events."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.rolling_anomalies(events, window_sec=604800, z_thresh=2.0)
+        .select("event_id", "n_prior", "z", "is_anomaly")
+        .orderBy("event_id")
+    )

@@ -229,3 +229,66 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__run")
     )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 21600,
+    min_prior: int = 5,
+    z_thresh: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over an event stream: each
+    event's value is scored against the mean/std of the SAME entity's
+    events in the preceding ``window_sec`` seconds (current event
+    excluded — it must not dilute its own baseline) — the standard
+    "did this metric spike" monitor for feed QA and abuse detection.
+
+    Returns the events with ``(n_prior, z, is_anomaly)``; ``z`` is NULL
+    when fewer than ``min_prior`` prior events exist or the rolling
+    variance is 0 (both: no defensible baseline).
+
+    Exactness: the frame is a RANGE window over integer epoch seconds
+    (floor), identical in both engines; frame sums accumulate value and
+    value^2 in DECIMAL (order-free), so mean/var/z are a handful of
+    IEEE ops from exact frame aggregates.
+
+    Scale: ONE window partitioned by the entity key — state per task is
+    the events of one entity inside the range frame, never global;
+    skew is bounded by the hottest entity (pre-aggregate to coarser
+    time grains upstream if one entity dominates).
+    """
+    from pyspark.sql import Window
+
+    # timestamp_ntz cannot cast straight to long; via timestamp first —
+    # the session timezone is pinned UTC (ensure_session_confs), so this
+    # equals DuckDB's FLOOR(EPOCH(ts)) on the same naive values
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(epoch)
+        .rangeBetween(-int(window_sec), -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w).cast("long")
+    s = F.sum(v.cast("decimal(25,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(25,6)")).over(w).cast("double")
+    staged = df.withColumn("__n", n).withColumn("__s", s).withColumn("__s2", s2)
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    z = F.when(
+        (F.col("__n") >= min_prior) & (var > 0),
+        F.round((v - mean) / F.sqrt(var), round_digits),
+    )
+    return (
+        staged.withColumn("n_prior", F.coalesce(F.col("__n"), F.lit(0)))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_thresh))),
+        )
+        .drop("__n", "__s", "__s2")
+    )
