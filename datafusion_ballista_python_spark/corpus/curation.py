@@ -1953,3 +1953,77 @@ def eval_weighted_kappa(spark, sf_dir):
         .alias("b"),
     )
     return q.weighted_kappa(staged, "a", "b", weights="quadratic")
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conversion_id, user_id,
+               CAST(ts AS TIMESTAMP) AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    j AS (
+        SELECT c.conversion_id, c.user_id, c.conv_ts,
+               t.event_id AS tid, t.event_type AS tt, t.tts
+        FROM conv c LEFT JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tts <= c.conv_ts
+         AND t.tts >= c.conv_ts - INTERVAL 12 HOUR
+    ),
+    agg AS (
+        SELECT conversion_id, ANY_VALUE(user_id) AS user_id,
+               ANY_VALUE(conv_ts) AS conv_ts,
+               CAST(COUNT(tid) AS BIGINT) AS n_touches,
+               COALESCE(SUM(CASE WHEN tt = 'view' THEN 1 END), 0) AS c_view,
+               COALESCE(SUM(CASE WHEN tt = 'click' THEN 1 END), 0) AS c_click,
+               COALESCE(SUM(CASE WHEN tt = 'signup' THEN 1 END), 0) AS c_signup
+        FROM j GROUP BY conversion_id
+    ),
+    ranked AS (
+        SELECT conversion_id, tt,
+               ROW_NUMBER() OVER (PARTITION BY conversion_id
+                                  ORDER BY tts, tid) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY conversion_id
+                                  ORDER BY tts DESC, tid DESC) AS rd
+        FROM j WHERE tid IS NOT NULL
+    )
+    SELECT a.conversion_id, a.user_id, a.conv_ts, a.n_touches,
+           f.tt AS first_touch, l.tt AS last_touch,
+           CASE WHEN n_touches > 0
+                THEN ROUND(CAST(c_view AS DOUBLE) / n_touches, 6) END AS credit_view,
+           CASE WHEN n_touches > 0
+                THEN ROUND(CAST(c_click AS DOUBLE) / n_touches, 6) END AS credit_click,
+           CASE WHEN n_touches > 0
+                THEN ROUND(CAST(c_signup AS DOUBLE) / n_touches, 6) END AS credit_signup
+    FROM agg a
+    LEFT JOIN ranked f ON f.conversion_id = a.conversion_id AND f.ra = 1
+    LEFT JOIN ranked l ON l.conversion_id = a.conversion_id AND l.rd = 1
+    ORDER BY a.conversion_id
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """First/last/linear-touch conversion attribution
+    (operators/events.attribution): every purchase is attributed to the
+    same user's view/click/signup touches in the 12 hours ending at the
+    conversion.  At the corpus' inter-event cadence (median same-user gap
+    ~7.7 h) the window yields unattributable conversions (n_touches = 0,
+    NULL arms), single-touch (credit 1.0), and multi-touch rows with
+    genuine fractional splits — all three regimes at every SF.  The
+    oracle replays the semantics as an explicit range join + two
+    ROW_NUMBER argmins; the engine plan is ONE user-key window (no
+    touch-x-conversion join), whose struct-min/max tie-break (ts, then
+    event id) the oracle's ORDER BY tts, tid mirrors exactly."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return ev.attribution(
+        events,
+        conversion_type="purchase",
+        touch_types=("view", "click", "signup"),
+        lookback_sec=12 * 3600,
+    ).orderBy("conversion_id")

@@ -292,3 +292,103 @@ def rolling_anomalies(
         )
         .drop("__n", "__s", "__s2")
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click", "signup"),
+    lookback_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Marketing-touch attribution: for every conversion event, the
+    touches by the same user in the ``lookback_sec`` window ending at the
+    conversion (inclusive both ends), credited three standard ways at
+    once — first-touch, last-touch, and linear (equal split across the
+    window's touches, reported as per-channel fractions).
+
+    Returns one row per conversion: ``(conversion_id, user, conv_ts,
+    n_touches, first_touch, last_touch, credit_<channel>...)``.
+    Conversions with no in-window touch keep ``n_touches = 0`` and NULL
+    touch/credit columns (unattributable, not zero-credit).  Ties on
+    timestamp break by event id (smaller wins first-touch, larger wins
+    last-touch) so the result is deterministic.
+
+    Exactness: counts are exact BIGINTs from the range frame; each
+    linear credit is one IEEE division rounded at ``round_digits``.
+
+    Scale: NO touch-x-conversion join — one window partitioned by the
+    user key over the type-filtered stream computes every output column
+    (the count, the per-channel counts, and the first/last argmin via
+    struct min/max) in a single exchange + sort.  Per-task state is one
+    user's events inside the range frame; skew is bounded by the hottest
+    user, same profile as sessionize.
+    """
+    from pyspark.sql import Window
+
+    from ..errors import BallistaError
+
+    if int(lookback_sec) <= 0:
+        raise BallistaError(
+            f"attribution lookback_sec must be positive (got {lookback_sec})"
+        )
+    if conversion_type in tuple(touch_types):
+        raise BallistaError(
+            f"conversion_type {conversion_type!r} cannot also be a touch type"
+        )
+    touch_types = tuple(touch_types)
+
+    staged = events.where(
+        F.col(type_col).isin([conversion_type, *touch_types])
+    ).select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(type_col),
+        F.col(ts_col),
+        # timestamp_ntz -> timestamp under the pinned-UTC session, so the
+        # microsecond epoch matches DuckDB's EPOCH_US on the naive values
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        (F.col(type_col) != conversion_type).alias("__is_touch"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__us")
+        .rangeBetween(-int(lookback_sec) * 1_000_000, Window.currentRow)
+    )
+    touch_key = F.when(
+        F.col("__is_touch"),
+        F.struct(
+            F.col("__us").alias("u"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("t"),
+        ),
+    )
+    n_touches = (
+        F.count(F.when(F.col("__is_touch"), F.lit(1))).over(w).cast("long")
+    )
+    cols = [
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col),
+        F.col(ts_col).alias("conv_ts"),
+        n_touches.alias("n_touches"),
+        F.min(touch_key).over(w).getField("t").alias("first_touch"),
+        F.max(touch_key).over(w).getField("t").alias("last_touch"),
+    ]
+    for ch in touch_types:
+        c = F.count(
+            F.when(F.col("__is_touch") & (F.col(type_col) == ch), F.lit(1))
+        ).over(w)
+        cols.append(
+            F.when(
+                n_touches > 0, F.round(c / n_touches, round_digits)
+            ).alias(f"credit_{ch}")
+        )
+    return (
+        staged.select(*cols, F.col("__is_touch"))
+        .where(~F.col("__is_touch"))
+        .drop("__is_touch")
+    )
