@@ -2027,3 +2027,124 @@ def events_attribution(spark, sf_dir):
         touch_types=("view", "click", "signup"),
         lookback_sec=12 * 3600,
     ).orderBy("conversion_id")
+
+
+@query(
+    "text_c4_gate",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                           x -> LENGTH(x) > 0) AS ws,
+               CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 6 END AS k
+        FROM documents
+    ),
+    built AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST_TRANSFORM(
+                   generate_series(0, CAST(CEIL(CAST(LEN(ws) AS DOUBLE) / k)
+                                           AS INT) - 1),
+                   i -> ARRAY_TO_STRING(LIST_SLICE(ws, i * k + 1, i * k + k), ' ')
+                        || CASE WHEN i % 4 = 3 THEN '' ELSE '.' END),
+                   CHR(10)) AS t0
+        FROM base
+    ),
+    page AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN t0 || CHR(10) || 'lorem ipsum dolor sit amet.'
+                 WHEN 1 THEN t0 || CHR(10) || 'this config block has { braces inside.'
+                 WHEN 2 THEN 'javascript must be enabled to view this page.'
+                             || CHR(10) || t0
+                 ELSE t0 END AS t
+        FROM built
+    ),
+    split AS (
+        SELECT doc_id, t,
+               LIST_TRANSFORM(STR_SPLIT(t, CHR(10)), x -> TRIM(x)) AS ls
+        FROM page
+    ),
+    kept AS (
+        SELECT doc_id, t, ls,
+               -- ARRAY_TO_STRING of an EMPTY list is NULL in DuckDB where
+               -- Spark's array_join yields '' — coalesce to match
+               COALESCE(ARRAY_TO_STRING(LIST_FILTER(ls,
+                   x -> REGEXP_MATCHES(x, '[.!?"]$')
+                        AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(x, '\\s+'),
+                                            w -> LENGTH(w) > 0)) >= 5
+                        AND NOT CONTAINS(LOWER(x), 'javascript')),
+                   CHR(10)), '') AS kt
+        FROM split
+    )
+    SELECT doc_id,
+           CAST(LEN(ls) AS BIGINT) AS n_lines,
+           CAST(LEN(LIST_FILTER(ls,
+                x -> REGEXP_MATCHES(x, '[.!?"]$')
+                     AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(x, '\\s+'),
+                                         w -> LENGTH(w) > 0)) >= 5
+                     AND NOT CONTAINS(LOWER(x), 'javascript')))
+                AS BIGINT) AS n_kept_lines,
+           CAST(LENGTH(kt) - LENGTH(REGEXP_REPLACE(kt, '[.!?]', '', 'g'))
+                AS BIGINT) AS n_sentences,
+           CAST(LENGTH(kt) AS BIGINT) AS kept_chars,
+           CONTAINS(LOWER(t), 'lorem ipsum') AS has_lorem,
+           CONTAINS(t, '{') AS has_brace,
+           LIST_HAS_ANY(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(t), '\\s+'),
+                                    w -> LENGTH(w) > 0),
+                        ['dup']) AS has_badword,
+           (LENGTH(kt) - LENGTH(REGEXP_REPLACE(kt, '[.!?]', '', 'g')) >= 3
+            AND NOT CONTAINS(LOWER(t), 'lorem ipsum')
+            AND NOT CONTAINS(t, '{')
+            AND NOT LIST_HAS_ANY(
+                    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(t), '\\s+'),
+                                w -> LENGTH(w) > 0), ['dup'])) AS pass_gate
+    FROM kept
+    ORDER BY doc_id
+    """,
+)
+def text_c4_gate(spark, sf_dir):
+    """C4 cleaning-rule gate (operators/text.c4_rules) over a corpus
+    rebuilt into lines so every rule fires both ways at every SF: words
+    are chunked into 6-word lines (3-word lines for %3 docs — ALL fail
+    the 5-words-per-line rule), every 4th line is left without terminal
+    punctuation (terminal-mark rule), %5=0 pages gain 'lorem ipsum',
+    %5=1 gain a '{' line, %5=2 gain a javascript line (line-level drop
+    that leaves the page otherwise intact), and the badword list is
+    ('dup') — a token ~5%% of documents carry organically.  Documents
+    with few words keep fewer than 3 sentences and fail the
+    min-sentences page rule.  All counts are exact integers; the gate is
+    a pure projection (no shuffle, no Python)."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ws = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    k = F.when(F.col("doc_id") % 3 == 0, F.lit(3)).otherwise(F.lit(6))
+    staged = docs.select("doc_id", ws.alias("__w"), k.alias("__k"))
+    nl = F.ceil(F.size("__w").cast("double") / F.col("__k")).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(F.col("__w"), i * F.col("__k") + 1, F.col("__k")), " "
+            ),
+            F.when(i % 4 == 3, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    t0 = F.array_join(lines, "\n")
+    m5 = F.col("doc_id") % 5
+    page = (
+        F.when(m5 == 0, F.concat(t0, F.lit("\nlorem ipsum dolor sit amet.")))
+        .when(m5 == 1, F.concat(t0, F.lit("\nthis config block has { braces inside.")))
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit("javascript must be enabled to view this page.\n"), t0
+            ),
+        )
+        .otherwise(t0)
+    )
+    return t.c4_rules(
+        staged.select("doc_id", page.alias("text")), badwords=("dup",)
+    ).orderBy("doc_id")

@@ -1456,3 +1456,85 @@ def gopher_rules(
             & F.col("ok_stop")
         ).alias("pass_gate"),
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = (),
+    drop_line_marker: str = "javascript",
+) -> DataFrame:
+    """C4 cleaning-rule gate (Raffel et al. 2020, §2.2): the other
+    standard pre-training heuristic filter next to
+    :func:`gopher_rules` — line-level retention plus page-level
+    rejection, reported as per-rule columns so a curation pipeline can
+    audit WHICH rule fired, not just that one did.
+
+    Line rules (a line is kept only if it passes all three): ends in a
+    terminal punctuation mark (``. ! ? "`` after right-trim); has at
+    least ``min_words_per_line`` whitespace words; does not contain
+    ``drop_line_marker`` (the paper drops any line with the word
+    "javascript", case-insensitive).  Page rules: at least
+    ``min_sentences`` sentences SURVIVE line filtering (sentences
+    counted as ``. ! ?`` marks in the kept lines); no "lorem ipsum"; no
+    ``{`` curly brace (code marker); no word from ``badwords`` (the
+    paper's bad-words list — supplied by the caller, matched as whole
+    lowercase whitespace words).
+
+    Returns one row per document: ``(id, n_lines, n_kept_lines,
+    n_sentences, kept_chars, has_lorem, has_brace, has_badword,
+    pass_gate)``.  ``kept_chars`` is the length of the newline-joined
+    kept lines — 0 when nothing survives.
+
+    Scale: one pass, pure per-row projection over higher-order array
+    functions — no shuffle, no Python, whole-stage codegen end to end;
+    run it FIRST in a pipeline so shuffling stages see only survivors.
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, r"\n"), lambda x: F.trim(x))
+    words_of = lambda x: F.filter(  # noqa: E731 — local shorthand
+        F.split(x, r"\s+"), lambda w: F.length(w) > 0
+    )
+    keep = lambda x: (  # noqa: E731
+        x.rlike('[.!?"]$')
+        & (F.size(words_of(x)) >= int(min_words_per_line))
+        & ~F.lower(x).contains(drop_line_marker.lower())
+    )
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        lines.alias("__ls"),
+        F.array_join(F.filter(lines, keep), "\n").alias("__kept"),
+    )
+    n_sentences = (
+        F.length("__kept")
+        - F.length(F.regexp_replace("__kept", r"[.!?]", ""))
+    ).cast("long")
+    low_words = words_of(F.lower(F.col("__t")))
+    has_badword = (
+        F.arrays_overlap(
+            low_words, F.array(*[F.lit(b.lower()) for b in badwords])
+        )
+        if badwords
+        else F.lit(False)
+    )
+    flagged = staged.select(
+        F.col(id_col),
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.size(F.filter(F.col("__ls"), keep)).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        F.length("__kept").cast("long").alias("kept_chars"),
+        F.lower(F.col("__t")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("__t").contains("{").alias("has_brace"),
+        has_badword.alias("has_badword"),
+    )
+    return flagged.withColumn(
+        "pass_gate",
+        (F.col("n_sentences") >= int(min_sentences))
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword"),
+    )
