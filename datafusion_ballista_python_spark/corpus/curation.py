@@ -2148,3 +2148,99 @@ def text_c4_gate(spark, sf_dir):
     return t.c4_rules(
         staged.select("doc_id", page.alias("text")), badwords=("dup",)
     ).orderBy("doc_id")
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                           x -> LENGTH(x) > 0) AS ws,
+               CAST(doc_id % 5 + 3 AS INT) AS k
+        FROM documents
+    ),
+    built AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN ''
+                    ELSE ARRAY_TO_STRING(LIST_TRANSFORM(
+                             generate_series(0,
+                                 CAST(CEIL(CAST(LEN(ws) AS DOUBLE) / k) AS INT) - 1),
+                             i -> ARRAY_TO_STRING(
+                                 LIST_SLICE(ws, i * k + 1, i * k + k), ' ')),
+                             '. ')
+                         || CASE WHEN doc_id % 4 = 0 THEN '' ELSE '!' END
+               END AS t
+        FROM base
+    ),
+    m AS (
+        SELECT doc_id, t,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(t), '\\s+'),
+                           x -> LENGTH(x) > 0) AS ws2
+        FROM built
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(LEN(ws2) AS BIGINT) AS n_words,
+               GREATEST(CAST(LENGTH(REGEXP_REPLACE(t, '[.!?]+', '#', 'g'))
+                             - LENGTH(REGEXP_REPLACE(t, '[.!?]+', '', 'g'))
+                             AS BIGINT), 1) AS n_sentences,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws2,
+                   w -> GREATEST(
+                       LENGTH(REGEXP_REPLACE(LOWER(w), '[aeiouy]+', '#', 'g'))
+                       - LENGTH(REGEXP_REPLACE(LOWER(w), '[aeiouy]+', '', 'g')),
+                       1))), 0) AS BIGINT) AS n_syllables
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ROUND(CAST(n_words AS DOUBLE) / n_sentences, 6) AS wps,
+               ROUND(CAST(n_syllables AS DOUBLE) / n_words, 6) AS spw
+        FROM c
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN wps END AS words_per_sentence,
+           CASE WHEN n_words > 0 THEN spw END AS syllables_per_word,
+           CASE WHEN n_words > 0
+                THEN ROUND(206.835 - 1.015 * wps - 84.6 * spw, 6)
+           END AS flesch_reading_ease,
+           CASE WHEN n_words > 0
+                THEN ROUND(0.39 * wps + 11.8 * spw - 15.59, 6)
+           END AS fk_grade
+    FROM r ORDER BY doc_id
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (operators/text.readability) over a
+    corpus rebuilt into sentences of doc-varying length (doc_id%%5+3 words
+    per sentence, '. '-joined): words-per-sentence spreads 3-7+, the
+    vowel-group syllable heuristic varies organically with the vocabulary,
+    %%4 docs lose the final terminal mark (run-counting arm), and %%31
+    docs are emptied so the zero-word NULL arms fire at every SF.  The
+    two textbook linear forms consume PRE-ROUNDED ratios (exact integer
+    divisions rounded at 6), so both engines execute the identical fixed
+    double-op sequence.  Pure projection — no shuffle, no Python."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ws = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    k = (F.col("doc_id") % 5 + 3).cast("int")
+    staged = docs.select("doc_id", ws.alias("__w"), k.alias("__k"))
+    nl = F.ceil(F.size("__w").cast("double") / F.col("__k")).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__w"), i * F.col("__k") + 1, F.col("__k")), " "
+        ),
+    )
+    text2 = F.when(F.col("doc_id") % 31 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.array_join(sents, ". "),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(F.lit("!")),
+        )
+    )
+    return t.readability(staged.select("doc_id", text2.alias("text"))).orderBy(
+        "doc_id"
+    )

@@ -1538,3 +1538,83 @@ def c4_rules(
         & ~F.col("has_brace")
         & ~F.col("has_badword"),
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level (Kincaid et al.
+    1975) — the standard readability pair, a cheap text-quality feature
+    for curation pipelines alongside :func:`quality_signals`.
+
+    Words are whitespace tokens; sentences are RUNS of ``. ! ?``
+    (``"end!?"`` is one boundary), floored at 1 so a mark-free document
+    counts as one sentence (textbook convention); syllables use the
+    standard vowel-group heuristic — runs of ``[aeiouy]`` in the
+    lowered word, floored at 1 per word.
+
+    ``flesch_reading_ease = 206.835 - 1.015*wps - 84.6*spw`` and
+    ``fk_grade = 0.39*wps + 11.8*spw - 15.59`` where ``wps`` =
+    words/sentence and ``spw`` = syllables/word, each an exact-integer
+    IEEE division rounded at ``round_digits`` BEFORE entering the fixed
+    double-op linear form (cross-engine deterministic); both scores are
+    re-rounded at ``round_digits``.  Zero-word documents yield NULL
+    ratios and scores.
+
+    Scale: pure per-row projection over higher-order array functions —
+    no shuffle, no Python, whole-stage codegen end to end.
+    """
+    t = F.col(text_col)
+    ws = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    # run count = len(runs->'#') - len(runs->''): pre-existing '#' chars
+    # appear in both operands and cancel
+    n_sent_raw = (
+        F.length(F.regexp_replace(t, r"[.!?]+", "#"))
+        - F.length(F.regexp_replace(t, r"[.!?]+", ""))
+    ).cast("long")
+
+    def _syllables(w):
+        lw = F.lower(w)
+        runs = F.length(F.regexp_replace(lw, "[aeiouy]+", "#")) - F.length(
+            F.regexp_replace(lw, "[aeiouy]+", "")
+        )
+        return F.greatest(runs.cast("long"), F.lit(1).cast("long"))
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        F.greatest(n_sent_raw, F.lit(1).cast("long")).alias("n_sentences"),
+        F.aggregate(
+            F.transform(ws, _syllables),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_syllables"),
+    )
+    wps = F.round(F.col("n_words") / F.col("n_sentences"), round_digits)
+    spw = F.round(F.col("n_syllables") / F.col("n_words"), round_digits)
+    has = F.col("n_words") > 0
+    return staged.select(
+        F.col(id_col),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(has, wps).alias("words_per_sentence"),
+        F.when(has, spw).alias("syllables_per_word"),
+        F.when(
+            has,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+                round_digits,
+            ),
+        ).alias("flesch_reading_ease"),
+        F.when(
+            has,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+                round_digits,
+            ),
+        ).alias("fk_grade"),
+    )
