@@ -2244,3 +2244,90 @@ def text_readability(spark, sf_dir):
     return t.readability(staged.select("doc_id", text2.alias("text"))).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+        SELECT doc_id AS i, lang AS l FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'zz'
+                    WHEN doc_id % 5 = 0 THEN REVERSE(lang)
+                    ELSE lang END
+        FROM documents WHERE doc_id % 21 <> 1
+        UNION ALL
+        SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END
+        FROM documents WHERE doc_id % 3 <> 1
+    ),
+    cells AS (
+        SELECT i, l, CAST(COUNT(*) AS BIGINT) AS c FROM ratings GROUP BY i, l
+    ),
+    per_item AS (
+        SELECT i, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM cells GROUP BY i HAVING SUM(c) >= 2
+    ),
+    do_stats AS (
+        SELECT CAST(SUM(CAST(ROUND(CAST(m * m - sq AS DOUBLE) / (m - 1), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS do_sum,
+               CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_ratings,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM per_item
+    ),
+    marg AS (
+        SELECT cl.l, CAST(SUM(cl.c) AS BIGINT) AS nc
+        FROM cells cl JOIN per_item p ON cl.i = p.i GROUP BY cl.l
+    ),
+    ms AS (
+        SELECT CAST(SUM(CAST(nc * nc AS DECIMAL(38,0))) AS DOUBLE) AS sq2,
+               CAST(COUNT(*) AS BIGINT) AS n_categories
+        FROM marg
+    )
+    SELECT n_items, n_ratings, n_categories,
+           CASE WHEN n_ratings > 0
+                THEN ROUND(do_sum / CAST(n_ratings AS DOUBLE), 6) END AS d_o,
+           CASE WHEN n_ratings >= 2
+                THEN ROUND((CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE) - sq2)
+                           / (CAST(n_ratings AS DOUBLE)
+                              * (CAST(n_ratings AS DOUBLE) - 1.0)), 6)
+           END AS d_e,
+           CASE WHEN n_ratings >= 2
+                 AND (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE) - sq2) > 0
+                THEN ROUND(1.0 - ((CAST(n_ratings AS DOUBLE) - 1.0) * do_sum)
+                           / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+                              - sq2), 6)
+           END AS alpha
+    FROM do_stats, ms
+    """,
+)
+def eval_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (operators/quality.krippendorff_alpha) over a
+    RAGGED three-rater panel — the case kappa statistics cannot score:
+    rater 1 grades every document with its lang; rater 2 skips %21=1
+    docs and drifts ('zz' on %7, reversed lang on %5); rater 3 skips
+    %3=1 docs and mislabels 'xx' on %11.  Since 21k+1 is always 1 mod 3,
+    the %21=1 docs lose BOTH optional raters, leaving one rating — the
+    unpairable-item exclusion arm fires at every SF, and the remaining
+    panel mixes 2- and 3-rating items.  Per-item disagreement terms are
+    ROUND(int/int, 9) summed in DECIMAL; d_o/d_e/alpha replay as the
+    identical IEEE sequences in both engines."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    r1 = docs.select(F.col("doc_id").alias("i"), F.col("lang").alias("l"))
+    r2 = docs.where(F.col("doc_id") % 21 != 1).select(
+        F.col("doc_id").alias("i"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .when(F.col("doc_id") % 5 == 0, F.reverse("lang"))
+        .otherwise(F.col("lang"))
+        .alias("l"),
+    )
+    r3 = docs.where(F.col("doc_id") % 3 != 1).select(
+        F.col("doc_id").alias("i"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("l"),
+    )
+    panel = r1.unionAll(r2).unionAll(r3)
+    return q.krippendorff_alpha(panel, "i", "l")

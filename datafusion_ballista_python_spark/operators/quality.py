@@ -1530,3 +1530,106 @@ def weighted_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004) — the
+    agreement statistic that tolerates missing ratings, closing the
+    family next to :func:`cohens_kappa` (2 raters), :func:`weighted_kappa`
+    (ordinal), and :func:`fleiss_kappa` (equal panel sizes): real
+    annotation tables are ragged, and alpha is the statistic defined for
+    them.
+
+    Input is the same long frame as fleiss — one row per (item, label)
+    rating, raters anonymous — but items may carry ANY number of
+    ratings; items with fewer than two are unpairable and excluded (they
+    contribute no coincidences — the canonical treatment).  Using the
+    coincidence-matrix identities, per item ``u`` the observed
+    disagreement mass is ``(m_u^2 - sum_c n_uc^2) / (m_u - 1)`` and the
+    expected mass comes from the pooled marginals:
+    ``alpha = 1 - (n - 1) * sum_u do_u / (n^2 - sum_c n_c^2)``.
+
+    Exactness: every count is BIGINT; each per-item term is one
+    integer-fed IEEE division rounded at ``round_digits + 3`` then
+    summed in DECIMAL (order-free); ``d_o``/``d_e``/``alpha`` are single
+    rounded IEEE expressions.  ``alpha`` is NULL when every rating is
+    one category (expected disagreement 0) or nothing is pairable.
+
+    Returns one row: ``(n_items, n_ratings, n_categories, d_o, d_e,
+    alpha)`` — ``n_items``/``n_ratings`` count the PAIRABLE subset.
+
+    Scale: one shuffle to (item, label) cells, one to per-item sums; the
+    marginal side reduces over label cardinality.  The pairable filter
+    is a co-keyed join on the item key (no extra exchange).
+    """
+    rated = df.where(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(item_col).alias("__i"), F.col(label_col).alias("__l"))
+    cells = rated.groupBy("__i", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_item = (
+        cells.groupBy("__i")
+        .agg(
+            F.sum("__c").cast("long").alias("__m"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__sq"),
+        )
+        .where(F.col("__m") >= 2)
+    )
+    do_stats = per_item.select(
+        F.round(
+            (F.col("__m") * F.col("__m") - F.col("__sq")).cast("double")
+            / (F.col("__m") - 1),
+            round_digits + 3,
+        ).alias("__t"),
+        "__m",
+    ).agg(
+        F.sum(F.col("__t").cast(f"decimal(38,{round_digits + 3})"))
+        .cast("double")
+        .alias("__do_sum"),
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("n_ratings"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    marg_stats = (
+        cells.join(per_item.select("__i"), "__i")
+        .groupBy("__l")
+        .agg(F.sum("__c").cast("long").alias("__nc"))
+        .agg(
+            F.sum((F.col("__nc") * F.col("__nc")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("__sq2"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+    )
+    n = F.col("n_ratings").cast("double")
+    de_den = n * n - F.col("__sq2")
+    d_o = F.when(
+        F.col("n_ratings") > 0,
+        F.round(F.col("__do_sum") / n, round_digits),
+    )
+    d_e = F.when(
+        F.col("n_ratings") >= 2,
+        F.round(de_den / (n * (n - F.lit(1.0))), round_digits),
+    )
+    return do_stats.crossJoin(F.broadcast(marg_stats)).select(
+        "n_items",
+        "n_ratings",
+        "n_categories",
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        # alpha from the EXACT sums (not the display-rounded d_o/d_e):
+        # 1 - ((n-1) * do_sum) / de_den, a fixed double-op sequence
+        F.when(
+            (F.col("n_ratings") >= 2) & (de_den > 0),
+            F.round(
+                F.lit(1.0)
+                - ((n - F.lit(1.0)) * F.col("__do_sum")) / de_den,
+                round_digits,
+            ),
+        ).alias("alpha"),
+    )
