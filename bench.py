@@ -93,6 +93,8 @@ HEADLINE = [
     # cheap projections went to AUDIT_EXTRA)
     "dedup_fuzzy_levenshtein",
     "embed_covariance",
+    # r8 continuation #3: the one with data-sized wedge/anti joins
+    "graph_adamic_adar",
 ]
 
 # Not timed (see the cap note above), but still held to the same
@@ -113,6 +115,10 @@ AUDIT_EXTRA = [
     "dedup_fuse_records",
     "dq_rank_sum_drift",
     "dq_bootstrap_mean_ci",
+    "events_attribution",
+    "text_c4_gate",
+    "text_readability",
+    "eval_krippendorff_alpha",
 ]
 
 

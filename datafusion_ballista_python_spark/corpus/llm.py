@@ -3049,3 +3049,60 @@ def dedup_fuse_records(spark, sf_dir):
         min_cols=["doc_id"],
         mode_cols=["lang"],
     ).orderBy("cluster")
+
+
+_ADAMIC_ADAR_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS grams
+    FROM documents WHERE n_chars < 400 AND doc_id % 7 = 0
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE) /
+          (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) >= 0.55
+),
+und AS (
+  SELECT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2
+),
+adj AS (SELECT u AS z, v AS nb FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+adjd AS (SELECT a.z, a.nb, d.deg FROM adj a JOIN deg d USING (z)),
+wedges AS (
+  SELECT l.nb AS node_a, r.nb AS node_b, l.deg
+  FROM adjd l JOIN adjd r ON l.z = r.z AND l.nb < r.nb
+),
+scored AS (
+  SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CAST(ROUND(1.0 / LN(deg), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS aa_score
+  FROM wedges GROUP BY node_a, node_b
+)
+SELECT s.node_a, s.node_b, s.n_common, s.aa_score
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM und e
+                  WHERE e.u = s.node_a AND e.v = s.node_b)
+ORDER BY s.node_a, s.node_b
+"""
+
+
+@query("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.adamic_adar) over the
+    token-set similarity graph (lang-blocked Jaccard >= 0.55 on a %7 doc
+    sample) — a graph that, unlike the minhash near-dup CLIQUES, is
+    genuinely non-transitive: similarity balls overlap without closing,
+    so thousands of non-adjacent wedge pairs earn scores at every SF
+    (57 / 67 / 8115 predicted links at the three driver SFs — the
+    minhash graph scores ZERO everywhere, a vacuity this entry's graph
+    choice exists to avoid).  Common-neighbor weights are
+    ROUND(1/LN(deg), 9) summed in DECIMAL (order-free, libm-rounded per
+    the corpus policy); counts are exact BIGINTs.  The oracle replays
+    the wedge self-join + existing-edge anti-join verbatim."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sub = docs.where((F.col("n_chars") < 400) & (F.col("doc_id") % 7 == 0))
+    pairs = dedup.ngram_jaccard_pairs(sub, threshold=0.55, block_cols=["lang"])
+    return graph.adamic_adar(pairs).orderBy("node_a", "node_b")

@@ -629,3 +629,71 @@ def kcore(
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_hub_degree: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    undirected pair graph: for every NON-adjacent node pair sharing at
+    least one neighbor, ``sum_z 1 / ln(deg(z))`` over the common
+    neighbors ``z`` — rare shared neighbors count more than hubs.  The
+    standard "which near-dup edge did LSH miss" / "which items should be
+    linked" scorer over the same graphs the other operators consume.
+
+    Returns ``(node_a, node_b, n_common, aa_score)`` with ``node_a <
+    node_b``; existing edges are excluded (link PREDICTION, not
+    re-scoring).  Each common-neighbor weight is one IEEE ``1/ln``
+    rounded at ``round_digits`` then summed in DECIMAL — order-free and
+    engine-exact.  A common neighbor by construction has degree >= 2,
+    so ``ln(deg)`` never hits ``ln(1) = 0``.
+
+    Scale: the wedge self-join fans out ``deg(z)^2`` candidate pairs per
+    node — the same whale profile as :func:`triangle_count`, but WITHOUT
+    an orientation fix (both endpoints of a predicted pair are needed).
+    ``max_hub_degree`` bounds it: nodes above the cap are skipped as
+    apexes (their weight ``1/ln(deg)`` is the smallest in the sum, so
+    this is the canonical cheap approximation; None = exact).  Shuffles:
+    distinct edges, degree agg, wedge self-join on the apex key, pair
+    agg, and the adjacency anti-join.
+    """
+    und = (
+        pairs.where(F.col(id_a) != F.col(id_b))
+        .select(
+            F.least(id_a, id_b).alias("u"),
+            F.greatest(id_a, id_b).alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    adjd = adj.join(deg, "z")
+    if max_hub_degree is not None:
+        adjd = adjd.where(F.col("deg") <= int(max_hub_degree))
+    # the apex-keyed self-join reuses one exchange; materialize once so
+    # the distinct+degree subtree is not rebuilt per side
+    adjd = adjd.localCheckpoint()
+    left = adjd.select("z", F.col("nb").alias("node_a"), "deg")
+    right = adjd.select("z", F.col("nb").alias("node_b"))
+    wedges = left.join(right, "z").where(F.col("node_a") < F.col("node_b"))
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(
+            F.round(F.lit(1.0) / F.log(F.col("deg")), round_digits).cast(
+                f"decimal(38,{round_digits})"
+            )
+        )
+        .cast("double")
+        .alias("aa_score"),
+    )
+    return scored.join(
+        und,
+        (scored["node_a"] == und["u"]) & (scored["node_b"] == und["v"]),
+        "left_anti",
+    )
