@@ -119,6 +119,8 @@ AUDIT_EXTRA = [
     "text_c4_gate",
     "text_readability",
     "eval_krippendorff_alpha",
+    "dq_fairness_report",
+    "events_ab_test",
 ]
 
 

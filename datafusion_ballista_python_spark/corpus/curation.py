@@ -2331,3 +2331,155 @@ def eval_krippendorff_alpha(spark, sf_dir):
     )
     panel = r1.unionAll(r2).unionAll(r3)
     return q.krippendorff_alpha(panel, "i", "l")
+
+
+@query(
+    "dq_fairness_report",
+    oracle="""
+    WITH labeled AS (
+        SELECT lang AS grp,
+               (doc_id % 3 = 0) AS a,
+               (doc_id % ((ASCII(SUBSTRING(lang, 1, 1)) % 4) + 2) = 0) AS p
+        FROM documents
+    ),
+    cells AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN p THEN 1 END) AS BIGINT) AS n_sel,
+               CAST(COUNT(CASE WHEN a AND p THEN 1 END) AS BIGINT) AS tp,
+               CAST(COUNT(CASE WHEN (NOT a) AND p THEN 1 END) AS BIGINT) AS fp,
+               CAST(COUNT(CASE WHEN a THEN 1 END) AS BIGINT) AS n_pos,
+               CAST(COUNT(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n_neg
+        FROM labeled GROUP BY grp
+    ),
+    rated AS (
+        SELECT grp, n,
+               ROUND(CAST(n_sel AS DOUBLE) / n, 6) AS selection_rate,
+               CASE WHEN n_pos > 0
+                    THEN ROUND(CAST(tp AS DOUBLE) / n_pos, 6) END AS tpr,
+               CASE WHEN n_neg > 0
+                    THEN ROUND(CAST(fp AS DOUBLE) / n_neg, 6) END AS fpr
+        FROM cells
+    ),
+    ref AS (
+        SELECT grp AS rg, selection_rate AS rsel, tpr AS rtpr, fpr AS rfpr
+        FROM rated ORDER BY n DESC, grp ASC LIMIT 1
+    )
+    SELECT r.grp AS lang, r.n, r.selection_rate, r.tpr, r.fpr,
+           CASE WHEN rsel > 0
+                THEN ROUND(r.selection_rate / rsel, 6) END AS di_ratio,
+           ROUND(r.tpr - rtpr, 6) AS tpr_gap,
+           ROUND(r.fpr - rfpr, 6) AS fpr_gap,
+           (r.grp = ref.rg) AS is_reference
+    FROM rated r CROSS JOIN ref
+    ORDER BY lang
+    """,
+)
+def dq_fairness_report(spark, sf_dir):
+    """Group-fairness audit (operators/quality.fairness_report) with lang
+    as the protected group: the simulated classifier's selection modulus
+    derives from the group's first letter (doc_id %% 2..5 by ascii), so
+    selection rates genuinely differ per group — disparate-impact ratios
+    spread across the four-fifths line — while the actual label
+    (doc_id %% 3) is group-independent, so TPR/FPR gaps measure the
+    induced bias.  The reference group is auto-selected (largest n, tie
+    to the smaller lang) on both engines.  Every rate is an exact-count
+    IEEE division rounded at 6; disparities are single ops on the
+    rounded rates."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    labeled = docs.select(
+        "lang",
+        (F.col("doc_id") % 3 == 0).alias("a"),
+        (
+            F.col("doc_id")
+            % ((F.ascii(F.substring("lang", 1, 1)) % 4) + 2).cast("long")
+            == 0
+        ).alias("p"),
+    )
+    return q.fairness_report(labeled, "lang", "a", "p").orderBy("lang")
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    t0 AS (SELECT user_id, MIN(us) AS t0 FROM ev GROUP BY user_id),
+    users AS (
+        SELECT e.user_id,
+               CASE WHEN e.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+               MAX(CASE WHEN e.event_type = 'purchase'
+                         AND e.us <= t.t0 + 86400000000
+                        THEN 1 ELSE 0 END) = 1 AS s
+        FROM ev e JOIN t0 t USING (user_id) GROUP BY e.user_id
+    ),
+    cells AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN s THEN 1 END) AS BIGINT) AS x
+        FROM users GROUP BY v
+    ),
+    ab AS (
+        SELECT a.n AS n_a, b.n AS n_b, a.x AS x_a, b.x AS x_b,
+               CAST(a.x AS DOUBLE) / a.n AS pa,
+               CAST(b.x AS DOUBLE) / b.n AS pb,
+               CAST(a.x + b.x AS DOUBLE) / (a.n + b.n) AS pool
+        FROM (SELECT * FROM cells WHERE v = 'A') a,
+             (SELECT * FROM cells WHERE v = 'B') b
+    )
+    SELECT 'A' AS variant_a, 'B' AS variant_b, n_a, n_b, x_a, x_b,
+           ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+           CASE WHEN ROUND(pb, 6) > 0
+                THEN ROUND((ROUND(pa, 6) - ROUND(pb, 6)) / ROUND(pb, 6), 6)
+           END AS lift,
+           CASE WHEN pool > 0 AND pool < 1
+                THEN ROUND((pa - pb) / SQRT(pool * (1.0 - pool)
+                           * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z
+    FROM ab
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-proportion z-test (operators/quality.two_proportion_ztest)
+    over a per-user conversion experiment: variant by user-id parity,
+    success = "purchased within 24 h of the user's first event" — a rate
+    that lands strictly inside (0, 1) at every SF, so the pooled-variance
+    z is always defined while remaining near 0 (parity assignment is
+    unbiased by construction).  The unit of analysis is the USER (one
+    window partitioned by user_id + one 2-row aggregate), not the event —
+    the classic A/B shape.  z replays as the identical fixed IEEE
+    sequence on exact counts in both engines."""
+    from pyspark.sql import Window
+
+    from ..operators import quality as q
+
+    events = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        us.alias("__us"),
+    ).withColumn("__t0", F.min("__us").over(w))
+    users = flagged.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("__us") <= F.col("__t0") + 86_400_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("s")
+    )
+    staged = users.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("v"),
+        "s",
+    )
+    return q.two_proportion_ztest(staged, "v", "s")

@@ -1633,3 +1633,174 @@ def krippendorff_alpha(
             ),
         ).alias("alpha"),
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    actual_col: str,
+    pred_col: str,
+    reference_group=None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Group-fairness audit over a labeled + scored table: per group, the
+    selection (positive-prediction) rate, TPR and FPR, plus the three
+    standard disparities against a reference group — disparate-impact
+    ratio (four-fifths rule), equal-opportunity gap (TPR difference) and
+    equalized-odds' FPR gap.  The release-gate companion to
+    :func:`k_anonymity`: before a dataset or model ships, WHICH group is
+    under-selected, not just whether one is.
+
+    ``actual_col`` / ``pred_col`` are boolean (or 0/1) columns; rows
+    with a NULL group, actual, or prediction are excluded.  The
+    reference is ``reference_group`` when given, else the LARGEST group
+    (ties break toward the smaller group value — deterministic).
+
+    Exactness: every cell is an exact BIGINT; each rate is one IEEE
+    division rounded at ``round_digits``; ratios/gaps are single IEEE
+    ops on the rounded rates, re-rounded.  Degenerate denominators
+    (no actual positives -> TPR, no negatives -> FPR, reference rate 0
+    -> DI ratio) yield NULL, never 0/0.
+
+    Scale: ONE shuffle collapses the table to a |groups|-sized frame of
+    counts (map-side partial agg); the reference row is a 1-row
+    broadcast.  Output: one row per group ordered nowhere (callers
+    sort), ``is_reference`` flagging the baseline.
+    """
+    a = F.col(actual_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    cells = (
+        df.where(
+            F.col(group_col).isNotNull() & a.isNotNull() & p.isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(p, 1)).cast("long").alias("n_sel"),
+            F.count(F.when(a & p, 1)).cast("long").alias("tp"),
+            F.count(F.when(~a & p, 1)).cast("long").alias("fp"),
+            F.count(F.when(a, 1)).cast("long").alias("n_pos"),
+            F.count(F.when(~a, 1)).cast("long").alias("n_neg"),
+        )
+    )
+    rated = cells.select(
+        "grp",
+        "n",
+        F.round(F.col("n_sel") / F.col("n"), round_digits).alias(
+            "selection_rate"
+        ),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("tp") / F.col("n_pos"), round_digits),
+        ).alias("tpr"),
+        F.when(
+            F.col("n_neg") > 0,
+            F.round(F.col("fp") / F.col("n_neg"), round_digits),
+        ).alias("fpr"),
+    )
+    if reference_group is not None:
+        ref = rated.where(F.col("grp") == F.lit(reference_group))
+    else:
+        # argmax by (n, grp-desc) so the tie winner is the SMALLER value
+        ref = rated.orderBy(F.desc("n"), F.asc("grp")).limit(1)
+    ref = ref.select(
+        F.col("grp").alias("__rg"),
+        F.col("selection_rate").alias("__rsel"),
+        F.col("tpr").alias("__rtpr"),
+        F.col("fpr").alias("__rfpr"),
+    )
+    return rated.crossJoin(F.broadcast(ref)).select(
+        F.col("grp").alias(group_col),
+        "n",
+        "selection_rate",
+        "tpr",
+        "fpr",
+        F.when(
+            F.col("__rsel") > 0,
+            F.round(F.col("selection_rate") / F.col("__rsel"), round_digits),
+        ).alias("di_ratio"),
+        F.round(F.col("tpr") - F.col("__rtpr"), round_digits).alias("tpr_gap"),
+        F.round(F.col("fpr") - F.col("__rfpr"), round_digits).alias("fpr_gap"),
+        (F.col("grp") == F.col("__rg")).alias("is_reference"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test — the standard A/B experiment readout: did
+    variant A convert at a different rate than variant B?  ``z = (p_a -
+    p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))`` with ``p`` the pooled rate.
+
+    Expects EXACTLY two distinct non-NULL variants (loud ValueError
+    otherwise — a silently dropped third arm is an analysis bug, same
+    policy as fleiss_kappa's panel invariant); variant A is the smaller
+    variant value, so the sign of ``z`` is deterministic.
+    ``success_col`` is boolean/0-1; NULL variants or successes are
+    excluded.
+
+    Returns one row: ``(variant_a, variant_b, n_a, n_b, x_a, x_b,
+    rate_a, rate_b, lift, z)``.  Rates and lift are exact-count IEEE
+    divisions rounded at ``round_digits``; ``z`` is computed from the
+    EXACT counts as one fixed double-op sequence (not from the rounded
+    display rates) and re-rounded.  ``z`` is NULL when the pooled rate
+    is 0 or 1 (zero variance); ``lift`` is NULL when ``rate_b`` is 0.
+
+    Scale: one map-side-combined shuffle to the 2-row variant frame;
+    everything after is driver-trivial arithmetic on that frame.
+    """
+    s = F.col(success_col).cast("boolean")
+    cells = (
+        df.where(F.col(variant_col).isNotNull() & s.isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("__v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.count(F.when(s, 1)).cast("long").alias("__x"),
+        )
+    )
+    rows = cells.orderBy("__v").collect()
+    if len(rows) != 2:
+        raise ValueError(
+            f"two_proportion_ztest: need exactly 2 variants, got "
+            f"{len(rows)}: {[r['__v'] for r in rows]}"
+        )
+    (va, na, xa), (vb, nb, xb) = [
+        (r["__v"], r["__n"], r["__x"]) for r in rows
+    ]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(va, vb, na, nb, xa, xb)],
+        "variant_a string, variant_b string, n_a long, n_b long, "
+        "x_a long, x_b long",
+    )
+    p_a = F.col("x_a") / F.col("n_a")
+    p_b = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    rate_a = F.round(p_a, round_digits)
+    rate_b = F.round(p_b, round_digits)
+    return base.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        F.when(
+            rate_b > 0,
+            F.round((rate_a - rate_b) / rate_b, round_digits),
+        ).alias("lift"),
+        F.when(
+            (pool > 0) & (pool < 1),
+            F.round((p_a - p_b) / se, round_digits),
+        ).alias("z"),
+    )
