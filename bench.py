@@ -121,6 +121,7 @@ AUDIT_EXTRA = [
     "eval_krippendorff_alpha",
     "dq_fairness_report",
     "events_ab_test",
+    "dq_mad_outlier_gate",
 ]
 
 
@@ -346,7 +347,11 @@ def main() -> None:
     # then drop fields duplicated in BENCH_DETAIL.json (repeats, calib),
     # and only as a last resort go to 1dp.  Full 3-decimal timings live
     # in BENCH_DETAIL.json regardless.
-    LIMIT = 1995
+    # slack under the ~2000-char capture: at 70 headline queries the 2dp
+    # line alone is ~1978 chars — shed repeats+calib too (both recorded in
+    # BENCH_DETAIL.json) so ~54 chars of headroom remain before the r7
+    # truncation class can recur; 1dp stays the last resort
+    LIMIT = 1960
 
     def render() -> str:
         return json.dumps(headline, separators=(",", ":"))

@@ -2483,3 +2483,44 @@ def events_ab_test(spark, sf_dir):
         "s",
     )
     return q.two_proportion_ztest(staged, "v", "s")
+
+
+@query(
+    "dq_mad_outlier_gate",
+    oracle="""
+    WITH m AS (
+        SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS med FROM orders
+    ),
+    d AS (
+        SELECT med,
+               ROUND(QUANTILE_CONT(ABS(o_totalprice - med), 0.5), 6) AS mad
+        FROM orders CROSS JOIN m GROUP BY med
+    )
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN mad > 0
+                THEN ROUND(0.6745 * (o_totalprice - med) / mad, 4)
+           END AS robust_z,
+           CASE WHEN mad > 0
+                THEN ABS(ROUND(0.6745 * (o_totalprice - med) / mad, 4)) > 1.2
+           END AS is_outlier
+    FROM orders CROSS JOIN d
+    ORDER BY o_orderkey
+    """,
+)
+def dq_mad_outlier_gate(spark, sf_dir):
+    """Modified-z (median/MAD) outlier gate
+    (operators/quality.mad_outlier_gate) over order totals — the robust
+    companion to dq_outlier_gate's mean/std z.  On this bounded-support
+    distribution the modified z tops out near 1.35 (0.6745 * half-range
+    / MAD), so the gate runs at k = 1.2 and flags ~10%% both ways at
+    every SF; the paper-default 3.5 would be vacuous here, which is a
+    property of the DATA, not the operator (contract tests pin the
+    3.5 behavior on heavy-tailed input).  Median and MAD replay via the
+    exact-percentile parity precedent; the score is one fixed IEEE
+    sequence rounded at 4."""
+    from ..operators import quality as q
+
+    orders = load(spark, sf_dir, "orders")["orders"]
+    return q.mad_outlier_gate(
+        orders, "o_totalprice", "o_orderkey", k=1.2
+    ).orderBy("o_orderkey")

@@ -1804,3 +1804,57 @@ def two_proportion_ztest(
             F.round((p_a - p_b) / se, round_digits),
         ).alias("z"),
     )
+
+
+def mad_outlier_gate(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: float = 3.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust outlier gate via the modified z-score (Iglewicz & Hoaglin
+    1993): ``0.6745 * (x - median) / MAD`` with MAD the median absolute
+    deviation — the heavy-tail-safe companion to the mean/std gate
+    (``z-score``'s mean and std are themselves dragged by the outliers
+    they are supposed to find; the median/MAD pair is 50%%-breakdown
+    robust).  Default ``k = 3.5`` is the paper's recommendation.
+
+    Returns the rows with ``(id, value, robust_z, is_outlier)``;
+    ``robust_z`` is NULL when MAD = 0 (over half the values identical —
+    no robust scale; a NULL gate is surfaced, not a division by zero).
+
+    Exactness: median and MAD are Spark's EXACT interpolated percentile
+    (bit-equal to DuckDB's QUANTILE_CONT — the agg_median_percentile
+    precedent), each rounded at 6; the score is one fixed IEEE sequence
+    rounded at ``round_digits``.
+
+    Scale: two aggregate passes (median, then MAD of deviations against
+    the 1-row broadcast median) + a map-side projection.  Exact
+    percentile sorts per group — at 100 TB swap the two aggregates to
+    ``approx_percentile`` and accept the documented error (same trade
+    as the curriculum buckets' approx mode).
+    """
+    x = F.col(value_col)
+    med = df.agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("__med")
+    )
+    dev = df.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.first("__med").alias("__med"),
+        F.round(
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)"), 6
+        ).alias("__mad"),
+    )
+    scored = df.crossJoin(F.broadcast(mad))
+    z = F.round(
+        F.lit(0.6745) * (x - F.col("__med")) / F.col("__mad"), round_digits
+    )
+    return scored.select(
+        F.col(id_col),
+        x.alias(value_col),
+        F.when(F.col("__mad") > 0, z).alias("robust_z"),
+        F.when(F.col("__mad") > 0, F.abs(z) > F.lit(float(k))).alias(
+            "is_outlier"
+        ),
+    )

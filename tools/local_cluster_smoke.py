@@ -47,6 +47,8 @@ SMOKE = [
     "embed_covariance",          # r8b: dim^2 pair explode + (i,j) shuffle
     "dedup_fuzzy_levenshtein",   # r8b: two-ended block join + bounded DP verify
     "dq_bootstrap_mean_ci",      # r8b: replicate explode + order-stat window
+    "events_attribution",        # r8c: user-key range window, struct argmin
+    "graph_adamic_adar",         # r8c: wedge self-join off a localCheckpoint
 ]
 
 
