@@ -86,6 +86,24 @@ def main() -> int:
                 )
                 reps.append(r)
             pq.write_table(pa.concat_tables(reps), dp)
+        elif t == "events":
+            # 10x USERS (event_id/user_id shifted per replica, timestamps
+            # unchanged): within a replica the per-user event stream is
+            # byte-identical to sf0.1, so user-keyed windows (sessionize,
+            # attribution) measure 10x independent partitions of the same
+            # shape — pure data scaling, no density artifact
+            tab = pq.read_table(sp)
+            reps = []
+            for i in range(REPLICAS):
+                r = tab
+                for col in ("event_id", "user_id"):
+                    r = r.set_column(
+                        r.schema.get_field_index(col),
+                        col,
+                        pc.add(r[col], i * SHIFT),
+                    )
+                reps.append(r)
+            pq.write_table(pa.concat_tables(reps), dp)
         else:
             shutil.copyfile(sp, dp)
         print(f"{t}: {pq.ParquetFile(dp).metadata.num_rows} rows")

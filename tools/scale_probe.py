@@ -37,6 +37,10 @@ OPS = [
     # r8-continuation additions: the two new shuffle/join-heavy operators
     "dedup_fuzzy_levenshtein",
     "embed_covariance",
+    # r8 third-session additions: wedge-join link prediction + the
+    # user-key range-window attribution
+    "graph_adamic_adar",
+    "events_attribution",
 ]
 
 
