@@ -61,7 +61,11 @@ def test_api_job_summary_and_404(api_server):
 
 def test_api_job_dot_is_real_graphviz(api_server):
     jobs = json.loads(_get(api_server, "/api/jobs")[1])
-    jid = jobs[-1]["job_id"]
+    # NEWEST job id: under a full-suite shared session thousands of jobs
+    # have run and the status store evicts old RDD operation graphs
+    # (spark.ui.retainedGraphs), so an arbitrary list position can 404 —
+    # the fixture's own fresh job is always retained
+    jid = max(j["job_id"] for j in jobs)
     status, dot, ctype = _get(api_server, f"/api/job/{jid}/dot")
     assert status == 200 and "graphviz" in ctype
     assert dot.startswith("digraph G {")
