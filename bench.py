@@ -122,6 +122,7 @@ AUDIT_EXTRA = [
     "dq_fairness_report",
     "events_ab_test",
     "dq_mad_outlier_gate",
+    "events_rfm_segments",
 ]
 
 

@@ -2524,3 +2524,71 @@ def dq_mad_outlier_gate(spark, sf_dir):
     return q.mad_outlier_gate(
         orders, "o_totalprice", "o_orderkey", k=1.2
     ).orderBy("o_orderkey")
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, value, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, MAX(us) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                 AS monetary
+        FROM ev GROUP BY user_id
+    ),
+    ref AS (SELECT MAX(last_us) AS ref_us FROM per_user),
+    staged AS (
+        SELECT user_id,
+               ROUND((ref_us - last_us) / 86400000000.0, 6) AS recency_days,
+               frequency, monetary
+        FROM per_user CROSS JOIN ref
+    ),
+    cuts AS (
+        SELECT QUANTILE_CONT(recency_days, [0.2,0.4,0.6,0.8]) AS rc,
+               QUANTILE_CONT(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fc,
+               QUANTILE_CONT(monetary, [0.2,0.4,0.6,0.8]) AS mc
+        FROM staged
+    ),
+    sc AS (
+        SELECT s.user_id, s.recency_days, s.frequency, s.monetary,
+           CAST(6 - (1 + (CASE WHEN s.recency_days > ROUND(rc[1],6) THEN 1 ELSE 0 END)
+                       + (CASE WHEN s.recency_days > ROUND(rc[2],6) THEN 1 ELSE 0 END)
+                       + (CASE WHEN s.recency_days > ROUND(rc[3],6) THEN 1 ELSE 0 END)
+                       + (CASE WHEN s.recency_days > ROUND(rc[4],6) THEN 1 ELSE 0 END))
+                AS BIGINT) AS r_score,
+           CAST(1 + (CASE WHEN s.frequency > ROUND(fc[1],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.frequency > ROUND(fc[2],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.frequency > ROUND(fc[3],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.frequency > ROUND(fc[4],6) THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_score,
+           CAST(1 + (CASE WHEN s.monetary > ROUND(mc[1],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.monetary > ROUND(mc[2],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.monetary > ROUND(mc[3],6) THEN 1 ELSE 0 END)
+                  + (CASE WHEN s.monetary > ROUND(mc[4],6) THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_score
+        FROM staged s CROSS JOIN cuts
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+    FROM sc ORDER BY user_id
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (operators/events.rfm_segments): per-user
+    recency/frequency/monetary scored 1-5 against exact quintile cutoffs
+    broadcast from ONE aggregate row and assigned map-side — the
+    curriculum_buckets pattern, NO global-sort NTILE — plus the combined
+    R<r>F<f>M<m> label.  The reference time is the corpus max event
+    timestamp, so the result is a pure function of the data.  Recency
+    and monetary are rounded at 6 before both the cutoff aggregate and
+    the comparison (boundary decisions replay exactly); the quintile
+    values ride the exact-percentile parity precedent."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return ev.rfm_segments(events).orderBy("user_id")

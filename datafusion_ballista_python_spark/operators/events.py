@@ -392,3 +392,94 @@ def attribution(
         .where(~F.col("__is_touch"))
         .drop("__is_touch")
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic product-analytics cut: per user, days since last event,
+    event count, and value sum, each scored 1..n_tiles against EXACT
+    corpus percentile cutoffs (higher score = better: more recent, more
+    frequent, higher value), plus the combined ``R<r>F<f>M<m>`` segment
+    label.
+
+    Tiles come from percentile CUTOFFS broadcast as one aggregate row
+    and assigned map-side (the curriculum_buckets pattern) — NOT from a
+    global-sort NTILE: no single-partition window, and tile membership
+    is value-deterministic (metric ties share a tile; tile sizes are
+    approximately equal, the standard trade for sort-free quantile
+    binning at scale).  The reference time is the corpus max timestamp,
+    so the output is reproducible from the data alone.
+
+    Exactness: recency/monetary are rounded at ``round_digits`` BEFORE
+    both the cutoff aggregate and the comparison, so boundary decisions
+    replay identically in both engines (exact-percentile parity per the
+    agg_median_percentile precedent); frequency is an exact BIGINT.
+
+    Scale: one user-key shuffle to the per-user frame, one percentile
+    aggregate over it (1-row broadcast back), map-side scoring.  Exact
+    percentile sorts the |users| frame once — at extreme user counts
+    swap to approx_percentile (documented error bound).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(user_col).agg(
+        F.max(us).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double"),
+            round_digits,
+        ).alias("monetary"),
+    )
+    asof = per_user.agg(F.max("__last").alias("__asof"))
+    staged = per_user.crossJoin(F.broadcast(asof)).select(
+        F.col(user_col),
+        F.round(
+            (F.col("__asof") - F.col("__last")) / F.lit(86_400_000_000.0),
+            round_digits,
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qstr = "array(" + ", ".join(str(q) for q in qs) + ")"
+    cuts = staged.agg(
+        F.expr(f"percentile(recency_days, {qstr})").alias("__rc"),
+        F.expr(f"percentile(frequency, {qstr})").alias("__fc"),
+        F.expr(f"percentile(monetary, {qstr})").alias("__mc"),
+    )
+    scored = staged.crossJoin(F.broadcast(cuts))
+
+    def tile(col: str, cut: str):
+        t = F.lit(1).cast("long")
+        for i in range(len(qs)):
+            t = t + F.when(
+                F.col(col) > F.round(F.element_at(F.col(cut), i + 1), 6),
+                1,
+            ).otherwise(0)
+        return t
+
+    r_score = (F.lit(n_tiles + 1).cast("long") - tile("recency_days", "__rc"))
+    f_score = tile("frequency", "__fc")
+    m_score = tile("monetary", "__mc")
+    return scored.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            F.lit("R"), r_score.cast("string"),
+            F.lit("F"), f_score.cast("string"),
+            F.lit("M"), m_score.cast("string"),
+        ).alias("segment"),
+    )
