@@ -123,6 +123,8 @@ AUDIT_EXTRA = [
     "events_ab_test",
     "dq_mad_outlier_gate",
     "events_rfm_segments",
+    "events_transition_matrix",
+    "text_ngram_novelty",
 ]
 
 

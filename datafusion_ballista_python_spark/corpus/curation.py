@@ -2592,3 +2592,98 @@ def events_rfm_segments(spark, sf_dir):
 
     events = load(spark, sf_dir, "events")["events"]
     return ev.rfm_segments(events).orderBy("user_id")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH gr AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                 generate_series(0, GREATEST(LEN(ws) - 3, -1)),
+                 i -> ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 3), ' '))) AS gs
+        FROM (SELECT doc_id,
+                     LIST_FILTER(
+                       REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                       x -> LENGTH(x) > 0) AS ws
+              FROM documents)
+    ),
+    dg AS (
+        SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id + 100000, UNNEST(gs) AS g FROM gr WHERE doc_id < 40
+    ),
+    rg AS (SELECT DISTINCT UNNEST(gs) AS g FROM gr WHERE doc_id < 250),
+    novel AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM dg WHERE g NOT IN (SELECT g FROM rg) GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+            FROM dg GROUP BY doc_id)
+    SELECT t.doc_id, t.n_ngrams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_ngrams, 6)
+             AS novelty
+    FROM tot t LEFT JOIN novel n USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty against a reference corpus
+    (operators/text.ngram_novelty): candidates are the upper half of the
+    corpus plus re-idified EXACT COPIES of reference docs, so the zero-
+    novelty arm (novelty = 0 for a document the reference already
+    contains verbatim) fires alongside the organic 0.3-0.9 spread at
+    every SF.  The gram-key join shuffles (no broadcast of the big
+    reference side — the scale difference vs train_ngram_contamination's
+    broadcast eval set); counts are exact BIGINTs, novelty one rounded
+    IEEE division."""
+    from ..operators import text as t
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    cand = docs.where("doc_id >= 250").unionAll(
+        docs.where("doc_id < 40").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    ref = docs.where("doc_id < 250")
+    return t.ngram_novelty(cand, ref, n=3).orderBy("doc_id")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY EPOCH_US(CAST(ts AS TIMESTAMP)), event_id)
+                 AS to_type
+        FROM events
+    ),
+    cells AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    totals AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+        FROM cells GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / r.t, 6) AS p
+    FROM cells c JOIN totals r USING (from_type)
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix
+    (operators/events.transition_matrix) over per-user event sequences,
+    ordered (ts, event_id) so equal timestamps replay deterministically:
+    the full 5x5 type matrix materializes at every SF with genuinely
+    varied row-normalized probabilities.  One user-key window + a
+    partial-agg shuffle to the |types|^2 frame; probabilities are
+    exact-count IEEE divisions rounded at 6."""
+    from ..operators import events as ev
+
+    events = load(spark, sf_dir, "events")["events"]
+    return ev.transition_matrix(events).orderBy("from_type", "to_type")

@@ -483,3 +483,53 @@ def rfm_segments(
             F.lit("M"), m_score.cast("string"),
         ).alias("segment"),
     )
+
+
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair of CONSECUTIVE events
+    of the same user, the transition count and the row-normalized
+    probability — the standard "what do users do next" model behind
+    path analysis and synthetic-sequence generation.
+
+    Ordering within a user is (ts, id) so equal-timestamp events have a
+    deterministic sequence.  Returns ``(from_type, to_type, n,
+    p)`` with ``p = n / sum_n(from_type)`` as one exact-count IEEE
+    division rounded at ``round_digits``.
+
+    Scale: ONE window keyed on the user (lead over the sorted stream) +
+    a partial-agg shuffle to the |types|^2 matrix; the row totals join
+    is on the tiny from_type key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col)
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = cells.groupBy("from_type").agg(F.sum("n").cast("long").alias("__t"))
+    return cells.join(rows, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__t"), round_digits).alias("p"),
+    )

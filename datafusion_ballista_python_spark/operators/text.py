@@ -1618,3 +1618,64 @@ def readability(
             ),
         ).alias("fk_grade"),
     )
+
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the document's distinct word n-grams that occur nowhere
+    in the reference — the "how much genuinely new text does this shard
+    add" curation signal, the mirror image of
+    :func:`training.ngram_contamination` (which measures collision with
+    a SMALL eval set and broadcasts it; a reference CORPUS is large, so
+    here the join shuffles on the gram key instead).
+
+    Returns ``(id_col, n_ngrams, n_novel, novelty)`` for documents with
+    at least one n-gram; novelty = n_novel / n_ngrams rounded at
+    ``round_digits``.
+
+    Scale: per-doc grams dedup INSIDE the array (map-side); the
+    reference collapses to distinct grams with map-side partial agg
+    before the one gram-key shuffle; a left-anti join counts survivors.
+    No broadcast of the big side, no Python.
+    """
+    from .training import _ngrams, _token_array
+
+    rt = ref_text_col or text_col
+
+    def grams_of(col):
+        return F.array_distinct(_ngrams(_token_array(col), n))
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams_of(text_col)).alias("__g")
+    )
+    ref_grams = reference.select(
+        F.explode(grams_of(rt)).alias("__g")
+    ).distinct()
+    novel = doc_grams.join(ref_grams, "__g", "left_anti")
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams")
+    )
+    novel_counts = novel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        totals.join(novel_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_ngrams"), round_digits),
+        )
+    )
