@@ -125,6 +125,7 @@ AUDIT_EXTRA = [
     "events_rfm_segments",
     "events_transition_matrix",
     "text_ngram_novelty",
+    "dq_fdr_correction",
 ]
 
 

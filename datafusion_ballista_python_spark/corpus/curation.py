@@ -2687,3 +2687,71 @@ def events_transition_matrix(spark, sf_dir):
 
     events = load(spark, sf_dir, "events")["events"]
     return ev.transition_matrix(events).orderBy("from_type", "to_type")
+
+
+@query(
+    "dq_fdr_correction",
+    oracle="""
+    WITH tests AS (
+        SELECT lang, source,
+               ROUND(POW((((ASCII(SUBSTRING(lang, 1, 1)) * 256
+                            + ASCII(SUBSTRING(lang, 2, 1))) * 1000
+                           + CAST(SUBSTRING(source, 4) AS BIGINT))
+                          * 2654435761 % 1000003) / 1000003.0, 3), 6) AS p
+        FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+        SELECT lang, source, p,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS m,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY p, source) AS BIGINT) AS rank
+        FROM tests
+    )
+    SELECT lang, source, p, m, rank,
+           ROUND(LEAST(MIN(ROUND(p * m / rank, 9)) OVER (
+                   PARTITION BY lang ORDER BY rank DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0), 6) AS q,
+           ROUND(LEAST(MIN(ROUND(p * m / rank, 9)) OVER (
+                   PARTITION BY lang ORDER BY rank DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0), 6) <= 0.05 AS reject
+    FROM ranked
+    ORDER BY lang, rank
+    """,
+)
+def dq_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction
+    (operators/quality.benjamini_hochberg) over a simulated drift-test
+    batch — one pseudo p-value per (lang, source) segment (a CUBED
+    hash-uniform, so genuinely small p's exist: ~25%% of the ~100 tests
+    reject at alpha=0.05 at every SF while the rest don't — both arms
+    live), corrected WITHIN each lang family (the family windows keep
+    the plan partition-parallel).  The step-up running min replays as
+    the identical descending-rank window in SQL; p*m/rank terms are
+    rounded at 9 before the min, q at 6."""
+    from ..operators import quality as q
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tests = docs.groupBy("lang", "source").agg(
+        F.round(
+            F.pow(
+                (
+                    (
+                        F.ascii(F.substring("lang", 1, 1)) * 256
+                        + F.ascii(F.substring("lang", 2, 1))
+                    ).cast("long")
+                    * 1000
+                    + F.substring("source", 4, 10).cast("long")
+                )
+                * F.lit(2654435761).cast("long")
+                % 1000003
+                / F.lit(1000003.0),
+                F.lit(3),
+            ),
+            6,
+        ).alias("p")
+    )
+    return q.benjamini_hochberg(
+        tests, "p", "source", family_col="lang", alpha=0.05
+    ).orderBy("lang", "rank")

@@ -1858,3 +1858,78 @@ def mad_outlier_gate(
             "is_outlier"
         ),
     )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    family_col=None,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (1995) — the multiple-testing
+    companion to the drift-test family (:func:`ks_drift`,
+    :func:`mann_whitney_u`, :func:`chi_square_independence`): a pipeline
+    that runs one test per source/segment every day must control the
+    FALSE DISCOVERY RATE across the batch, or ~alpha of all segments
+    alert every run by chance.
+
+    Step-up procedure per family: rank p ascending, ``q_(i) = min_{j>=i}
+    p_(j) * m / j`` capped at 1; ``reject`` = ``q <= alpha``.  Ties on p
+    rank deterministically by test id.  NULL p-values are excluded (a
+    test that did not run cannot be corrected — filter upstream).
+
+    ``family_col`` partitions both the count and the rank windows (BH is
+    applied within each family independently); with the default single
+    family the rank is a one-partition window — fine for the tens-to-
+    thousands of tests a real batch carries (the input is one row PER
+    TEST, not per data row), but pass a family when you have one.
+
+    Exactness: each ``p*m/rank`` is one IEEE expression rounded at
+    ``round_digits + 3``; the running min and final round replay
+    identically in SQL.
+
+    Returns the input tests with ``(m, rank, q, reject)``.
+    """
+    fam = (
+        F.col(family_col)
+        if family_col is not None
+        else F.lit("__all").alias("__fam")
+    )
+    from pyspark.sql import Window
+
+    base = df.where(F.col(p_col).isNotNull()).select(
+        fam.alias("__fam"), F.col(test_col).alias("__t"),
+        F.col(p_col).cast("double").alias("__p"),
+    )
+    wf = Window.partitionBy("__fam")
+    wr = Window.partitionBy("__fam").orderBy(F.asc("__p"), F.asc("__t"))
+    ranked = base.select(
+        "__fam",
+        "__t",
+        "__p",
+        F.count(F.lit(1)).over(wf).cast("long").alias("m"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+    raw = F.round(
+        F.col("__p") * F.col("m") / F.col("rank"), round_digits + 3
+    )
+    wmin = (
+        Window.partitionBy("__fam")
+        .orderBy(F.desc("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.round(
+        F.least(F.min(raw).over(wmin), F.lit(1.0)), round_digits
+    )
+    out = ranked.select(
+        F.col("__fam").alias(family_col if family_col else "family"),
+        F.col("__t").alias(test_col),
+        F.col("__p").alias(p_col),
+        "m",
+        "rank",
+        q.alias("q"),
+        (q <= F.lit(float(alpha))).alias("reject"),
+    )
+    return out if family_col else out.drop("family")
