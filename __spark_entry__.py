@@ -75,6 +75,19 @@ _MANUAL_CHANGED: list[tuple[str, int]] = [
     ("graph_kcore", 8),
 ]
 
+# Entries PINNED directly behind the refail tier until a driver row from
+# >= the named round lands (r8 verdict item #2): the staleness-ordered
+# rest tier already leads with these, but a fresh-entry flood can push
+# the whole rest tier out of the 50-slot sample (it did in r8 — 36 fresh
+# + 1 changed + 13 stale = 50).  Pinning makes the re-certification of
+# the last round-1-only entries flood-proof.  Self-clearing like
+# _MANUAL_CHANGED: (name, certified_by_round).
+_PINNED: list[tuple[str, int]] = [
+    ("window_rank", 9),
+    ("window_running_sum", 9),
+    ("window_lag_lead", 9),
+]
+
 
 def _certified_fingerprints() -> dict[str, str]:
     """name -> entry fingerprint recorded when the entry's last green
@@ -99,7 +112,8 @@ def _rotated(reg: dict) -> list[str]:
     """Entries whose LATEST driver row FAILED first (a fix can only earn a
     green row if the sampler reaches it — and the failed tier must lead,
     because the never-sampled tier can exceed the sample size when a round
-    adds many entries), then never-driver-sampled entries, then entries
+    adds many entries), then _PINNED entries awaiting a flood-proof
+    re-certification, then never-driver-sampled entries, then entries
     CHANGED since their last certification (current fingerprint differs
     from the ledger's certified one, or hand-listed in _MANUAL_CHANGED),
     then the rest — relative order preserved within each tier."""
@@ -110,13 +124,18 @@ def _rotated(reg: dict) -> list[str]:
     manual = {
         n for n, rnd in _MANUAL_CHANGED if last_round.get(n, 0) < rnd
     }
+    pinned_set = {
+        n for n, rnd in _PINNED if last_round.get(n, 0) < rnd
+    }
     names = list(reg)
     refail = [n for n in names if n in failed]
+    pinned = [n for n in names if n in pinned_set and n not in failed]
     fresh = [n for n in names if n not in seen]
     changed = [
         n for n in names
         if n in seen
         and n not in failed
+        and n not in pinned_set
         and (
             n in manual
             or (n in certified and certified[n] != entry_fingerprint(reg[n]))
@@ -130,10 +149,17 @@ def _rotated(reg: dict) -> list[str]:
     # Stable sort keys on (last certified round, registry order).
     order = {n: i for i, n in enumerate(names)}
     rest = sorted(
-        (n for n in names if n in seen and n not in failed and n not in changed_set),
+        (
+            n
+            for n in names
+            if n in seen
+            and n not in failed
+            and n not in changed_set
+            and n not in pinned_set
+        ),
         key=lambda n: (last_round.get(n, 0), order[n]),
     )
-    return refail + fresh + changed + rest
+    return refail + pinned + fresh + changed + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

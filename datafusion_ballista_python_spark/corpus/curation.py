@@ -2489,19 +2489,25 @@ def events_ab_test(spark, sf_dir):
     "dq_mad_outlier_gate",
     oracle="""
     WITH m AS (
-        SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS med FROM orders
+        SELECT QUANTILE_CONT(ROUND(o_totalprice * 100), 0.5) AS med
+        FROM orders
     ),
     d AS (
         SELECT med,
-               ROUND(QUANTILE_CONT(ABS(o_totalprice - med), 0.5), 6) AS mad
+               QUANTILE_CONT(
+                   ABS(2 * ROUND(o_totalprice * 100) - 2 * med), 0.5
+               ) / 2 AS mad
         FROM orders CROSS JOIN m GROUP BY med
     )
     SELECT o_orderkey, o_totalprice,
            CASE WHEN mad > 0
-                THEN ROUND(0.6745 * (o_totalprice - med) / mad, 4)
+                THEN ROUND(
+                    0.6745 * (ROUND(o_totalprice * 100) - med) / mad, 4)
            END AS robust_z,
            CASE WHEN mad > 0
-                THEN ABS(ROUND(0.6745 * (o_totalprice - med) / mad, 4)) > 1.2
+                THEN ABS(ROUND(
+                    0.6745 * (ROUND(o_totalprice * 100) - med) / mad, 4))
+                     > 1.23456
            END AS is_outlier
     FROM orders CROSS JOIN d
     ORDER BY o_orderkey
@@ -2512,17 +2518,22 @@ def dq_mad_outlier_gate(spark, sf_dir):
     (operators/quality.mad_outlier_gate) over order totals — the robust
     companion to dq_outlier_gate's mean/std z.  On this bounded-support
     distribution the modified z tops out near 1.35 (0.6745 * half-range
-    / MAD), so the gate runs at k = 1.2 and flags ~10%% both ways at
+    / MAD), so the gate runs near 1.2 and flags ~10%% both ways at
     every SF; the paper-default 3.5 would be vacuous here, which is a
     property of the DATA, not the operator (contract tests pin the
-    3.5 behavior on heavy-tailed input).  Median and MAD replay via the
-    exact-percentile parity precedent; the score is one fixed IEEE
-    sequence rounded at 4."""
+    3.5 behavior on heavy-tailed input).  r9 hardening after the r8
+    driver hash miss: both percentiles run on the exact CENTS grid
+    (integer-valued doubles — interpolation is exact under either
+    engine's formula, killing the 1-ulp ``x.xx5`` midpoint trap), and
+    the gate k = 1.23456 is unreachable by a 4-digit-rounded z, so no
+    row can sit on the boundary at any SF.  The score is one fixed IEEE
+    sequence rounded at 4; the modified z is scale-invariant, so the
+    cents-grid score equals the dollars score."""
     from ..operators import quality as q
 
     orders = load(spark, sf_dir, "orders")["orders"]
     return q.mad_outlier_gate(
-        orders, "o_totalprice", "o_orderkey", k=1.2
+        orders, "o_totalprice", "o_orderkey", k=1.23456
     ).orderBy("o_orderkey")
 
 

@@ -1812,6 +1812,7 @@ def mad_outlier_gate(
     id_col: str,
     k: float = 3.5,
     round_digits: int = 4,
+    grid_digits: int = 2,
 ) -> DataFrame:
     """Robust outlier gate via the modified z-score (Iglewicz & Hoaglin
     1993): ``0.6745 * (x - median) / MAD`` with MAD the median absolute
@@ -1824,10 +1825,23 @@ def mad_outlier_gate(
     ``robust_z`` is NULL when MAD = 0 (over half the values identical —
     no robust scale; a NULL gate is surfaced, not a division by zero).
 
-    Exactness: median and MAD are Spark's EXACT interpolated percentile
-    (bit-equal to DuckDB's QUANTILE_CONT — the agg_median_percentile
-    precedent), each rounded at 6; the score is one fixed IEEE sequence
-    rounded at ``round_digits``.
+    Exactness (the r8 lesson): chaining TWO interpolated percentiles on
+    raw doubles is engine-version-fragile — the interpolation formula
+    ``(a+b)/2`` vs ``a + 0.5*(b-a)`` can differ by 1 ulp, and a midpoint
+    of two odd-cent values lands on a non-representable ``x.xx5`` that
+    then ROUNDs differently across engines.  So both percentiles run on
+    the EXACTLY-REPRESENTABLE integer grid ``round(x * 10^grid_digits)``
+    (grid_digits=2 = money cents): the median of integers is an integer
+    or integer + 0.5 (exact under EITHER interpolation formula), the
+    deviations are doubled back to integers before the second
+    percentile, and the MAD lands on an exact quarter-unit grid.  The
+    modified z is scale-invariant, so scoring on the grid equals scoring
+    on the raw values; the score is then one fixed IEEE sequence
+    (``0.6745 * dev / mad``) rounded at ``round_digits``.  Values are
+    snapped to the grid — inputs with more than ``grid_digits`` decimals
+    are gated on their rounded representative (documented approximation;
+    widen ``grid_digits`` while ``|x| * 10^grid_digits`` stays below
+    2^52 for exactness).
 
     Scale: two aggregate passes (median, then MAD of deviations against
     the 1-row broadcast median) + a map-side projection.  Exact
@@ -1836,19 +1850,27 @@ def mad_outlier_gate(
     as the curriculum buckets' approx mode).
     """
     x = F.col(value_col)
-    med = df.agg(
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("__med")
-    )
+    g = 10 ** grid_digits
+    # integer-valued doubles: exact up to 2^52, so every later step that
+    # matters (percentile interpolation, subtraction, doubling) is exact
+    iv = f"round({value_col} * {g})"
+    med = df.agg(F.expr(f"percentile({iv}, 0.5)").alias("__med"))
     dev = df.crossJoin(F.broadcast(med))
+    # 2*iv - 2*med is an exact INTEGER (med is int or int+0.5), so the
+    # second percentile interpolates integers -> exact half-integer,
+    # and __mad is exact on the quarter-grid after the /2
     mad = dev.agg(
         F.first("__med").alias("__med"),
-        F.round(
-            F.expr(f"percentile(abs({value_col} - __med), 0.5)"), 6
+        (
+            F.expr(f"percentile(abs(2 * {iv} - 2 * __med), 0.5)") / 2
         ).alias("__mad"),
     )
     scored = df.crossJoin(F.broadcast(mad))
     z = F.round(
-        F.lit(0.6745) * (x - F.col("__med")) / F.col("__mad"), round_digits
+        F.lit(0.6745)
+        * (F.expr(iv) - F.col("__med"))
+        / F.col("__mad"),
+        round_digits,
     )
     return scored.select(
         F.col(id_col),
