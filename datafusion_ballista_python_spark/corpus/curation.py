@@ -2622,7 +2622,7 @@ def events_rfm_segments(spark, sf_dir):
     dg AS (
         SELECT doc_id, UNNEST(gs) AS g FROM gr WHERE doc_id >= 250
         UNION ALL
-        SELECT doc_id + 100000, UNNEST(gs) AS g FROM gr WHERE doc_id < 40
+        SELECT doc_id + 1000000000, UNNEST(gs) AS g FROM gr WHERE doc_id < 40
     ),
     rg AS (SELECT DISTINCT UNNEST(gs) AS g FROM gr WHERE doc_id < 250),
     novel AS (
@@ -2652,9 +2652,11 @@ def text_ngram_novelty(spark, sf_dir):
     from ..operators import text as t
 
     docs = load(spark, sf_dir, "documents")["documents"]
+    # re-idify offset far outside any SF's doc_id domain (int64; the old
+    # +100000 could collide with real ids once a SF reached 100k docs)
     cand = docs.where("doc_id >= 250").unionAll(
         docs.where("doc_id < 40").select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             "text", "lang", "source", "n_chars",
         )
     )

@@ -336,11 +336,13 @@ def attribution(
         raise BallistaError(
             f"attribution lookback_sec must be positive (got {lookback_sec})"
         )
-    if conversion_type in tuple(touch_types):
+    # normalize BEFORE the membership check: a generator argument would
+    # otherwise be exhausted by it and silently yield zero touch columns
+    touch_types = tuple(touch_types)
+    if conversion_type in touch_types:
         raise BallistaError(
             f"conversion_type {conversion_type!r} cannot also be a touch type"
         )
-    touch_types = tuple(touch_types)
 
     staged = events.where(
         F.col(type_col).isin([conversion_type, *touch_types])
@@ -461,7 +463,8 @@ def rfm_segments(
         t = F.lit(1).cast("long")
         for i in range(len(qs)):
             t = t + F.when(
-                F.col(col) > F.round(F.element_at(F.col(cut), i + 1), 6),
+                F.col(col)
+                > F.round(F.element_at(F.col(cut), i + 1), round_digits),
                 1,
             ).otherwise(0)
         return t

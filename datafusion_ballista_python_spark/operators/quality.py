@@ -1700,8 +1700,16 @@ def fairness_report(
     )
     if reference_group is not None:
         ref = rated.where(F.col("grp") == F.lit(reference_group))
+        # loud-invariant policy (the two_proportion_ztest precedent): a
+        # typo'd reference group must FAIL the audit, not vanish it —
+        # the crossJoin against an empty ref would drop every group
+        if ref.limit(1).count() == 0:
+            raise ValueError(
+                f"fairness_report: reference_group {reference_group!r} "
+                f"matches no value of {group_col!r}"
+            )
     else:
-        # argmax by (n, grp-desc) so the tie winner is the SMALLER value
+        # argmax by (n desc, grp asc) so the tie winner is the SMALLER value
         ref = rated.orderBy(F.desc("n"), F.asc("grp")).limit(1)
     ref = ref.select(
         F.col("grp").alias("__rg"),

@@ -112,3 +112,19 @@ def test_validation_errors(spark):
         attribution(df, lookback_sec=0)
     with pytest.raises(BallistaError, match="touch type"):
         attribution(df, conversion_type="view")
+
+
+def test_generator_touch_types_not_exhausted(spark):
+    # a generator argument must credit touches identically to a tuple
+    # (r8 advisor finding: the membership pre-check used to exhaust it)
+    rows = [
+        (1, _ts(0), 7, "view"),
+        (2, _ts(5), 7, "click"),
+        (4, _ts(6), 7, "purchase"),
+    ]
+    got = _run(
+        spark, rows,
+        touch_types=(t for t in ("view", "click", "signup")),
+        lookback_sec=3600,
+    )
+    assert got[4]["n_touches"] == 2 and got[4]["last_touch"] == "click"

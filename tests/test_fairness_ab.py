@@ -88,3 +88,12 @@ def test_ztest_requires_exactly_two_variants(spark):
     )
     with pytest.raises(ValueError, match="exactly 2"):
         two_proportion_ztest(df, "v", "s")
+
+
+def test_fairness_unknown_reference_group_raises(spark):
+    # loud-invariant policy: a typo'd reference group must FAIL the
+    # audit, not return an empty frame (r8 advisor finding)
+    rows = [("x", True, True), ("y", False, False)]
+    df = spark.createDataFrame(rows, "g string, a boolean, p boolean")
+    with pytest.raises(ValueError, match="'nope'"):
+        fairness_report(df, "g", "a", "p", reference_group="nope").collect()
