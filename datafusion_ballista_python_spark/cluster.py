@@ -41,11 +41,32 @@ class Scheduler:
         self.distribution = "RoundRobin"
         self.event_loop_buffer_size = 1000
 
+    _process = None  # set by start(); None = local-mode shim
+
     @property
     def master_url(self) -> str:
-        """The Spark master this 'scheduler' corresponds to."""
+        """The Spark master this 'scheduler' corresponds to: the real
+        ``spark://`` URL once ``start()`` has launched the Master
+        process, else the local-mode shim."""
+        if self._process is not None and self._process.url:
+            return self._process.url
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         return f"local[{cpus}]"
+
+    def start(self, port: int | None = None) -> "StandaloneProcess":
+        """Start the scheduler as a REAL server process (reference
+        ``scheduler.rs:64-70`` blocks into its server loop; we launch a
+        standalone Master child process and return, non-blocking).
+        ``session()`` then attaches over ``spark://``."""
+        self._process = start_master(
+            host="127.0.0.1", port=port or _free_port()
+        )
+        return self._process
+
+    def stop(self) -> None:
+        if self._process is not None:
+            self._process.stop()
+            self._process = None
 
     def session(self, **kwargs):
         """Start/attach the driver session (the actual Spark 'scheduler')."""
@@ -86,3 +107,138 @@ class Executor:
         self.concurrent_tasks = concurrent_tasks or os.cpu_count()
         self.job_data_ttl_seconds = 3600
         self.job_data_clean_up_interval_seconds = 1800
+        self._process = None
+
+    def start(
+        self, master_url: str | None = None, memory: str = "2g"
+    ) -> "StandaloneProcess":
+        """Start the executor as a REAL process (reference
+        ``executor.rs:29-75`` connects to the scheduler and serves): a
+        standalone Worker child that registers with the master and hosts
+        executor JVMs.  ``master_url`` defaults to the scheduler
+        coordinates this Executor was constructed with."""
+        url = master_url or f"spark://{self.scheduler_host}:{self.scheduler_port}"
+        self._process = start_worker(
+            url, cores=self.concurrent_tasks, memory=memory
+        )
+        return self._process
+
+    def stop(self) -> None:
+        if self._process is not None:
+            self._process.stop()
+            self._process = None
+
+
+# ---------------------------------------------------------------------------
+# Real standalone processes (r8 verdict item / SURVEY §2.12 deviation close):
+# the reference's Scheduler/Executor START ACTUAL SERVER PROCESSES
+# (src/scheduler.rs:33-71 binds and serves; src/executor.rs:29-75 connects
+# to the scheduler).  The Spark analogue of that process pair is a
+# standalone Master (the scheduler: accepts apps, assigns executors) and a
+# Worker (the executor host: registers with the master, launches executor
+# JVMs).  These launchers bring that pair up as real child processes so a
+# BallistaContext can attach over spark:// — exercised end-to-end by
+# tools/standalone_cluster_smoke.py.
+# ---------------------------------------------------------------------------
+
+
+def _spark_home() -> str:
+    env = os.environ.get("SPARK_HOME")
+    if env:
+        return env
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _wait_port(host: str, port: int, timeout_sec: float = 60.0) -> None:
+    import socket
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection((host, port), timeout=2):
+                return
+        except OSError:
+            time.sleep(0.5)
+    raise TimeoutError(f"{host}:{port} did not come up in {timeout_sec}s")
+
+
+class StandaloneProcess:
+    """A launched master/worker child process: ``.url`` (master only),
+    ``.popen``, ``.log_path``; ``stop()`` terminates and reaps it."""
+
+    def __init__(self, popen, url: str | None, log_path: str):
+        self.popen = popen
+        self.url = url
+        self.log_path = log_path
+
+    def stop(self) -> None:
+        if self.popen.poll() is None:
+            self.popen.terminate()
+            try:
+                self.popen.wait(timeout=20)
+            except Exception:
+                self.popen.kill()
+                self.popen.wait(timeout=10)
+
+
+def _launch(cls: str, args: list[str], log_name: str) -> "tuple":
+    import subprocess
+    import tempfile
+
+    spark_class = os.path.join(_spark_home(), "bin", "spark-class")
+    log_path = os.path.join(
+        tempfile.gettempdir(), f"{log_name}-{os.getpid()}.log"
+    )
+    log = open(log_path, "ab")
+    env = dict(os.environ)
+    # keep daemons lean; they only coordinate, executors do the work
+    env.setdefault("SPARK_DAEMON_MEMORY", "1g")
+    popen = subprocess.Popen(
+        [spark_class, cls, *args], stdout=log, stderr=subprocess.STDOUT,
+        env=env,
+    )
+    return popen, log_path
+
+
+def start_master(
+    host: str = "127.0.0.1", port: int | None = None
+) -> StandaloneProcess:
+    """Launch a REAL standalone Master process (the Spark scheduler) and
+    block until its RPC port accepts connections.  Returns a handle whose
+    ``.url`` is the ``spark://host:port`` a session/worker attaches to."""
+    port = port or _free_port()
+    popen, log_path = _launch(
+        "org.apache.spark.deploy.master.Master",
+        ["--host", host, "--port", str(port), "--webui-port", "0"],
+        "spark-master",
+    )
+    _wait_port(host, port)
+    return StandaloneProcess(popen, f"spark://{host}:{port}", log_path)
+
+
+def start_worker(
+    master_url: str,
+    cores: int = 4,
+    memory: str = "2g",
+) -> StandaloneProcess:
+    """Launch a REAL standalone Worker process (the executor host): it
+    registers with the master and launches executor JVMs for attached
+    apps.  The caller polls app-side (executor count) for readiness."""
+    popen, log_path = _launch(
+        "org.apache.spark.deploy.worker.Worker",
+        [master_url, "--cores", str(cores), "--memory", memory,
+         "--webui-port", "0"],
+        "spark-worker",
+    )
+    return StandaloneProcess(popen, None, log_path)

@@ -553,7 +553,17 @@ def dq_outlier_gate(spark, sf_dir):
     so |z| > 2 can never fire on this column — the flag arm was
     structurally dead at all three SFs (3-SF vacuity sweep, round 7).
     At 1.5 both arms are populated everywhere (195/1982/20035 flagged at
-    sf0.001/0.01/0.1)."""
+    sf0.001/0.01/0.1).
+
+    KNIFE_EDGE:z_score@1.5 (r9 boundary audit) is a SAFE boundary row,
+    unlike the r8 mad case: mean/std here derive from exact DECIMAL
+    (n, sum, sum-of-squares) — integer-exact in both engines — so the
+    whole z chain is one engine-independent IEEE sequence and the row
+    whose rounded |z| equals 1.5 compares the SAME double against the
+    same literal everywhere.  The mad entry was fragile because its
+    upstream (chained interpolated percentiles) was engine-DEPENDENT;
+    this one has no nondeterministic input.  Driver-certified green
+    with this boundary row present."""
     orders = load(spark, sf_dir, "orders")["orders"]
     out = quality.zscore_outliers(orders, "o_totalprice", z_threshold=1.5)
     return out.select(

@@ -39,6 +39,75 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import re
+
+# interpolated-percentile call sites in oracle SQL (DuckDB spellings)
+_PCTL_RE = re.compile(r"\b(?:QUANTILE_CONT|PERCENTILE_CONT|percentile)\s*\(", re.I)
+# non-integer numeric literals in COMPARISON context: these are the
+# gates/thresholds whose rounded boundary a result row must not sit on
+_CMP_LIT_RE = re.compile(
+    r"(?:[<>]=?\s*(-?\d+\.\d+)\b)|(?:\b(-?\d+\.\d+)\s*[<>]=?)"
+)
+
+
+def oracle_static_flags(oracle: str | None) -> list[str]:
+    """The r8 `dq_mad_outlier_gate` lesson, generalized statically: an
+    oracle CHAINING interpolated percentiles — the alias of one
+    percentile referenced inside another percentile's argument — on raw
+    doubles is engine-version-fragile (interpolation formula differs by
+    1 ulp across engines; a midpoint of two odd-cent values lands on a
+    non-representable x.xx5, and the second percentile amplifies it past
+    any ROUND).  INDEPENDENT multi-percentile oracles are not flagged:
+    with no chaining, a terminal ROUND collapses the 1-ulp engine
+    difference unless the exact value sits on the rounding tiebreak,
+    which the even-fraction grids (0.2/0.25/0.5 steps) cannot reach.
+    The convention that makes chaining safe is the integer grid — both
+    percentile arguments wrapped in ROUND(...) (integer-valued doubles
+    interpolate exactly); gridded chains are not flagged."""
+    if not oracle:
+        return []
+    calls: list[tuple[str, str | None]] = []  # (arg_text, alias)
+    for m in _PCTL_RE.finditer(oracle):
+        depth, i = 1, m.end()
+        while i < len(oracle) and depth:
+            if oracle[i] == "(":
+                depth += 1
+            elif oracle[i] == ")":
+                depth -= 1
+            i += 1
+        arg = oracle[m.end() : i - 1]
+        am = re.match(
+            r"\s*(?:[-+*/]\s*[\d.]+\s*)?AS\s+(\w+)", oracle[i:], re.I
+        )
+        calls.append((arg, am.group(1) if am else None))
+    if len(calls) < 2:
+        return []
+    flags = set()
+    for arg, _ in calls:
+        for other_arg, alias in calls:
+            if (
+                alias
+                and arg is not other_arg
+                and re.search(rf"\b{re.escape(alias)}\b", arg)
+                and not (
+                    "ROUND(" in arg.upper()
+                    and "ROUND(" in other_arg.upper()
+                )
+            ):
+                flags.add(f"CHAINED_PERCENTILES:{alias}")
+    return sorted(flags)
+
+
+def comparison_literals(oracle: str | None) -> list[float]:
+    """Non-integer literals used in a comparison in the oracle SQL —
+    the candidate gate values for the boundary-proximity check."""
+    if not oracle:
+        return []
+    lits = set()
+    for a, b in _CMP_LIT_RE.findall(oracle):
+        lits.add(float(a or b))
+    return sorted(lits)
+
 
 def audit(sf_dir: str, only: list[str] | None = None) -> dict:
     from pyspark.sql import SparkSession
@@ -65,6 +134,8 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
     for name in names:
         spec = registry[name]
         entry: dict = {"rows": None, "flags": []}
+        entry["flags"] += oracle_static_flags(getattr(spec, "oracle", None))
+        gate_lits = comparison_literals(getattr(spec, "oracle", None))
         try:
             df = spec.fn(spark, sf_dir)
             # one aggregate pass computes rowcount + per-column degeneracy
@@ -72,6 +143,20 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
             for f in df.schema.fields:
                 c = F.col(f.name)
                 aggs.append(F.count(c).alias(f"nn::{f.name}"))
+                if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                    # boundary proximity: min distance of the column (and
+                    # its |abs|, for |z|-style gates) to each comparison
+                    # literal in the oracle — a row AT a gate value flips
+                    # across engines on any 1-ulp upstream divergence
+                    for i, lit in enumerate(gate_lits):
+                        aggs.append(
+                            F.min(
+                                F.least(
+                                    F.abs(c - F.lit(lit)),
+                                    F.abs(F.abs(c) - F.lit(lit)),
+                                )
+                            ).alias(f"ke::{f.name}::{i}")
+                        )
                 if isinstance(f.dataType, T.BooleanType):
                     aggs.append(
                         F.count_distinct(c).alias(f"bd::{f.name}")
@@ -97,6 +182,15 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
                     if "::" not in k:
                         continue
                     kind, col = k.split("::", 1)
+                    if kind == "ke":
+                        col, idx = col.rsplit("::", 1)
+                        lit = gate_lits[int(idx)]
+                        tol = max(1e-12, abs(lit) * 1e-9)
+                        if v is not None and v < tol:
+                            entry["flags"].append(
+                                f"KNIFE_EDGE:{col}@{lit}"
+                            )
+                        continue
                     if kind == "nn" and v == 0:
                         entry["flags"].append(f"ALL_NULL:{col}")
                     elif kind == "bd" and row[f"nn::{col}"] > 1 and v <= 1:
