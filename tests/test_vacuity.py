@@ -197,3 +197,52 @@ def test_round7_audit_flag_arms_fire_at_driver_sf():
     assert not ex.all(), "count-min exact flag never false at driver SF"
 
 
+
+
+# KNIFE_EDGE flags (r9 boundary audit, VERDICT r8 task #7): result rows
+# sitting EXACTLY on a gate literal from the oracle SQL.  A boundary row
+# is only FRAGILE when its upstream arithmetic is engine-DEPENDENT (the
+# r8 dq_mad_outlier_gate failure: chained interpolated percentiles).
+# Every entry below is the SAFE class — the boundary value derives from
+# exact integer counts (set-overlap ratios, Gopher char/word-class
+# fractions), exact DECIMAL sums (z-score mean/std), or a fixed-order
+# elementwise array sum (cosine) — one engine-independent IEEE sequence,
+# so the row compares the SAME double against the same literal in both
+# engines.  Each was driver-certified green WITH its boundary row
+# present.  A NEW knife-edge must either join this list with the same
+# upstream-exactness argument or move its gate off the reachable grid
+# (the k=1.23456 convention).
+KNIFE_EDGE_SAFE = {
+    "dedup_ngram_jaccard": "jaccard = exact |intersect|/|union| integer ratio",
+    "text_gopher_gate": "all Gopher fractions are exact integer-count ratios",
+    "dedup_containment_join": "containment = exact |intersect|/min ratio",
+    "dq_outlier_gate": "mean/std from exact DECIMAL (n, sum, sumsq)",
+    "train_embed_contamination": "cosine = fixed-index-order elementwise sum",
+    "dedup_minhash_lsh": "verify-stage jaccard = exact integer ratio",
+}
+
+
+def test_knife_edge_flags_are_allowlisted_safe():
+    """Freshness forcing function for the boundary audit: every
+    KNIFE_EDGE flag in the committed 3-SF report must belong to an entry
+    with a reasoned upstream-exactness note above; an unlisted one means
+    a new gate with a row ON it — decide (harden or prove safe) before
+    shipping.  CHAINED_PERCENTILES must never appear (the static
+    corpus-wide invariant is also pinned in test_knife_edge.py)."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "vacuity_report.json")
+    with open(path) as fh:
+        report = json.load(fh)
+    unexplained = {}
+    for sf, entries in report.items():
+        for name, row in entries.items():
+            for fl in row["flags"]:
+                if fl.startswith("CHAINED_PERCENTILES"):
+                    unexplained[f"{sf}/{name}"] = fl
+                elif fl.startswith("KNIFE_EDGE") and name not in KNIFE_EDGE_SAFE:
+                    unexplained[f"{sf}/{name}"] = fl
+    assert not unexplained, (
+        f"unallowlisted knife-edge/chained-percentile flags: {unexplained}"
+    )

@@ -41,6 +41,12 @@ OPS = [
     # user-key range-window attribution
     "graph_adamic_adar",
     "events_attribution",
+    # r9 (VERDICT r8 task #6): the remaining unprobed bench heavies
+    "train_dsir_weights",
+    "retrieval_rrf_hybrid",
+    "eval_ndcg_retrieval",
+    "eval_rank_correlation",
+    "text_perplexity_buckets",
 ]
 
 
@@ -48,6 +54,10 @@ def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(here, ".scaledata", "sf1")
+    # probe a subset without re-timing already-recorded ops (the r8
+    # artifacts stay the record for theirs): comma-separated names
+    only = os.environ.get("SPARK_GRAFT_PROBE_OPS")
+    ops = [o for o in OPS if o in set(only.split(","))] if only else OPS
 
     from pyspark.sql import SparkSession
 
@@ -71,7 +81,7 @@ def main() -> int:
     registry = load_all()
 
     # JIT warmup at the smallest SF so codegen compilation is excluded
-    for name in OPS:
+    for name in ops:
         try:
             registry[name].fn(spark, "/root/testdata/sf0.001").count()
         except Exception:
@@ -88,7 +98,7 @@ def main() -> int:
         return round(best, 2)
 
     out: dict[str, dict] = {}
-    for name in OPS:
+    for name in ops:
         try:
             s = best_of(name, small)
             b = best_of(name, big)
