@@ -119,3 +119,27 @@ def test_ledger_rounds_match_driver_history():
     for name, row in ledger.items():
         assert name in seen
         assert row["round"] <= last_round.get(name, 0)
+
+
+def test_pinned_tier_sits_behind_refail_and_ahead_of_fresh():
+    """r9: _PINNED entries (stale round-1 certs displaced by the r8
+    fresh-entry flood) must lead everything except the refail tier, so
+    no volume of new entries can push them out of the 50-slot sample;
+    the pin self-clears once a driver row from >= its round lands."""
+    reg = load_all()
+    order = entry._rotated(reg)
+    seen, failed, last_round = entry._driver_history()
+    active_pins = [
+        n for n, rnd in entry._PINNED if last_round.get(n, 0) < rnd
+    ]
+    fresh = [n for n in reg if n not in seen]
+    for pin in active_pins:
+        assert pin in order
+        for f in failed:
+            assert order.index(f) < order.index(pin)
+        for fr in fresh:
+            assert order.index(pin) < order.index(fr)
+    # the current pin set: the three round-1-certified window entries
+    # (until their r9 rows land, after which this degenerates to empty)
+    for n, _ in entry._PINNED:
+        assert n in reg
