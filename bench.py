@@ -249,6 +249,11 @@ def main() -> None:
         # stall tens of seconds on first-touch page backing (measured: 32g
         # heap -> intermittent 20-60s JVM freezes; 8g -> stable)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                           "-XX:ReservedCodeCacheSize=512m"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
