@@ -18,6 +18,13 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # a 1300-test suite in one JVM emits codegen classes far past the
+        # JDK 17 default 240m code-cache reserve; same measured fix as
+        # bench.py (r9: 0.907x on the 70-query bench A/B)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
