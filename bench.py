@@ -168,6 +168,32 @@ def render_headline(headline: dict, limit: int = LIMIT) -> str:
     return line
 
 
+def calibrate() -> float:
+    """Fixed CPU-bound probe (same FLOPs every round): wall time only
+    moves with host load / CPU contention, never with query plans, so
+    comparing calib values across recorded BENCH_r*.json files separates
+    'the host was busy' from 'the code got slower'.  Module-scope so
+    tools/solo_floor.py IMPORTS it — cross-artifact calib comparability
+    is structural, not a copy-paste promise."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+    best = None
+    # min-of-5 short trials: a single long trial is itself exposed to
+    # the transient spikes it is supposed to detect (JVM GC, BLAS
+    # thread collisions); the min is the unloaded-host floor, and a
+    # loaded host raises even the min
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(6):
+            (a @ b).sum()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
 def compare(paths: list[str]) -> None:
     """Mechanical round-over-round comparison from RECORDED artifacts:
     ``python bench.py --compare BENCH_rN.json BENCH_rM.json`` computes the
@@ -290,29 +316,6 @@ def main() -> None:
     # CPU calibration probe below make host-load jitter visible in the
     # artifact instead of masquerading as a plan regression.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-
-    def calibrate() -> float:
-        """Fixed CPU-bound probe (same FLOPs every round): wall time only
-        moves with host load / CPU contention, never with query plans, so
-        comparing calib values across recorded BENCH_r*.json files
-        separates 'the host was busy' from 'the code got slower'."""
-        import numpy as np
-
-        rng = np.random.default_rng(0)
-        a = rng.standard_normal((512, 512))
-        b = rng.standard_normal((512, 512))
-        best = None
-        # min-of-5 short trials: a single long trial is itself exposed to
-        # the transient spikes it is supposed to detect (JVM GC, BLAS
-        # thread collisions); the min is the unloaded-host floor, and a
-        # loaded host raises even the min
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(6):
-                (a @ b).sum()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        return round(best, 3)
 
     import random
 

@@ -58,6 +58,11 @@ class Scheduler:
         ``scheduler.rs:64-70`` blocks into its server loop; we launch a
         standalone Master child process and return, non-blocking).
         ``session()`` then attaches over ``spark://``."""
+        if self._process is not None and self._process.popen.poll() is None:
+            raise RuntimeError(
+                "scheduler already started; call stop() first "
+                "(restarting would orphan the running Master process)"
+            )
         self._process = start_master(
             host="127.0.0.1", port=port or _free_port()
         )
@@ -116,8 +121,29 @@ class Executor:
         ``executor.rs:29-75`` connects to the scheduler and serves): a
         standalone Worker child that registers with the master and hosts
         executor JVMs.  ``master_url`` defaults to the scheduler
-        coordinates this Executor was constructed with."""
-        url = master_url or f"spark://{self.scheduler_host}:{self.scheduler_port}"
+        coordinates this Executor was constructed with — which must be
+        LISTENING: a Worker pointed at a dead port retries registration
+        forever with no error surfaced anywhere but its log, so this
+        probes the port first and fails loudly."""
+        if self._process is not None and self._process.popen.poll() is None:
+            raise RuntimeError(
+                "executor already started; call stop() first "
+                "(restarting would orphan the running Worker process)"
+            )
+        if master_url is None:
+            host, port = self.scheduler_host, int(self.scheduler_port)
+            try:
+                _wait_port(host, port, timeout_sec=5)
+            except TimeoutError:
+                raise RuntimeError(
+                    f"no scheduler listening at spark://{host}:{port} — "
+                    "pass master_url from Scheduler.start()'s handle "
+                    "(Scheduler.start() binds a fresh free port, not the "
+                    "shim default 50050)"
+                ) from None
+            url = f"spark://{host}:{port}"
+        else:
+            url = master_url
         self._process = start_worker(
             url, cores=self.concurrent_tasks, memory=memory
         )
@@ -159,18 +185,34 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _wait_port(host: str, port: int, timeout_sec: float = 60.0) -> None:
+def _wait_port(
+    host: str,
+    port: int,
+    timeout_sec: float = 60.0,
+    popen=None,
+    log_path: str | None = None,
+) -> None:
     import socket
     import time
 
     deadline = time.monotonic() + timeout_sec
     while time.monotonic() < deadline:
+        # fail FAST with the log when the child already died (bad
+        # SPARK_HOME/JAVA_HOME, port clash) instead of polling a dead
+        # port for the full timeout and raising an opaque TimeoutError
+        if popen is not None and popen.poll() is not None:
+            raise RuntimeError(
+                f"process exited with code {popen.returncode} before "
+                f"{host}:{port} came up; see {log_path}"
+            )
         try:
             with socket.create_connection((host, port), timeout=2):
                 return
         except OSError:
             time.sleep(0.5)
-    raise TimeoutError(f"{host}:{port} did not come up in {timeout_sec}s")
+    raise TimeoutError(
+        f"{host}:{port} did not come up in {timeout_sec}s; see {log_path}"
+    )
 
 
 class StandaloneProcess:
@@ -223,7 +265,7 @@ def start_master(
         ["--host", host, "--port", str(port), "--webui-port", "0"],
         "spark-master",
     )
-    _wait_port(host, port)
+    _wait_port(host, port, popen=popen, log_path=log_path)
     return StandaloneProcess(popen, f"spark://{host}:{port}", log_path)
 
 

@@ -2499,24 +2499,28 @@ def events_ab_test(spark, sf_dir):
     "dq_mad_outlier_gate",
     oracle="""
     WITH m AS (
-        SELECT QUANTILE_CONT(ROUND(o_totalprice * 100), 0.5) AS med
+        SELECT QUANTILE_CONT(
+                   CAST(ROUND(o_totalprice * 100) AS DOUBLE), 0.5) AS med
         FROM orders
     ),
     d AS (
         SELECT med,
                QUANTILE_CONT(
-                   ABS(2 * ROUND(o_totalprice * 100) - 2 * med), 0.5
+                   CAST(ABS(2 * ROUND(o_totalprice * 100) - 2 * med)
+                        AS DOUBLE), 0.5
                ) / 2 AS mad
         FROM orders CROSS JOIN m GROUP BY med
     )
     SELECT o_orderkey, o_totalprice,
            CASE WHEN mad > 0
                 THEN ROUND(
-                    0.6745 * (ROUND(o_totalprice * 100) - med) / mad, 4)
+                    0.6745 * (CAST(ROUND(o_totalprice * 100) AS DOUBLE)
+                              - med) / mad, 4)
            END AS robust_z,
            CASE WHEN mad > 0
                 THEN ABS(ROUND(
-                    0.6745 * (ROUND(o_totalprice * 100) - med) / mad, 4))
+                    0.6745 * (CAST(ROUND(o_totalprice * 100) AS DOUBLE)
+                              - med) / mad, 4))
                      > 1.23456
            END AS is_outlier
     FROM orders CROSS JOIN d

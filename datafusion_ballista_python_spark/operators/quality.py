@@ -1702,8 +1702,22 @@ def fairness_report(
         ref = rated.where(F.col("grp") == F.lit(reference_group))
         # loud-invariant policy (the two_proportion_ztest precedent): a
         # typo'd reference group must FAIL the audit, not vanish it —
-        # the crossJoin against an empty ref would drop every group
-        if ref.limit(1).count() == 0:
+        # the crossJoin against an empty ref would drop every group.
+        # Validate against the RAW scan (equality predicate pushes to the
+        # source, limit 1 short-circuits), not the rated frame: probing
+        # rated would execute the full groupBy aggregation once here and
+        # again in the returned plan
+        probe = (
+            df.where(
+                F.col(group_col).isNotNull()
+                & a.isNotNull()
+                & p.isNotNull()
+                & (F.col(group_col) == F.lit(reference_group))
+            )
+            .limit(1)
+            .count()
+        )
+        if probe == 0:
             raise ValueError(
                 f"fairness_report: reference_group {reference_group!r} "
                 f"matches no value of {group_col!r}"
@@ -1859,9 +1873,13 @@ def mad_outlier_gate(
     """
     x = F.col(value_col)
     g = 10 ** grid_digits
-    # integer-valued doubles: exact up to 2^52, so every later step that
-    # matters (percentile interpolation, subtraction, doubling) is exact
-    iv = f"round({value_col} * {g})"
+    # integer-valued DOUBLES: exact up to 2^52, so every later step that
+    # matters (percentile interpolation, subtraction, doubling) is exact.
+    # The cast is load-bearing for DECIMAL-typed inputs: a percentile
+    # over a DECIMAL grid stays DECIMAL in DuckDB (QUANTILE_CONT returns
+    # DECIMAL(18,0) and TRUNCATES the int+0.5 midpoint), so the oracle
+    # convention is CAST(ROUND(x * g) AS DOUBLE) on both sides
+    iv = f"cast(round({value_col} * {g}) as double)"
     med = df.agg(F.expr(f"percentile({iv}, 0.5)").alias("__med"))
     dev = df.crossJoin(F.broadcast(med))
     # 2*iv - 2*med is an exact INTEGER (med is int or int+0.5), so the

@@ -10,9 +10,10 @@ percentiles.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.vacuity_audit import comparison_literals, oracle_static_flags
 
@@ -71,3 +72,44 @@ def test_corpus_has_no_ungridded_chains():
         f"oracles chaining ungridded interpolated percentiles: {bad} — "
         "harden to the integer-grid convention (dq_mad_outlier_gate, r9)"
     )
+
+
+def test_round_wrapped_chain_flagged():
+    # the r8 fragile oracle's ACTUAL spelling: the percentile is wrapped
+    # in ROUND(..., 6), so the alias follows ROUND's paren, not the
+    # percentile's — the detector must still bind it (r9 review finding)
+    syn = (
+        "WITH m AS (SELECT ROUND(QUANTILE_CONT(x, 0.5), 6) AS med FROM t) "
+        "SELECT ROUND(QUANTILE_CONT(ABS(x - med), 0.5), 6) AS mad "
+        "FROM t CROSS JOIN m"
+    )
+    assert oracle_static_flags(syn) == ["CHAINED_PERCENTILES:med"]
+
+
+def test_decimal_grid_round_does_not_exempt():
+    # ROUND(x, 6) is a DECIMAL grid — its interpolated midpoints hit the
+    # x.xx5 trap — so it must NOT pass for the integer-grid convention
+    syn = (
+        "SELECT QUANTILE_CONT(ROUND(x, 6), 0.5) AS med, "
+        "QUANTILE_CONT(ROUND(ABS(x - med), 6), 0.5) AS mad FROM t"
+    )
+    assert oracle_static_flags(syn) == ["CHAINED_PERCENTILES:med"]
+
+
+def test_cast_words_do_not_steal_alias():
+    syn = (
+        "WITH m AS (SELECT CAST(QUANTILE_CONT(x, 0.5) AS DOUBLE) AS med "
+        "FROM t) SELECT QUANTILE_CONT(ABS(x - med), 0.5) "
+        "FROM t CROSS JOIN m"
+    )
+    assert oracle_static_flags(syn) == ["CHAINED_PERCENTILES:med"]
+
+
+def test_unaliased_percentile_next_to_aliased_column():
+    # the alias bridge must stop at a fresh expression: 'y AS b' belongs
+    # to the SELECT list, not to the percentile
+    syn = (
+        "SELECT QUANTILE_CONT(x, 0.5), y AS b FROM t "
+        "UNION ALL SELECT QUANTILE_CONT(b, 0.5), 1 FROM t"
+    )
+    assert oracle_static_flags(syn) == []

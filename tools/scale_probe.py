@@ -57,7 +57,18 @@ def main() -> int:
     # probe a subset without re-timing already-recorded ops (the r8
     # artifacts stay the record for theirs): comma-separated names
     only = os.environ.get("SPARK_GRAFT_PROBE_OPS")
-    ops = [o for o in OPS if o in set(only.split(","))] if only else OPS
+    if only:
+        wanted = {o for o in (s.strip() for s in only.split(",")) if o}
+        unknown = sorted(wanted - set(OPS))
+        if unknown:
+            # a typo must not produce an empty probe that exits 0 and
+            # reads as a refreshed scaling record
+            raise SystemExit(
+                f"ERROR: unknown probe op(s) {unknown}; known: {OPS}"
+            )
+        ops = [o for o in OPS if o in wanted]
+    else:
+        ops = OPS
 
     from pyspark.sql import SparkSession
 

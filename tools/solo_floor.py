@@ -26,23 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def calibrate() -> float:
-    """BIT-IDENTICAL to bench.py's probe (min-of-5 of 6 matmul+sum) so
-    floor-run calib values compare directly against recorded BENCH
-    artifacts and the r8 unloaded-host reference of 0.010-0.011 s."""
-    import numpy as np
-
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((512, 512))
-    b = rng.standard_normal((512, 512))
-    best = None
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(6):
-            (a @ b).sum()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    return round(best, 3)
+# THE bench probe, imported (not copied) so floor-run calib values stay
+# structurally comparable with recorded BENCH artifacts and the r8
+# unloaded-host reference of 0.010-0.011 s
+from bench import calibrate  # noqa: E402
 
 
 def floor_one(name: str, sf_dir: str, cpus: str, repeats: int) -> dict:

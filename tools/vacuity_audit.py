@@ -76,10 +76,7 @@ def oracle_static_flags(oracle: str | None) -> list[str]:
                 depth -= 1
             i += 1
         arg = oracle[m.end() : i - 1]
-        am = re.match(
-            r"\s*(?:[-+*/]\s*[\d.]+\s*)?AS\s+(\w+)", oracle[i:], re.I
-        )
-        calls.append((arg, am.group(1) if am else None))
+        calls.append((arg, _trailing_alias(oracle[i:])))
     if len(calls) < 2:
         return []
     flags = set()
@@ -90,12 +87,59 @@ def oracle_static_flags(oracle: str | None) -> list[str]:
                 and arg is not other_arg
                 and re.search(rf"\b{re.escape(alias)}\b", arg)
                 and not (
-                    "ROUND(" in arg.upper()
-                    and "ROUND(" in other_arg.upper()
+                    _has_integer_grid_round(arg)
+                    and _has_integer_grid_round(other_arg)
                 )
             ):
                 flags.add(f"CHAINED_PERCENTILES:{alias}")
     return sorted(flags)
+
+
+_SQL_TYPE_WORDS = {
+    "DOUBLE", "FLOAT", "REAL", "BIGINT", "INT", "INTEGER", "SMALLINT",
+    "DECIMAL", "NUMERIC", "VARCHAR", "TEXT", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def _trailing_alias(tail: str) -> str | None:
+    """The output alias of a percentile EXPRESSION, even when the call is
+    wrapped (``ROUND(QUANTILE_CONT(x, 0.5), 6) AS med`` — the r8 fragile
+    oracle's actual spelling, which an after-the-paren match misses):
+    bridge forward over closers/digits/operators only — a letter means a
+    NEW expression started, so stop — and skip ``AS <type>`` cast words."""
+    pos = 0
+    while True:
+        m = re.match(r"[\s)\d,.*/+-]{0,40}AS\s+(\w+)", tail[pos:], re.I)
+        if not m:
+            return None
+        if m.group(1).upper() in _SQL_TYPE_WORDS:
+            pos += m.end()
+            continue
+        return m.group(1)
+
+
+def _has_integer_grid_round(arg: str) -> bool:
+    """True iff the percentile argument contains a SINGLE-argument
+    ROUND(...) — the integer-grid convention.  Two-argument
+    ``ROUND(x, 6)`` rounds to a DECIMAL grid whose interpolated
+    midpoints are NOT exactly representable (the x.xx5 trap), so it must
+    not exempt a chain."""
+    up = arg.upper()
+    for m in re.finditer(r"\bROUND\s*\(", up):
+        depth, i = 1, m.end()
+        top_comma = False
+        while i < len(up) and depth:
+            c = up[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                top_comma = True
+            i += 1
+        if not top_comma:
+            return True
+    return False
 
 
 def comparison_literals(oracle: str | None) -> list[float]:
