@@ -2515,7 +2515,7 @@ def events_ab_test(spark, sf_dir):
            CASE WHEN mad > 0
                 THEN ROUND(
                     0.6745 * (CAST(ROUND(o_totalprice * 100) AS DOUBLE)
-                              - med) / mad, 4)
+                              - med) / mad, 4) + 0
            END AS robust_z,
            CASE WHEN mad > 0
                 THEN ABS(ROUND(
@@ -2537,17 +2537,25 @@ def dq_mad_outlier_gate(spark, sf_dir):
     property of the DATA, not the operator (contract tests pin the
     3.5 behavior on heavy-tailed input).  r9 hardening after the r8
     driver hash miss: both percentiles run on the exact CENTS grid
-    (integer-valued doubles — interpolation is exact under either
-    engine's formula, killing the 1-ulp ``x.xx5`` midpoint trap), and
-    the gate k = 1.23456 is unreachable by a 4-digit-rounded z, so no
-    row can sit on the boundary at any SF.  The score is one fixed IEEE
-    sequence rounded at 4; the modified z is scale-invariant, so the
-    cents-grid score equals the dollars score."""
+    (``grid_digits=2``, an explicit opt-in since r10 — o_totalprice IS
+    cents-grained, so the grid is lossless here; integer-valued doubles'
+    interpolation is exact under either engine's formula, killing the
+    1-ulp ``x.xx5`` midpoint trap), and the gate k = 1.23456 is
+    unreachable by a 4-digit-rounded z, so no row can sit on the
+    boundary at any SF.  The score is one fixed IEEE sequence rounded
+    at 4; the modified z is scale-invariant, so the cents-grid score
+    equals the dollars score.  r10 fix of the ACTUAL r7-r9 red-streak
+    bug (signed zero): 3 sf0.01 rows (o_orderkey 429, 8966, 9971)
+    round to zero from the negative side — DuckDB's ROUND preserves
+    the IEEE sign bit (-0.0), Spark's HALF_UP emits +0.0, and the
+    driver hash is bit-sensitive where ``==`` is not.  Both sides now
+    fold the zero: ``+ 0`` in the oracle, ``+ F.lit(0.0)`` in the
+    operator."""
     from ..operators import quality as q
 
     orders = load(spark, sf_dir, "orders")["orders"]
     return q.mad_outlier_gate(
-        orders, "o_totalprice", "o_orderkey", k=1.23456
+        orders, "o_totalprice", "o_orderkey", k=1.23456, grid_digits=2
     ).orderBy("o_orderkey")
 
 

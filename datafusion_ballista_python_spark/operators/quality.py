@@ -1834,7 +1834,7 @@ def mad_outlier_gate(
     id_col: str,
     k: float = 3.5,
     round_digits: int = 4,
-    grid_digits: int = 2,
+    grid_digits: int | None = None,
 ) -> DataFrame:
     """Robust outlier gate via the modified z-score (Iglewicz & Hoaglin
     1993): ``0.6745 * (x - median) / MAD`` with MAD the median absolute
@@ -1851,8 +1851,9 @@ def mad_outlier_gate(
     raw doubles is engine-version-fragile — the interpolation formula
     ``(a+b)/2`` vs ``a + 0.5*(b-a)`` can differ by 1 ulp, and a midpoint
     of two odd-cent values lands on a non-representable ``x.xx5`` that
-    then ROUNDs differently across engines.  So both percentiles run on
-    the EXACTLY-REPRESENTABLE integer grid ``round(x * 10^grid_digits)``
+    then ROUNDs differently across engines.  Passing ``grid_digits``
+    opts into the hardened mode: both percentiles run on the
+    EXACTLY-REPRESENTABLE integer grid ``round(x * 10^grid_digits)``
     (grid_digits=2 = money cents): the median of integers is an integer
     or integer + 0.5 (exact under EITHER interpolation formula), the
     deviations are doubled back to integers before the second
@@ -1863,7 +1864,18 @@ def mad_outlier_gate(
     snapped to the grid — inputs with more than ``grid_digits`` decimals
     are gated on their rounded representative (documented approximation;
     widen ``grid_digits`` while ``|x| * 10^grid_digits`` stays below
-    2^52 for exactness).
+    2^52 for exactness).  The default ``grid_digits=None`` computes on
+    the raw values exactly as given (r9 advisor finding: a silent cents
+    grid zeroes the MAD of sub-cent-dispersion columns such as
+    probabilities — the grid must be an explicit, scale-checked opt-in).
+
+    Signed zero (the r9 root cause): a z that rounds to zero from the
+    negative side is IEEE ``-0.0``; engines disagree on whether ROUND
+    preserves the sign bit (DuckDB does, Spark's HALF_UP does not), and
+    a bit-level hash distinguishes ``-0.0`` from ``+0.0`` even though
+    ``==`` does not.  The score is therefore folded through ``+ 0.0``
+    (IEEE: ``-0.0 + 0.0 = +0.0``; every non-zero value is unchanged) —
+    the same convention as :func:`~..similarity.embed_covariance`.
 
     Scale: two aggregate passes (median, then MAD of deviations against
     the 1-row broadcast median) + a map-side projection.  Exact
@@ -1872,14 +1884,18 @@ def mad_outlier_gate(
     as the curriculum buckets' approx mode).
     """
     x = F.col(value_col)
-    g = 10 ** grid_digits
-    # integer-valued DOUBLES: exact up to 2^52, so every later step that
-    # matters (percentile interpolation, subtraction, doubling) is exact.
-    # The cast is load-bearing for DECIMAL-typed inputs: a percentile
-    # over a DECIMAL grid stays DECIMAL in DuckDB (QUANTILE_CONT returns
-    # DECIMAL(18,0) and TRUNCATES the int+0.5 midpoint), so the oracle
-    # convention is CAST(ROUND(x * g) AS DOUBLE) on both sides
-    iv = f"cast(round({value_col} * {g}) as double)"
+    if grid_digits is None:
+        iv = f"cast({value_col} as double)"
+    else:
+        g = 10 ** grid_digits
+        # integer-valued DOUBLES: exact up to 2^52, so every later step
+        # that matters (percentile interpolation, subtraction, doubling)
+        # is exact.  The cast is load-bearing for DECIMAL-typed inputs: a
+        # percentile over a DECIMAL grid stays DECIMAL in DuckDB
+        # (QUANTILE_CONT returns DECIMAL(18,0) and TRUNCATES the int+0.5
+        # midpoint), so the oracle convention is
+        # CAST(ROUND(x * g) AS DOUBLE) on both sides
+        iv = f"cast(round({value_col} * {g}) as double)"
     med = df.agg(F.expr(f"percentile({iv}, 0.5)").alias("__med"))
     dev = df.crossJoin(F.broadcast(med))
     # 2*iv - 2*med is an exact INTEGER (med is int or int+0.5), so the
@@ -1892,11 +1908,16 @@ def mad_outlier_gate(
         ).alias("__mad"),
     )
     scored = df.crossJoin(F.broadcast(mad))
-    z = F.round(
-        F.lit(0.6745)
-        * (F.expr(iv) - F.col("__med"))
-        / F.col("__mad"),
-        round_digits,
+    # + 0.0 folds IEEE -0.0 (a z rounding to zero from below) to +0.0 so
+    # the bit pattern matches across engines; non-zero values unchanged
+    z = (
+        F.round(
+            F.lit(0.6745)
+            * (F.expr(iv) - F.col("__med"))
+            / F.col("__mad"),
+            round_digits,
+        )
+        + F.lit(0.0)
     )
     return scored.select(
         F.col(id_col),

@@ -117,6 +117,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
             if mism.any():
                 i = mism.idxmax()
                 return False, f"float col {c} differs at row {i}: {a[i]!r} vs {b[i]!r} (exact compare)"
+            # Sign-bit strictness (r9 verdict task #2): the driver's value
+            # hash is bit-level, so -0.0 vs +0.0 mismatches there while
+            # IEEE `==` calls them equal — the blindness that let the
+            # dq_mad_outlier_gate red streak replay MATCH locally for two
+            # rounds.  Compare sign bits wherever both values are non-NaN.
+            import numpy as np
+
+            av, bv = a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
+            ok_rows = ~(np.isnan(av) | np.isnan(bv))
+            sb = ok_rows & (np.signbit(av) != np.signbit(bv))
+            if sb.any():
+                i = int(np.argmax(sb))
+                return False, (
+                    f"float col {c} sign-bit differs at row {i}: "
+                    f"{av[i]!r} vs {bv[i]!r} — driver hash would diverge"
+                )
         else:
             eq = (a == b) | (a.isna() & b.isna()) if hasattr(a, "isna") else (a == b)
             if not eq.all():

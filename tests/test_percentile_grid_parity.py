@@ -14,7 +14,7 @@ the general case.)
 from __future__ import annotations
 
 import duckdb
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 # magnitudes up to 1e12: covers cents grids of billion-scale money
@@ -25,16 +25,22 @@ ints = st.lists(
 
 
 def _spark_percentile(spark, vals, q):
+    # CAST to DOUBLE mirrors the shipped convention (quality.py's grid is
+    # cast(round(x*g) as double)) AND keeps later arithmetic in IEEE
+    # space — on raw int literals `2 * x` is an INT multiply that
+    # overflows under ANSI mode (r9 verdict task #4: vals=[2^30]).
     arr = ",".join(str(v) for v in vals)
     return spark.sql(
-        f"SELECT percentile(x, {q}) FROM (SELECT explode(array({arr})) AS x)"
+        f"SELECT percentile(x, {q}) FROM (SELECT cast(i as double) AS x "
+        f"FROM (SELECT explode(array({arr})) AS i))"
     ).collect()[0][0]
 
 
 def _duck_percentile(vals, q):
     arr = ",".join(str(v) for v in vals)
     return duckdb.sql(
-        f"SELECT QUANTILE_CONT(x, {q}) FROM (SELECT UNNEST([{arr}]) AS x)"
+        f"SELECT QUANTILE_CONT(x, {q}) FROM "
+        f"(SELECT CAST(UNNEST([{arr}]) AS DOUBLE) AS x)"
     ).fetchone()[0]
 
 
@@ -44,6 +50,7 @@ def _duck_percentile(vals, q):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(vals=ints)
+@example(vals=[1073741824])  # r9 verdict's ANSI-overflow falsifier, pinned
 def test_median_bit_equal_on_integer_grid(spark, vals):
     s = _spark_percentile(spark, vals, 0.5)
     d = _duck_percentile(vals, 0.5)
@@ -56,18 +63,24 @@ def test_median_bit_equal_on_integer_grid(spark, vals):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(vals=ints)
+@example(vals=[1073741824])  # r9 verdict's ANSI-overflow falsifier, pinned
 def test_gridded_mad_chain_bit_equal(spark, vals):
     # the exact shipped chain: med on the grid, deviations doubled back
-    # to integers, second percentile halved -> quarter-grid-exact MAD
+    # to integers, second percentile halved -> quarter-grid-exact MAD.
+    # x is CAST to DOUBLE in both engines — that IS the shipped
+    # convention (quality.py grids via cast(round(x*g) as double)), and
+    # without it `2 * x` is an INT multiply that overflows under ANSI
+    # for x in [2^30, 2^31) (r9 verdict task #4, example [1073741824]).
     arr = ",".join(str(v) for v in vals)
     s = spark.sql(
-        f"""WITH t AS (SELECT explode(array({arr})) AS x),
+        f"""WITH t AS (SELECT cast(i as double) AS x
+                       FROM (SELECT explode(array({arr})) AS i)),
         m AS (SELECT percentile(x, 0.5) AS med FROM t)
         SELECT percentile(abs(2 * x - 2 * med), 0.5) / 2 AS mad
         FROM t CROSS JOIN m"""
     ).collect()[0][0]
     d = duckdb.sql(
-        f"""WITH t AS (SELECT UNNEST([{arr}]) AS x),
+        f"""WITH t AS (SELECT CAST(UNNEST([{arr}]) AS DOUBLE) AS x),
         m AS (SELECT QUANTILE_CONT(x, 0.5) AS med FROM t)
         SELECT QUANTILE_CONT(ABS(2 * x - 2 * med), 0.5) / 2 AS mad
         FROM t CROSS JOIN m"""
