@@ -80,12 +80,43 @@ _MANUAL_CHANGED: list[tuple[str, int]] = [
 # rest tier already leads with these, but a fresh-entry flood can push
 # the whole rest tier out of the 50-slot sample (it did in r8 — 36 fresh
 # + 1 changed + 13 stale = 50).  Pinning makes the re-certification of
-# the last round-1-only entries flood-proof.  Self-clearing like
+# the stalest certificate tier flood-proof.  Self-clearing like
 # _MANUAL_CHANGED: (name, certified_by_round).
+# r10: the r9 window pins self-cleared (all three green in r9); the new
+# stale floor is the 31-entry ROUND-4 tier (r9 verdict task #6) — pin it
+# so the post-r10 oldest certificate is >= r5.
 _PINNED: list[tuple[str, int]] = [
-    ("window_rank", 9),
-    ("window_running_sum", 9),
-    ("window_lag_lead", 9),
+    ("train_split_assign", 10),
+    ("dq_psi_drift", 10),
+    ("window_distribution", 10),
+    ("window_first_last", 10),
+    ("sort_limit_topk", 10),
+    ("sort_nulls_ordering", 10),
+    ("set_union_all", 10),
+    ("set_intersect", 10),
+    ("set_except", 10),
+    ("subquery_in", 10),
+    ("subquery_scalar", 10),
+    ("subquery_correlated", 10),
+    ("cte_query", 10),
+    ("case_coalesce", 10),
+    ("cast_types", 10),
+    ("in_list_filter", 10),
+    ("distinct_projection", 10),
+    ("agg_approx_distinct", 10),
+    ("udaf_geomean", 10),
+    ("q4_order_priority", 10),
+    ("q10_returned_revenue", 10),
+    ("q12_shipmode_priority", 10),
+    ("q14_promo_revenue", 10),
+    ("fn_string_basic", 10),
+    ("fn_concat_null_semantics", 10),
+    ("fn_hash", 10),
+    ("fn_datetime", 10),
+    ("fn_date_bin_events", 10),
+    ("fn_timestamp_convert", 10),
+    ("fn_json_extract", 10),
+    ("stream_window_counts", 10),
 ]
 
 
@@ -124,8 +155,11 @@ def _rotated(reg: dict) -> list[str]:
     manual = {
         n for n, rnd in _MANUAL_CHANGED if last_round.get(n, 0) < rnd
     }
+    # a pinned entry with NO driver history belongs to the fresh tier
+    # only (r9 advisor: an unseen name in both tiers duplicates it in
+    # the rotation list) — restrict the pinned tier to seen entries
     pinned_set = {
-        n for n, rnd in _PINNED if last_round.get(n, 0) < rnd
+        n for n, rnd in _PINNED if n in seen and last_round.get(n, 0) < rnd
     }
     names = list(reg)
     refail = [n for n in names if n in failed]

@@ -47,8 +47,18 @@ class Scheduler:
     def master_url(self) -> str:
         """The Spark master this 'scheduler' corresponds to: the real
         ``spark://`` URL once ``start()`` has launched the Master
-        process, else the local-mode shim."""
+        process, else the local-mode shim.  A launched Master that has
+        DIED raises instead of handing out its dead port (r9 advisor:
+        ``session()`` after a master crash would attach to nothing and
+        hang in app-submission retries)."""
         if self._process is not None and self._process.url:
+            if self._process.popen.poll() is not None:
+                raise RuntimeError(
+                    "the launched Master process exited with code "
+                    f"{self._process.popen.returncode}; see "
+                    f"{self._process.log_path} — call stop() then "
+                    "start() to relaunch"
+                )
             return self._process.url
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         return f"local[{cpus}]"
@@ -246,10 +256,15 @@ def _launch(cls: str, args: list[str], log_name: str) -> "tuple":
     env = dict(os.environ)
     # keep daemons lean; they only coordinate, executors do the work
     env.setdefault("SPARK_DAEMON_MEMORY", "1g")
-    popen = subprocess.Popen(
-        [spark_class, cls, *args], stdout=log, stderr=subprocess.STDOUT,
-        env=env,
-    )
+    try:
+        popen = subprocess.Popen(
+            [spark_class, cls, *args], stdout=log, stderr=subprocess.STDOUT,
+            env=env,
+        )
+    finally:
+        # the child holds its own inherited fd; keeping the parent's copy
+        # open leaks one fd per launch (r9 advisor)
+        log.close()
     return popen, log_path
 
 

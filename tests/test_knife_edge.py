@@ -113,3 +113,64 @@ def test_unaliased_percentile_next_to_aliased_column():
         "UNION ALL SELECT QUANTILE_CONT(b, 0.5), 1 FROM t"
     )
     assert oracle_static_flags(syn) == []
+
+
+def test_comparison_gates_scoping():
+    """r9 advisor fix: a gate literal compared against a BARE identifier
+    is scoped to that column; an expression side stays unscoped."""
+    from tools.vacuity_audit import comparison_gates
+
+    sql = (
+        "SELECT CASE WHEN ABS(z) > 1.2 THEN 1 END, x < 0.85, "
+        "y >= 3.5, 2.75 <= w, n > 10 FROM t"
+    )
+    assert comparison_gates(sql) == [
+        (0.85, "x"),
+        (1.2, None),   # ABS(z) is an expression — no single column name
+        (2.75, "w"),
+        (3.5, "y"),
+    ]
+    # a literal that is scoped ANYWHERE drops its unscoped entry
+    assert comparison_gates("SELECT a > 0.5, ABS(b) > 0.5 FROM t") == [
+        (0.5, "a")
+    ]
+    # identifier followed by ( is a function call, not a column
+    assert comparison_gates("SELECT 0.5 < abs(v) FROM t") == [(0.5, None)]
+    assert comparison_gates(None) == []
+
+
+def test_comparison_literals_back_compat():
+    from tools.vacuity_audit import comparison_literals
+
+    sql = "SELECT ABS(z) > 1.2, x < 0.85, x <= 1.2 FROM t"
+    assert comparison_literals(sql) == [0.85, 1.2]
+
+
+def test_neg_zero_detector_fires(spark, sf_dir, monkeypatch):
+    """The dynamic NEG_ZERO flag (r9 verdict task #3): a float column
+    containing IEEE -0.0 must be flagged by the audit pass, and the
+    folded (+0.0) variant must not.  Runs the real audit() against a
+    two-entry synthetic registry on the existing Spark session."""
+    import tools.vacuity_audit as va
+
+    class _Spec:
+        oracle = None
+
+        def __init__(self, vals):
+            self._vals = vals
+
+        def fn(self, spark_, _sf):
+            return spark_.createDataFrame(
+                [(float(v),) for v in self._vals], "z double"
+            )
+
+    fake = {"with_neg_zero": _Spec([-0.0, 1.0]), "folded": _Spec([0.0, 1.0])}
+    monkeypatch.setattr(
+        "datafusion_ballista_python_spark.corpus.load_all", lambda: fake
+    )
+
+    # audit() builds its own session via getOrCreate() — with the test
+    # session live it reuses it, so this is cheap
+    report = va.audit(sf_dir)
+    assert "NEG_ZERO:z" in report["with_neg_zero"]["flags"]
+    assert "NEG_ZERO:z" not in report["folded"]["flags"]

@@ -151,6 +151,12 @@ def test_multi_sf_audit_report_is_current_and_clean():
                 if fl == "EMPTY_RESULT"
                 or fl.startswith("ALL_NULL:")
                 or fl.startswith("ERROR:")
+                # corpus-wide zero-negative-zero invariant (r9 verdict
+                # task #3): no hashed float column may contain -0.0 —
+                # engines disagree on ROUND sign preservation, and the
+                # driver hash is bit-sensitive where == is not.  Fold
+                # with + F.lit(0.0) (operator) / + 0 (oracle).
+                or fl.startswith("NEG_ZERO:")
             ]
             if sf == "sf0.001" and name in EMPTY_OK_AT_SF0001:
                 bad = [fl for fl in bad if fl != "EMPTY_RESULT"]

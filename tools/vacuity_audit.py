@@ -11,6 +11,9 @@ mechanically hunts that class across all entries:
   - boolean columns that are constant (a flag arm never exercised)
   - string columns that are entirely empty
   - numeric columns that are constant zero
+  - float columns containing IEEE -0.0 (NEG_ZERO — bit-divergent under
+    the driver's value hash while ==-equal; the r7-r9 dq_mad_outlier_gate
+    red streak's actual cause.  Fold with `+ F.lit(0.0)` / `+ 0`.)
 
 Findings are a report, not failures: some shapes are legitimately constant
 (1-row aggregates, an `exact` flag on a lossless sketch).  Inspect, then
@@ -145,12 +148,42 @@ def _has_integer_grid_round(arg: str) -> bool:
 def comparison_literals(oracle: str | None) -> list[float]:
     """Non-integer literals used in a comparison in the oracle SQL —
     the candidate gate values for the boundary-proximity check."""
+    return sorted({lit for lit, _ in comparison_gates(oracle)})
+
+
+# a BARE identifier adjacent to the comparison operator scopes the gate
+# to that column (r9 advisor: the unscoped cross-product fires flags on
+# unrelated column/literal pairs and inflates the allowlist).  An
+# expression side (`ABS(z) > lit`, `a/b < lit`) stays unscoped — the
+# gated quantity has no single column name.
+_CMP_SCOPED_L = re.compile(r"([A-Za-z_]\w*)\s*[<>]=?\s*(-?\d+\.\d+)\b")
+_CMP_SCOPED_R = re.compile(r"(-?\d+\.\d+)\s*[<>]=?\s*([A-Za-z_]\w*)\b(?!\s*\()")
+
+
+def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
+    """Comparison gate literals with their scoping column where the SQL
+    names one: ``(literal, column | None)`` pairs, deduplicated.  A
+    literal compared against a bare identifier anywhere is scoped to
+    that identifier; a literal that ONLY ever appears against expression
+    sides stays unscoped (checked against every float column, the
+    pre-r10 behavior)."""
     if not oracle:
         return []
-    lits = set()
+    scoped: dict[float, set[str]] = {}
+    unscoped: set[float] = set()
+    for m in _CMP_SCOPED_L.finditer(oracle):
+        scoped.setdefault(float(m.group(2)), set()).add(m.group(1))
+    for m in _CMP_SCOPED_R.finditer(oracle):
+        scoped.setdefault(float(m.group(1)), set()).add(m.group(2))
     for a, b in _CMP_LIT_RE.findall(oracle):
-        lits.add(float(a or b))
-    return sorted(lits)
+        lit = float(a or b)
+        if lit not in scoped:
+            unscoped.add(lit)
+    gates: list[tuple[float, str | None]] = []
+    for lit, cols in scoped.items():
+        gates.extend((lit, c) for c in sorted(cols))
+    gates.extend((lit, None) for lit in sorted(unscoped))
+    return sorted(gates, key=lambda p: (p[0], p[1] or ""))
 
 
 def audit(sf_dir: str, only: list[str] | None = None) -> dict:
@@ -179,7 +212,7 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
         spec = registry[name]
         entry: dict = {"rows": None, "flags": []}
         entry["flags"] += oracle_static_flags(getattr(spec, "oracle", None))
-        gate_lits = comparison_literals(getattr(spec, "oracle", None))
+        gate_pairs = comparison_gates(getattr(spec, "oracle", None))
         try:
             df = spec.fn(spark, sf_dir)
             # one aggregate pass computes rowcount + per-column degeneracy
@@ -191,8 +224,12 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
                     # boundary proximity: min distance of the column (and
                     # its |abs|, for |z|-style gates) to each comparison
                     # literal in the oracle — a row AT a gate value flips
-                    # across engines on any 1-ulp upstream divergence
-                    for i, lit in enumerate(gate_lits):
+                    # across engines on any 1-ulp upstream divergence.
+                    # A gate the oracle scopes to a named column is only
+                    # checked against that column (r9 advisor fix).
+                    for i, (lit, scol) in enumerate(gate_pairs):
+                        if scol is not None and scol.lower() != f.name.lower():
+                            continue
                         aggs.append(
                             F.min(
                                 F.least(
@@ -201,6 +238,18 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
                                 )
                             ).alias(f"ke::{f.name}::{i}")
                         )
+                    # signed-zero detector (r9 verdict task #3): a -0.0 in
+                    # a hashed float column is the class the == compare is
+                    # blind to.  Double-to-string preserves the sign bit
+                    # ("-0.0") and, unlike the 1/x == -Inf trick, survives
+                    # ANSI mode's divide-by-zero error
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                c.cast("string") == "-0.0", 1
+                            ).otherwise(0)
+                        ).alias(f"nz::{f.name}")
+                    )
                 if isinstance(f.dataType, T.BooleanType):
                     aggs.append(
                         F.count_distinct(c).alias(f"bd::{f.name}")
@@ -228,12 +277,16 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
                     kind, col = k.split("::", 1)
                     if kind == "ke":
                         col, idx = col.rsplit("::", 1)
-                        lit = gate_lits[int(idx)]
+                        lit = gate_pairs[int(idx)][0]
                         tol = max(1e-12, abs(lit) * 1e-9)
                         if v is not None and v < tol:
                             entry["flags"].append(
                                 f"KNIFE_EDGE:{col}@{lit}"
                             )
+                        continue
+                    if kind == "nz":
+                        if v:
+                            entry["flags"].append(f"NEG_ZERO:{col}")
                         continue
                     if kind == "nn" and v == 0:
                         entry["flags"].append(f"ALL_NULL:{col}")
