@@ -138,7 +138,26 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
             if not eq.all():
                 i = (~eq).idxmax()
                 return False, f"col {c} differs at row {i}: {a[i]!r} vs {b[i]!r}"
+            # sign bits inside NESTED values (array<double> columns arrive
+            # as tuples): == calls -0.0 and +0.0 equal there too
+            if a.dtype == object:
+                for i, (x, y) in enumerate(zip(a, b)):
+                    if _nested_signbit_mismatch(x, y):
+                        return False, (
+                            f"col {c} nested sign-bit differs at row {i}: "
+                            f"{x!r} vs {y!r} — driver hash would diverge"
+                        )
     return True, "ok"
+
+
+def _nested_signbit_mismatch(x, y) -> bool:
+    """True when two ==-equal values differ in a zero's sign bit anywhere
+    inside (floats, or tuples thereof — the _canon_obj shapes)."""
+    if isinstance(x, tuple) and isinstance(y, tuple) and len(x) == len(y):
+        return any(_nested_signbit_mismatch(p, q) for p, q in zip(x, y))
+    if isinstance(x, float) and isinstance(y, float) and x == 0.0 and y == 0.0:
+        return math.copysign(1.0, x) != math.copysign(1.0, y)
+    return False
 
 
 def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, str]:

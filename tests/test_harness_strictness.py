@@ -55,3 +55,18 @@ def test_nan_pairs_do_not_false_positive(spark):
 def test_plain_value_divergence_still_caught(spark):
     ok, msg = compare(_spark_df(spark, [1.0]), _oracle_pdf([2.0]))
     assert not ok and "differs" in msg, msg
+
+
+def test_nested_negative_zero_in_array_column_mismatches(spark):
+    # -0.0 INSIDE an array<double> column: tuple == is sign-blind too
+    sdf = spark.createDataFrame([([-0.0, 1.0],)], "v array<double>")
+    opdf = pd.DataFrame({"v": [[0.0, 1.0]]})
+    ok, msg = compare(sdf, opdf)
+    assert not ok and "nested sign-bit" in msg, msg
+
+
+def test_nested_arrays_equal_bits_match(spark):
+    sdf = spark.createDataFrame([([0.0, -1.5],)], "v array<double>")
+    opdf = pd.DataFrame({"v": [[0.0, -1.5]]})
+    ok, msg = compare(sdf, opdf)
+    assert ok, msg
