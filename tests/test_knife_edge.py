@@ -169,8 +169,45 @@ def test_neg_zero_detector_fires(spark, sf_dir, monkeypatch):
         "datafusion_ballista_python_spark.corpus.load_all", lambda: fake
     )
 
-    # audit() builds its own session via getOrCreate() — with the test
-    # session live it reuses it, so this is cheap
-    report = va.audit(sf_dir)
+    # pass the fixture session explicitly: audit() must NOT stop a
+    # borrowed session (the r10 full-suite incident — getOrCreate()
+    # handed audit() the shared fixture and audit() stopped it, failing
+    # every spark test scheduled after this file)
+    report = va.audit(sf_dir, spark=spark)
     assert "NEG_ZERO:z" in report["with_neg_zero"]["flags"]
     assert "NEG_ZERO:z" not in report["folded"]["flags"]
+    assert not spark.sparkContext._jsc.sc().isStopped(), (
+        "audit() stopped the borrowed session"
+    )
+
+
+def test_neg_zero_detector_covers_array_columns(spark, sf_dir, monkeypatch):
+    """NEG_ZERO must fire on -0.0 INSIDE array<double> values too (the
+    nested shape the harness's tuple compare is equally sign-blind to)."""
+    import tools.vacuity_audit as va
+
+    class _Spec:
+        oracle = None
+
+        def __init__(self, vals):
+            self._vals = vals
+
+        def fn(self, spark_, _sf):
+            return spark_.createDataFrame(
+                [([float(v) for v in row],) for row in self._vals],
+                "v array<double>",
+            )
+
+    fake = {
+        "arr_neg_zero": _Spec([[-0.0, 1.0], [2.0]]),
+        "arr_folded": _Spec([[0.0, 1.0]]),
+    }
+    monkeypatch.setattr(
+        "datafusion_ballista_python_spark.corpus.load_all", lambda: fake
+    )
+    report = va.audit(sf_dir, spark=spark)
+    assert "NEG_ZERO:v" in report["arr_neg_zero"]["flags"]
+    assert "NEG_ZERO:v" not in report["arr_folded"]["flags"]
+    assert not spark.sparkContext._jsc.sc().isStopped(), (
+        "audit() stopped the borrowed session"
+    )

@@ -186,7 +186,11 @@ def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
     return sorted(gates, key=lambda p: (p[0], p[1] or ""))
 
 
-def audit(sf_dir: str, only: list[str] | None = None) -> dict:
+def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
+    """Run the dynamic sweep at ``sf_dir``.  Pass an existing ``spark``
+    session to reuse it (it is NOT stopped — critical for test callers:
+    ``getOrCreate()`` hands back any live session, and stopping a
+    borrowed one kills every later test sharing the fixture)."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -194,14 +198,16 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
     from datafusion_ballista_python_spark.corpus import load_all
     from datafusion_ballista_python_spark.session import ensure_session_confs
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
-        .appName("vacuity-audit")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    owns_session = spark is None
+    if owns_session:
+        spark = (
+            SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+            .appName("vacuity-audit")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
     ensure_session_confs(spark)
 
@@ -247,6 +253,23 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
                         F.sum(
                             F.when(
                                 c.cast("string") == "-0.0", 1
+                            ).otherwise(0)
+                        ).alias(f"nz::{f.name}")
+                    )
+                if isinstance(f.dataType, T.ArrayType) and isinstance(
+                    f.dataType.elementType, (T.DoubleType, T.FloatType)
+                ):
+                    # NEG_ZERO inside array<double> values: same bit-level
+                    # hash exposure as scalar columns (tuple == is equally
+                    # sign-blind), same string-cast probe per element
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                F.exists(
+                                    c,
+                                    lambda x: x.cast("string") == "-0.0",
+                                ),
+                                1,
                             ).otherwise(0)
                         ).alias(f"nz::{f.name}")
                     )
@@ -305,7 +328,8 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict:
         except Exception as e:  # noqa: BLE001 - report, don't die
             entry["flags"].append(f"ERROR:{type(e).__name__}:{e}")
         report[name] = entry
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return report
 
 
