@@ -211,3 +211,36 @@ def test_neg_zero_detector_covers_array_columns(spark, sf_dir, monkeypatch):
     assert not spark.sparkContext._jsc.sc().isStopped(), (
         "audit() stopped the borrowed session"
     )
+
+
+def test_nan_detector_fires(spark, sf_dir, monkeypatch):
+    """HAS_NAN (r10): a NaN in a float result column — scalar or inside
+    an array — must be flagged; NULLs must NOT fire it (NULL is the
+    sanctioned missing-value encoding; NaN folds to the same pandas NaN
+    locally but hash-diverges at the driver's null bitmap)."""
+    import tools.vacuity_audit as va
+
+    class _Spec:
+        oracle = None
+
+        def __init__(self, rows, schema):
+            self._rows, self._schema = rows, schema
+
+        def fn(self, spark_, _sf):
+            return spark_.createDataFrame(self._rows, self._schema)
+
+    nan = float("nan")
+    fake = {
+        "scalar_nan": _Spec([(nan,), (1.0,)], "z double"),
+        "scalar_null": _Spec([(None,), (1.0,)], "z double"),
+        "array_nan": _Spec([([nan, 1.0],)], "v array<double>"),
+        "array_clean": _Spec([([0.5, 1.0],)], "v array<double>"),
+    }
+    monkeypatch.setattr(
+        "datafusion_ballista_python_spark.corpus.load_all", lambda: fake
+    )
+    report = va.audit(sf_dir, spark=spark)
+    assert "HAS_NAN:z" in report["scalar_nan"]["flags"]
+    assert "HAS_NAN:z" not in report["scalar_null"]["flags"]
+    assert "HAS_NAN:v" in report["array_nan"]["flags"]
+    assert "HAS_NAN:v" not in report["array_clean"]["flags"]

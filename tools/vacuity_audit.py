@@ -14,6 +14,11 @@ mechanically hunts that class across all entries:
   - float columns containing IEEE -0.0 (NEG_ZERO — bit-divergent under
     the driver's value hash while ==-equal; the r7-r9 dq_mad_outlier_gate
     red streak's actual cause.  Fold with `+ F.lit(0.0)` / `+ 0`.)
+  - float columns (or array<double> elements) containing NaN (HAS_NAN —
+    both engines' pandas conversions fold NULL and NaN to NaN, so a
+    Spark NaN against an oracle NULL replays MATCH locally while the
+    driver's null-bitmap-aware hash diverges.  The oracles emit zero
+    NaN; express missing as NULL.)
 
 Findings are a report, not failures: some shapes are legitimately constant
 (1-row aggregates, an `exact` flag on a lossless sketch).  Inspect, then
@@ -256,6 +261,18 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                             ).otherwise(0)
                         ).alias(f"nz::{f.name}")
                     )
+                    # NaN detector (r10): pandas folds NULL and NaN to the
+                    # same NaN on BOTH engines' conversion paths, so a
+                    # Spark NaN vs oracle NULL would replay MATCH locally
+                    # while the driver's null-bitmap-aware hash diverges —
+                    # the -0.0 blindness one layer up.  The corpus oracles
+                    # emit ZERO NaN (measured r10, all float outputs at
+                    # sf0.01), so any Spark-side NaN is a red flag.
+                    aggs.append(
+                        F.sum(
+                            F.when(F.isnan(c), 1).otherwise(0)
+                        ).alias(f"nan::{f.name}")
+                    )
                 if isinstance(f.dataType, T.ArrayType) and isinstance(
                     f.dataType.elementType, (T.DoubleType, T.FloatType)
                 ):
@@ -272,6 +289,13 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                                 1,
                             ).otherwise(0)
                         ).alias(f"nz::{f.name}")
+                    )
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                F.exists(c, F.isnan), 1
+                            ).otherwise(0)
+                        ).alias(f"nan::{f.name}")
                     )
                 if isinstance(f.dataType, T.BooleanType):
                     aggs.append(
@@ -310,6 +334,10 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                     if kind == "nz":
                         if v:
                             entry["flags"].append(f"NEG_ZERO:{col}")
+                        continue
+                    if kind == "nan":
+                        if v:
+                            entry["flags"].append(f"HAS_NAN:{col}")
                         continue
                     if kind == "nn" and v == 0:
                         entry["flags"].append(f"ALL_NULL:{col}")
