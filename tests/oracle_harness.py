@@ -138,25 +138,34 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
             if not eq.all():
                 i = (~eq).idxmax()
                 return False, f"col {c} differs at row {i}: {a[i]!r} vs {b[i]!r}"
-            # sign bits inside NESTED values (array<double> columns arrive
-            # as tuples): == calls -0.0 and +0.0 equal there too
-            if a.dtype == object:
-                for i, (x, y) in enumerate(zip(a, b)):
-                    if _nested_signbit_mismatch(x, y):
-                        return False, (
-                            f"col {c} nested sign-bit differs at row {i}: "
-                            f"{x!r} vs {y!r} — driver hash would diverge"
-                        )
+            # sign bits inside NESTED or MIXED-dtype values: array columns
+            # arrive as tuples, and a float64 side paired with an object
+            # side (e.g. DuckDB DECIMAL -> Decimal objects) skips the
+            # numpy branch above — the walk must run for ANY pair this
+            # branch sees, not only object-vs-object (r10 review finding)
+            for i, (x, y) in enumerate(zip(a, b)):
+                if _nested_signbit_mismatch(x, y):
+                    return False, (
+                        f"col {c} nested sign-bit differs at row {i}: "
+                        f"{x!r} vs {y!r} — driver hash would diverge"
+                    )
     return True, "ok"
 
 
 def _nested_signbit_mismatch(x, y) -> bool:
     """True when two ==-equal values differ in a zero's sign bit anywhere
-    inside (floats, or tuples thereof — the _canon_obj shapes)."""
+    inside (floats — incl. numpy float32/float64, which does NOT subclass
+    Python float — or tuples thereof, the _canon_obj shapes)."""
+    import decimal
+
+    import numpy as np
+
+    flt = (float, np.floating, decimal.Decimal)
     if isinstance(x, tuple) and isinstance(y, tuple) and len(x) == len(y):
         return any(_nested_signbit_mismatch(p, q) for p, q in zip(x, y))
-    if isinstance(x, float) and isinstance(y, float) and x == 0.0 and y == 0.0:
-        return math.copysign(1.0, x) != math.copysign(1.0, y)
+    if isinstance(x, flt) and isinstance(y, flt) and x == 0 and y == 0:
+        # float(Decimal("-0")) is -0.0, so one conversion covers all three
+        return math.copysign(1.0, float(x)) != math.copysign(1.0, float(y))
     return False
 
 

@@ -137,6 +137,23 @@ def test_comparison_gates_scoping():
     # identifier followed by ( is a function call, not a column
     assert comparison_gates("SELECT 0.5 < abs(v) FROM t") == [(0.5, None)]
     assert comparison_gates(None) == []
+    # r10 review: an identifier that merely ENDS (or BEGINS) a larger
+    # expression must NOT steal the scope — context bareness required
+    assert comparison_gates("SELECT (a + b) / c < 0.85 FROM t") == [
+        (0.85, None)
+    ]
+    assert comparison_gates("SELECT x - y > 1.2 FROM t") == [(1.2, None)]
+    assert comparison_gates("SELECT 0.5 < a + b FROM t") == [(0.5, None)]
+    # table-qualified names: 't' is not the column; stay unscoped
+    assert comparison_gates("SELECT 0.9 <= t.col FROM t") == [(0.9, None)]
+    assert comparison_gates("SELECT t.col <= 0.9 FROM t") == [(0.9, None)]
+    # keyword boundaries still scope: WHERE/WHEN/AND lead a bare column
+    assert comparison_gates("SELECT 1 FROM t WHERE acct < 0.0") == [
+        (0.0, "acct")
+    ]
+    assert comparison_gates(
+        "SELECT CASE WHEN pe < 1.0 THEN 1 END FROM t WHERE q > 0.25 AND r < 0.75"
+    ) == [(0.25, "q"), (0.75, "r"), (1.0, "pe")]
 
 
 def test_comparison_literals_back_compat():
@@ -244,3 +261,72 @@ def test_nan_detector_fires(spark, sf_dir, monkeypatch):
     assert "HAS_NAN:z" not in report["scalar_null"]["flags"]
     assert "HAS_NAN:v" in report["array_nan"]["flags"]
     assert "HAS_NAN:v" not in report["array_clean"]["flags"]
+
+
+def test_detectors_recurse_into_structs_and_nested_arrays(spark, sf_dir, monkeypatch):
+    """r10 review: the -0.0/NaN sweep must see floats inside structs,
+    array<struct<...>>, and array<array<double>> — the shapes the
+    harness compare already walks."""
+    import tools.vacuity_audit as va
+
+    nan = float("nan")
+
+    class _Spec:
+        oracle = None
+
+        def __init__(self, rows, schema):
+            self._rows, self._schema = rows, schema
+
+        def fn(self, spark_, _sf):
+            return spark_.createDataFrame(self._rows, self._schema)
+
+    fake = {
+        "struct_neg_zero": _Spec(
+            [((-0.0, "x"),)], "s struct<v: double, tag: string>"
+        ),
+        "struct_clean": _Spec(
+            [((1.5, "x"),)], "s struct<v: double, tag: string>"
+        ),
+        "arr_struct_nan": _Spec(
+            [([(nan,), (1.0,)],)], "a array<struct<v: double>>"
+        ),
+        "arr_arr_neg_zero": _Spec(
+            [([[0.5], [-0.0]],)], "a array<array<double>>"
+        ),
+        "no_floats": _Spec([("x", 1)], "s string, n long"),
+    }
+    monkeypatch.setattr(
+        "datafusion_ballista_python_spark.corpus.load_all", lambda: fake
+    )
+    report = va.audit(sf_dir, spark=spark)
+    assert "NEG_ZERO:s" in report["struct_neg_zero"]["flags"]
+    assert not [f for f in report["struct_clean"]["flags"]
+                if f.startswith(("NEG_ZERO", "HAS_NAN"))]
+    assert "HAS_NAN:a" in report["arr_struct_nan"]["flags"]
+    assert "NEG_ZERO:a" in report["arr_arr_neg_zero"]["flags"]
+    assert not [f for f in report["no_floats"]["flags"]
+                if f.startswith(("NEG_ZERO", "HAS_NAN"))]
+
+
+def test_scoped_gate_missing_from_result_falls_back_to_full_sweep(
+    spark, sf_dir, monkeypatch
+):
+    """r10 review: a gate scoped to a column that is NOT in the result
+    schema (CTE-internal name, WHERE-filter base column) must fall back
+    to the all-columns boundary sweep instead of silently dropping."""
+    import tools.vacuity_audit as va
+
+    class _Spec:
+        # 'pe' is CTE-internal; the result only has column 'kappa',
+        # which sits EXACTLY on the 1.0 gate literal
+        oracle = "WITH m AS (SELECT 1 AS pe) SELECT CASE WHEN pe < 1.0 THEN 1.0 END AS kappa FROM m"
+
+        def fn(self, spark_, _sf):
+            return spark_.createDataFrame([(1.0,)], "kappa double")
+
+    monkeypatch.setattr(
+        "datafusion_ballista_python_spark.corpus.load_all",
+        lambda: {"cte_scoped": _Spec()},
+    )
+    report = va.audit(sf_dir, spark=spark)
+    assert "KNIFE_EDGE:kappa@1.0" in report["cte_scoped"]["flags"]

@@ -159,10 +159,65 @@ def comparison_literals(oracle: str | None) -> list[float]:
 # a BARE identifier adjacent to the comparison operator scopes the gate
 # to that column (r9 advisor: the unscoped cross-product fires flags on
 # unrelated column/literal pairs and inflates the allowlist).  An
-# expression side (`ABS(z) > lit`, `a/b < lit`) stays unscoped — the
-# gated quantity has no single column name.
+# expression side (`ABS(z) > lit`, `a/b < lit`, `x - y > lit`) stays
+# unscoped — the gated quantity has no single column name.  Bareness is
+# checked by CONTEXT, not just the token (r10 review: the naive regex
+# scoped `(a + b) / c < lit` to `c`): the identifier/literal must begin
+# and end its expression — bounded by commas, parens, keywords, or the
+# string ends — or the gate stays unscoped.
 _CMP_SCOPED_L = re.compile(r"([A-Za-z_]\w*)\s*[<>]=?\s*(-?\d+\.\d+)\b")
-_CMP_SCOPED_R = re.compile(r"(-?\d+\.\d+)\s*[<>]=?\s*([A-Za-z_]\w*)\b(?!\s*\()")
+_CMP_SCOPED_R = re.compile(r"(-?\d+\.\d+)\s*[<>]=?\s*([A-Za-z_]\w*)\b")
+
+_KEYWORDS_BEFORE = {
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "ON",
+    "HAVING", "BY", "CASE", "IF", "NOT",
+}
+_KEYWORDS_AFTER = {
+    "AND", "OR", "THEN", "ELSE", "END", "ASC", "DESC", "IS", "FROM", "AS",
+}
+
+
+def _bare_left(oracle: str, pos: int) -> bool:
+    """True when the token starting at ``pos`` BEGINS its expression:
+    preceded (ignoring whitespace) by nothing, a comma, an opening
+    paren, or a clause keyword — not by an operator, a dot, or a
+    closing paren (all of which mean a larger expression's tail)."""
+    j = pos - 1
+    while j >= 0 and oracle[j].isspace():
+        j -= 1
+    if j < 0:
+        return True
+    ch = oracle[j]
+    if ch in ",(":
+        return True
+    if ch.isalnum() or ch == "_":
+        k = j
+        while k >= 0 and (oracle[k].isalnum() or oracle[k] == "_"):
+            k -= 1
+        return oracle[k + 1 : j + 1].upper() in _KEYWORDS_BEFORE
+    return False
+
+
+def _bare_right(oracle: str, pos: int) -> bool:
+    """True when the token ending at ``pos`` ENDS its expression:
+    followed (ignoring whitespace) by nothing, a comma, a closing
+    paren, or a clause keyword — not by an operator, a dot, or an
+    opening paren (qualified name / function call / arithmetic)."""
+    j = pos
+    n = len(oracle)
+    while j < n and oracle[j].isspace():
+        j += 1
+    if j >= n:
+        return True
+    ch = oracle[j]
+    if ch in ",)":
+        return True
+    if ch.isalpha() or ch == "_":
+        k = j
+        while k < n and (oracle[k].isalnum() or oracle[k] == "_"):
+            k += 1
+        return oracle[j:k].upper() in _KEYWORDS_AFTER
+    return False
 
 
 def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
@@ -171,15 +226,19 @@ def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
     literal compared against a bare identifier anywhere is scoped to
     that identifier; a literal that ONLY ever appears against expression
     sides stays unscoped (checked against every float column, the
-    pre-r10 behavior)."""
+    pre-r10 behavior).  NOTE audit() treats a scoped column that is not
+    in the result schema as unscoped — scoping may only ever NARROW a
+    check that would still run, never drop it."""
     if not oracle:
         return []
     scoped: dict[float, set[str]] = {}
     unscoped: set[float] = set()
     for m in _CMP_SCOPED_L.finditer(oracle):
-        scoped.setdefault(float(m.group(2)), set()).add(m.group(1))
+        if _bare_left(oracle, m.start(1)) and _bare_right(oracle, m.end(2)):
+            scoped.setdefault(float(m.group(2)), set()).add(m.group(1))
     for m in _CMP_SCOPED_R.finditer(oracle):
-        scoped.setdefault(float(m.group(1)), set()).add(m.group(2))
+        if _bare_left(oracle, m.start(1)) and _bare_right(oracle, m.end(2)):
+            scoped.setdefault(float(m.group(1)), set()).add(m.group(2))
     for a, b in _CMP_LIT_RE.findall(oracle):
         lit = float(a or b)
         if lit not in scoped:
@@ -189,6 +248,70 @@ def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
         gates.extend((lit, c) for c in sorted(cols))
     gates.extend((lit, None) for lit in sorted(unscoped))
     return sorted(gates, key=lambda p: (p[0], p[1] or ""))
+
+
+def _type_has_float(T, dt) -> bool:
+    """Does the Spark type contain a float anywhere (scalar, array
+    element, struct field, map key/value — recursively)?"""
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _type_has_float(T, dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_type_has_float(T, f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return _type_has_float(T, dt.keyType) or _type_has_float(T, dt.valueType)
+    return False
+
+
+def _float_probe(F, T, expr, dt, pred):
+    """Column[bool]: does any float value inside ``expr`` (typed ``dt``)
+    satisfy ``pred``?  Recurses through arrays (exists), struct fields
+    (OR of field probes), and maps (keys + values arrays).  Returns
+    None when the type contains no float — no aggregate is built."""
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return pred(expr)
+    if isinstance(dt, T.ArrayType):
+        if not _type_has_float(T, dt.elementType):
+            return None
+        return F.exists(
+            expr, lambda x: _float_probe(F, T, x, dt.elementType, pred)
+        )
+    if isinstance(dt, T.StructType):
+        subs = [
+            _float_probe(F, T, expr[f.name], f.dataType, pred)
+            for f in dt.fields
+            if _type_has_float(T, f.dataType)
+        ]
+        if not subs:
+            return None
+        out = subs[0]
+        for s in subs[1:]:
+            out = out | s
+        return out
+    if isinstance(dt, T.MapType):
+        subs = []
+        if _type_has_float(T, dt.keyType):
+            subs.append(
+                F.exists(
+                    F.map_keys(expr),
+                    lambda x: _float_probe(F, T, x, dt.keyType, pred),
+                )
+            )
+        if _type_has_float(T, dt.valueType):
+            subs.append(
+                F.exists(
+                    F.map_values(expr),
+                    lambda x: _float_probe(F, T, x, dt.valueType, pred),
+                )
+            )
+        if not subs:
+            return None
+        out = subs[0]
+        for s in subs[1:]:
+            out = out | s
+        return out
+    return None
 
 
 def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
@@ -226,6 +349,19 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
         gate_pairs = comparison_gates(getattr(spec, "oracle", None))
         try:
             df = spec.fn(spark, sf_dir)
+            # a gate scoped to a column ABSENT from the result's float
+            # columns falls back to the all-columns sweep (r10 review:
+            # scoping must only ever NARROW a check, never drop it —
+            # CTE-internal and WHERE-filter column names land here)
+            float_cols = {
+                f.name.lower()
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            }
+            eff_pairs = [
+                (lit, s if (s is not None and s.lower() in float_cols) else None)
+                for lit, s in gate_pairs
+            ]
             # one aggregate pass computes rowcount + per-column degeneracy
             aggs = [F.count(F.lit(1)).alias("__n")]
             for f in df.schema.fields:
@@ -238,7 +374,7 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                     # across engines on any 1-ulp upstream divergence.
                     # A gate the oracle scopes to a named column is only
                     # checked against that column (r9 advisor fix).
-                    for i, (lit, scol) in enumerate(gate_pairs):
+                    for i, (lit, scol) in enumerate(eff_pairs):
                         if scol is not None and scol.lower() != f.name.lower():
                             continue
                         aggs.append(
@@ -249,54 +385,29 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                                 )
                             ).alias(f"ke::{f.name}::{i}")
                         )
-                    # signed-zero detector (r9 verdict task #3): a -0.0 in
-                    # a hashed float column is the class the == compare is
-                    # blind to.  Double-to-string preserves the sign bit
-                    # ("-0.0") and, unlike the 1/x == -Inf trick, survives
-                    # ANSI mode's divide-by-zero error
-                    aggs.append(
-                        F.sum(
-                            F.when(
-                                c.cast("string") == "-0.0", 1
-                            ).otherwise(0)
-                        ).alias(f"nz::{f.name}")
-                    )
-                    # NaN detector (r10): pandas folds NULL and NaN to the
-                    # same NaN on BOTH engines' conversion paths, so a
-                    # Spark NaN vs oracle NULL would replay MATCH locally
-                    # while the driver's null-bitmap-aware hash diverges —
-                    # the -0.0 blindness one layer up.  The corpus oracles
-                    # emit ZERO NaN (measured r10, all float outputs at
-                    # sf0.01), so any Spark-side NaN is a red flag.
-                    aggs.append(
-                        F.sum(
-                            F.when(F.isnan(c), 1).otherwise(0)
-                        ).alias(f"nan::{f.name}")
-                    )
-                if isinstance(f.dataType, T.ArrayType) and isinstance(
-                    f.dataType.elementType, (T.DoubleType, T.FloatType)
+                # signed-zero + NaN detectors, RECURSIVE over the type
+                # (scalar float, array<...>, struct fields, map keys and
+                # values — r10 review: top-level-only probes left structs
+                # and nested arrays unswept while test_vacuity claims a
+                # corpus-WIDE invariant).  NEG_ZERO (r9 verdict task #3):
+                # -0.0 is the class == is blind to; the string cast
+                # preserves the sign bit and survives ANSI.  HAS_NAN
+                # (r10): pandas folds NULL and NaN to the same NaN on
+                # both engines' conversion paths, so a Spark NaN vs
+                # oracle NULL replays MATCH locally while a null-bitmap-
+                # aware hash diverges; the oracles emit zero NaN, so any
+                # Spark-side NaN is a red flag.
+                for kind, pred in (
+                    ("nz", lambda e: e.cast("string") == "-0.0"),
+                    ("nan", F.isnan),
                 ):
-                    # NEG_ZERO inside array<double> values: same bit-level
-                    # hash exposure as scalar columns (tuple == is equally
-                    # sign-blind), same string-cast probe per element
-                    aggs.append(
-                        F.sum(
-                            F.when(
-                                F.exists(
-                                    c,
-                                    lambda x: x.cast("string") == "-0.0",
-                                ),
-                                1,
-                            ).otherwise(0)
-                        ).alias(f"nz::{f.name}")
-                    )
-                    aggs.append(
-                        F.sum(
-                            F.when(
-                                F.exists(c, F.isnan), 1
-                            ).otherwise(0)
-                        ).alias(f"nan::{f.name}")
-                    )
+                    probe = _float_probe(F, T, c, f.dataType, pred)
+                    if probe is not None:
+                        aggs.append(
+                            F.sum(
+                                F.when(probe, 1).otherwise(0)
+                            ).alias(f"{kind}::{f.name}")
+                        )
                 if isinstance(f.dataType, T.BooleanType):
                     aggs.append(
                         F.count_distinct(c).alias(f"bd::{f.name}")
@@ -324,7 +435,7 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                     kind, col = k.split("::", 1)
                     if kind == "ke":
                         col, idx = col.rsplit("::", 1)
-                        lit = gate_pairs[int(idx)][0]
+                        lit = eff_pairs[int(idx)][0]
                         tol = max(1e-12, abs(lit) * 1e-9)
                         if v is not None and v < tol:
                             entry["flags"].append(
