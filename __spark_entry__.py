@@ -82,41 +82,50 @@ _MANUAL_CHANGED: list[tuple[str, int]] = [
 # + 1 changed + 13 stale = 50).  Pinning makes the re-certification of
 # the stalest certificate tier flood-proof.  Self-clearing like
 # _MANUAL_CHANGED: (name, certified_by_round).
-# r10: the r9 window pins self-cleared (all three green in r9); the new
-# stale floor is the 31-entry ROUND-4 tier (r9 verdict task #6) — pin it
-# so the post-r10 oldest certificate is >= r5.
+# r11: the r10 pins self-cleared (all 31 sampled green in r10, so their
+# last_round >= 10 clears the gate).  The new stale floor is the 36-entry
+# r5/r6 certificate tier (9 x r5 + 27 x r6, r10 verdict task #2) — all
+# were last driver-sampled before the r7-r10 canonicalizer/strictness
+# work.  Pin them so the post-r11 oldest certificate is >= r7.
 _PINNED: list[tuple[str, int]] = [
-    ("train_split_assign", 10),
-    ("dq_psi_drift", 10),
-    ("window_distribution", 10),
-    ("window_first_last", 10),
-    ("sort_limit_topk", 10),
-    ("sort_nulls_ordering", 10),
-    ("set_union_all", 10),
-    ("set_intersect", 10),
-    ("set_except", 10),
-    ("subquery_in", 10),
-    ("subquery_scalar", 10),
-    ("subquery_correlated", 10),
-    ("cte_query", 10),
-    ("case_coalesce", 10),
-    ("cast_types", 10),
-    ("in_list_filter", 10),
-    ("distinct_projection", 10),
-    ("agg_approx_distinct", 10),
-    ("udaf_geomean", 10),
-    ("q4_order_priority", 10),
-    ("q10_returned_revenue", 10),
-    ("q12_shipmode_priority", 10),
-    ("q14_promo_revenue", 10),
-    ("fn_string_basic", 10),
-    ("fn_concat_null_semantics", 10),
-    ("fn_hash", 10),
-    ("fn_datetime", 10),
-    ("fn_date_bin_events", 10),
-    ("fn_timestamp_convert", 10),
-    ("fn_json_extract", 10),
-    ("stream_window_counts", 10),
+    # r5 tier
+    ("q2_min_supplier", 11),
+    ("q9_product_profit", 11),
+    ("q13_customer_distribution", 11),
+    ("q15_top_supplier", 11),
+    ("q16_supplier_cnt", 11),
+    ("q17_small_qty_revenue", 11),
+    ("q18_large_volume", 11),
+    ("q19_discounted_revenue", 11),
+    ("q20_potential_promotion", 11),
+    # r6 tier
+    ("asof_join_events_forward", 11),
+    ("asof_join_events_nearest", 11),
+    ("dedup_exact_substrings", 11),
+    ("dedup_winnow_jaccard", 11),
+    ("dq_constraints_orders", 11),
+    ("eval_lsh_dedup_recall", 11),
+    ("fn_string_pad_split", 11),
+    ("join_anti", 11),
+    ("layout_zorder_values", 11),
+    ("q21_suppliers_waiting", 11),
+    ("q22_sales_opportunity", 11),
+    ("q6_revenue_pushdown", 11),
+    ("set_union_distinct", 11),
+    ("stream_stateful_user_stats", 11),
+    ("text_maximal_repeated_spans", 11),
+    ("text_winnow_fingerprints", 11),
+    ("train_bpe_encode", 11),
+    ("train_bpe_merges", 11),
+    ("train_build_vocab", 11),
+    ("train_chunk_documents", 11),
+    ("train_encode_documents", 11),
+    ("train_epoch_shards", 11),
+    ("train_mixture_sample", 11),
+    ("train_ngram_contamination", 11),
+    ("train_pack_sequences", 11),
+    ("train_repetition_metrics", 11),
+    ("train_split_groupwise", 11),
 ]
 
 

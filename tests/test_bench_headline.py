@@ -15,17 +15,22 @@ import json
 import bench
 
 
-def _worst_case_headline() -> dict:
+def _worst_case_headline(per_query: float = 999.499) -> dict:
     # every query at a pessimistic 3-digit seconds value (the whole
     # suite is ~72 s today; even a 10x-loaded host stays under 1000 s
-    # per query) maximizes the timing map width at every precision step
-    timings = {name: 999.999 for name in bench.HEADLINE}
+    # per query) maximizes the timing map width at every precision step.
+    # 999.499 (not 999.999) so the integer-precision last step renders
+    # 3 digits — at 4-digit timings the ladder's drop_norm step engages,
+    # covered by its own test below.
+    timings = {name: per_query for name in bench.HEADLINE}
     return {
         "metric": "headline_query_wall_seconds",
         "value": 999999.999,
         "unit": "sec",
+        "norm": 999999.999,
         "queries": timings,
         "calib_sec": [99.999, 99.999],
+        "calib_v": bench.CALIB_V,
         "repeats": 3,
         "sf": 0.1,
         "cpus": 32,
@@ -45,6 +50,20 @@ def test_headline_survives_shedding_as_json():
     parsed = json.loads(bench.render_headline(_worst_case_headline()))
     assert parsed["metric"] == "headline_query_wall_seconds"
     assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # the calibration-normalized headline is the adjudication field the
+    # stdout artifact exists to carry — it must survive every realistic
+    # shed step (3-digit per-query timings)
+    assert parsed["norm"] == 999999.999
+
+
+def test_headline_fits_even_at_four_digit_timings():
+    # >= 1000 s per query: the drop_norm last resort engages and the
+    # line still fits and parses (5-digit timings — a >19-hour bench —
+    # are beyond the 70-query capacity of any ladder and out of scope)
+    line = bench.render_headline(_worst_case_headline(1500.0))
+    assert len(line) <= bench.LIMIT
+    parsed = json.loads(line)
     assert set(parsed["queries"]) == set(bench.HEADLINE)
 
 

@@ -27,9 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # THE bench probe, imported (not copied) so floor-run calib values stay
-# structurally comparable with recorded BENCH artifacts and the r8
-# unloaded-host reference of 0.010-0.011 s
-from bench import calibrate  # noqa: E402
+# structurally comparable with recorded BENCH artifacts (calib v2:
+# fixed-work sha256 sweep, CALIB_REF_SEC ~= unloaded reference)
+from bench import CALIB_REF_SEC, CALIB_V, calibrate  # noqa: E402
 
 
 def floor_one(name: str, sf_dir: str, cpus: str, repeats: int) -> dict:
@@ -82,7 +82,13 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = int(os.environ.get("SPARK_GRAFT_FLOOR_REPEATS", "6"))
-    out = {"sf_dir": sf_dir, "repeats": repeats, "queries": {}}
+    out = {
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "calib_v": CALIB_V,
+        "calib_ref_sec": CALIB_REF_SEC,
+        "queries": {},
+    }
     for name in names:
         out["queries"][name] = floor_one(name, sf_dir, cpus, repeats)
     print(json.dumps(out))
