@@ -67,6 +67,6 @@ def entry_fingerprint(spec: QuerySpec) -> str:
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all corpus modules and return the populated registry."""
-    from . import curation, extras, llm, multimodal, pipelines, relational, scalar_fns, streams, tpch_extra, training  # noqa: F401
+    from . import curation, extras, llm, multimodal, physical, pipelines, relational, scalar_fns, streams, tpch_extra, training  # noqa: F401
 
     return REGISTRY

@@ -130,9 +130,18 @@ def test_comparison_gates_scoping():
         (2.75, "w"),
         (3.5, "y"),
     ]
-    # a literal that is scoped ANYWHERE drops its unscoped entry
+    # r10 advisor fix: scoping tracks per OCCURRENCE — the ABS(b) gate
+    # keeps its all-columns sweep even though the same literal is scoped
+    # to `a` elsewhere (scoping may only narrow a check, never drop it)
     assert comparison_gates("SELECT a > 0.5, ABS(b) > 0.5 FROM t") == [
-        (0.5, "a")
+        (0.5, None),
+        (0.5, "a"),
+    ]
+    # ... but a literal whose every occurrence is column-scoped emits no
+    # unscoped entry
+    assert comparison_gates("SELECT a > 0.5, b < 0.5 FROM t") == [
+        (0.5, "a"),
+        (0.5, "b"),
     ]
     # identifier followed by ( is a function call, not a column
     assert comparison_gates("SELECT 0.5 < abs(v) FROM t") == [(0.5, None)]

@@ -49,6 +49,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import re
 
+# Detector-set version, stamped into the committed report and pinned by
+# tests/test_vacuity.py: ANY change to the audit's detectors must bump
+# this, which forces `--all-sfs` regeneration before the suite goes
+# green again (r10 advisor: the committed report silently certified
+# invariants against detectors that had known recall holes).
+#   v4 (r11): per-occurrence comparison-gate scoping (an expression-side
+#       gate no longer vanishes when its literal is also column-scoped),
+#       oracle-side -0.0/NaN sweep (ORACLE_NEG_ZERO / ORACLE_HAS_NAN /
+#       ORACLE_ERROR flags — the r7-r9 root cause was ORACLE-side -0.0,
+#       which the Spark-only sweep could not see).
+AUDIT_VERSION = 4
+
 # interpolated-percentile call sites in oracle SQL (DuckDB spellings)
 _PCTL_RE = re.compile(r"\b(?:QUANTILE_CONT|PERCENTILE_CONT|percentile)\s*\(", re.I)
 # non-integer numeric literals in COMPARISON context: these are the
@@ -223,26 +235,33 @@ def _bare_right(oracle: str, pos: int) -> bool:
 def comparison_gates(oracle: str | None) -> list[tuple[float, str | None]]:
     """Comparison gate literals with their scoping column where the SQL
     names one: ``(literal, column | None)`` pairs, deduplicated.  A
-    literal compared against a bare identifier anywhere is scoped to
-    that identifier; a literal that ONLY ever appears against expression
-    sides stays unscoped (checked against every float column, the
-    pre-r10 behavior).  NOTE audit() treats a scoped column that is not
+    literal OCCURRENCE compared against a bare identifier is scoped to
+    that identifier; every occurrence against an expression side emits
+    an unscoped entry (checked against every float column, the pre-r10
+    behavior) — tracked PER OCCURRENCE, not per literal value, so
+    ``SELECT a > 0.5, ABS(b) > 0.5`` keeps the ABS(b) gate's
+    all-columns sweep alongside the (0.5, 'a') scope (r10 advisor:
+    per-literal tracking dropped it, contradicting the scoping-only-
+    narrows contract).  NOTE audit() treats a scoped column that is not
     in the result schema as unscoped — scoping may only ever NARROW a
     check that would still run, never drop it."""
     if not oracle:
         return []
     scoped: dict[float, set[str]] = {}
+    scoped_lit_spans: set[tuple[int, int]] = set()
     unscoped: set[float] = set()
     for m in _CMP_SCOPED_L.finditer(oracle):
         if _bare_left(oracle, m.start(1)) and _bare_right(oracle, m.end(2)):
             scoped.setdefault(float(m.group(2)), set()).add(m.group(1))
+            scoped_lit_spans.add(m.span(2))
     for m in _CMP_SCOPED_R.finditer(oracle):
         if _bare_left(oracle, m.start(1)) and _bare_right(oracle, m.end(2)):
             scoped.setdefault(float(m.group(1)), set()).add(m.group(2))
-    for a, b in _CMP_LIT_RE.findall(oracle):
-        lit = float(a or b)
-        if lit not in scoped:
-            unscoped.add(lit)
+            scoped_lit_spans.add(m.span(1))
+    for m in _CMP_LIT_RE.finditer(oracle):
+        grp = 1 if m.group(1) is not None else 2
+        if m.span(grp) not in scoped_lit_spans:
+            unscoped.add(float(m.group(grp)))
     gates: list[tuple[float, str | None]] = []
     for lit, cols in scoped.items():
         gates.extend((lit, c) for c in sorted(cols))
@@ -314,6 +333,49 @@ def _float_probe(F, T, expr, dt, pred):
     return None
 
 
+def _scan_oracle_frame(pdf) -> list[str]:
+    """ORACLE_NEG_ZERO / ORACLE_HAS_NAN flags for a DuckDB oracle result
+    (pandas frame): float columns vectorized, object columns recursed
+    (list/tuple/ndarray/dict values — array<double> oracle outputs)."""
+    import math
+
+    import numpy as np
+
+    flags: list[str] = []
+
+    def scan_value(v, found: list[bool]) -> None:
+        if isinstance(v, float):
+            if v != v:
+                found[0] = True
+            elif v == 0.0 and math.copysign(1.0, v) < 0:
+                found[1] = True
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            for x in v:
+                scan_value(x, found)
+        elif isinstance(v, dict):
+            for x in v.values():
+                scan_value(x, found)
+
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype.kind == "f":
+            vals = s.to_numpy()
+            nan_mask = np.isnan(vals)
+            if nan_mask.any():
+                flags.append(f"ORACLE_HAS_NAN:{col}")
+            if ((vals == 0.0) & np.signbit(vals) & ~nan_mask).any():
+                flags.append(f"ORACLE_NEG_ZERO:{col}")
+        elif s.dtype == object:
+            found = [False, False]
+            for v in s:
+                scan_value(v, found)
+            if found[0]:
+                flags.append(f"ORACLE_HAS_NAN:{col}")
+            if found[1]:
+                flags.append(f"ORACLE_NEG_ZERO:{col}")
+    return flags
+
+
 def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
     """Run the dynamic sweep at ``sf_dir``.  Pass an existing ``spark``
     session to reuse it (it is NOT stopped — critical for test callers:
@@ -341,6 +403,18 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
 
     registry = load_all()
     names = [n for n in registry if only is None or n in only]
+    # Oracle-side -0.0/NaN sweep (r10 advisor): the r7-r9 red streak's
+    # actual root cause was ORACLE-side -0.0 (DuckDB ROUND preserving
+    # the sign bit) while Spark emitted +0.0 — a shape a Spark-only
+    # sweep cannot flag.  Run each entry's DuckDB oracle at the same
+    # sf_dir and scan the pandas frame (floats recursively, through
+    # lists/arrays) for -0.0 and NaN.
+    try:
+        from tests.oracle_harness import duckdb_con
+
+        dcon = duckdb_con(sf_dir)
+    except Exception:
+        dcon = None
     report: dict[str, dict] = {}
     for name in names:
         spec = registry[name]
@@ -466,6 +540,12 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
                         entry["flags"].append(f"CONST_ZERO:{col}")
         except Exception as e:  # noqa: BLE001 - report, don't die
             entry["flags"].append(f"ERROR:{type(e).__name__}:{e}")
+        oracle = getattr(spec, "oracle", None)
+        if oracle and dcon is not None:
+            try:
+                entry["flags"] += _scan_oracle_frame(dcon.sql(oracle).df())
+            except Exception as e:  # noqa: BLE001 - report, don't die
+                entry["flags"].append(f"ORACLE_ERROR:{type(e).__name__}:{e}")
         report[name] = entry
     if owns_session:
         spark.stop()
@@ -479,7 +559,7 @@ REPORT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vacuity_
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--all-sfs":
-        full = {}
+        full = {"_audit_version": AUDIT_VERSION}
         for sf_dir in ALL_SFS:
             key = os.path.basename(sf_dir.rstrip("/"))
             full[key] = audit(sf_dir, args[1:] or None)
@@ -489,6 +569,7 @@ def main() -> None:
         flagged = {
             sf: {k: v["flags"] for k, v in rep.items() if v["flags"]}
             for sf, rep in full.items()
+            if not sf.startswith("_")
         }
         print(json.dumps({"report": REPORT_PATH,
                           "n_flagged": {sf: len(f) for sf, f in flagged.items()},
