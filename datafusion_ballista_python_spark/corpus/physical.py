@@ -144,6 +144,33 @@ def ann_ivf_index_topk(spark, sf_dir):
     ).orderBy("qid", F.desc("cos_sim"), "vec_id")
 
 
+@query("ann_ivf_index_incremental", oracle=_IVF_ORACLE)
+def ann_ivf_index_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance (similarity.append_ivf_index):
+    the index is built from HALF the candidates, the other half is
+    ingested as a partition-local append (only receiving cells gain
+    files, O(delta) cost), and the queried result must equal the
+    one-shot full-set index — certified against the same oracle as
+    `ann_ivf_topk`/`ann_ivf_index_topk`.  This is the streaming-ANN
+    completion of the serving story: base build -> delta appends ->
+    unchanged query semantics."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_incr_")
+    similarity.write_ivf_index(
+        cands.filter(F.col("vec_id") % 2 == 1), path, _IVF_CENTROIDS
+    )
+    similarity.append_ivf_index(
+        cands.filter(F.col("vec_id") % 2 == 0), path, _IVF_CENTROIDS
+    )
+    return similarity.ivf_topk_from_index(
+        spark, path, queries_df, _IVF_CENTROIDS, k=10, n_probe=_IVF_N_PROBE
+    ).orderBy("qid", F.desc("cos_sim"), "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # hive-partitioned write / compaction: row-fidelity round trips
 # ---------------------------------------------------------------------------

@@ -677,6 +677,36 @@ def write_ivf_index(
     write_partitioned(cells, path, ["cell"])
 
 
+def append_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign NEW vectors to their
+    quantizer cells and append them to an existing
+    :func:`write_ivf_index` dataset.
+
+    The append is partition-local — only cell directories that receive
+    new vectors gain files; existing files are never read or rewritten,
+    so ingesting a delta costs O(delta), not O(index).  Queries through
+    :func:`ivf_topk_from_index` see base+delta with identical semantics
+    to an index built from the union (the cell assignment is the same
+    deterministic Arrow-batched matmul, and parquet partition append is
+    set-union).  The centroids MUST be the index's own quantizer —
+    re-training on the delta would silently split the vector space
+    across incompatible cell layouts; when drift demands a new
+    quantizer, rebuild (write_ivf_index) instead.  At scale, follow
+    sustained ingestion with per-cell compaction (sources/layout.compact
+    per directory) to bound file counts."""
+    from ..sources.layout import write_partitioned
+
+    cells = candidates.withColumn(
+        "cell", _cell_assign_udf(centroids)(F.col(vec_col))
+    )
+    write_partitioned(cells, path, ["cell"], mode="append")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
