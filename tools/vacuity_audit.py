@@ -59,7 +59,14 @@ import re
 #       oracle-side -0.0/NaN sweep (ORACLE_NEG_ZERO / ORACLE_HAS_NAN /
 #       ORACLE_ERROR flags — the r7-r9 root cause was ORACLE-side -0.0,
 #       which the Spark-only sweep could not see).
-AUDIT_VERSION = 4
+#   v5 (r11): the oracle sweep reads Arrow, not pandas — `.df()` folds
+#       SQL NULL into NaN in float columns, so v4 flagged every
+#       legitimately-NULL oracle output (lag/lead boundaries, asof
+#       no-match err_value) as ORACLE_HAS_NAN.  Arrow preserves the null
+#       bitmap; `to_pylist()` yields None for NULL and float('nan') only
+#       for a TRUE NaN, which is the exact distinction the driver's
+#       null-bitmap-aware hash makes.
+AUDIT_VERSION = 5
 
 # interpolated-percentile call sites in oracle SQL (DuckDB spellings)
 _PCTL_RE = re.compile(r"\b(?:QUANTILE_CONT|PERCENTILE_CONT|percentile)\s*\(", re.I)
@@ -333,13 +340,15 @@ def _float_probe(F, T, expr, dt, pred):
     return None
 
 
-def _scan_oracle_frame(pdf) -> list[str]:
+def _scan_oracle_frame(table) -> list[str]:
     """ORACLE_NEG_ZERO / ORACLE_HAS_NAN flags for a DuckDB oracle result
-    (pandas frame): float columns vectorized, object columns recursed
-    (list/tuple/ndarray/dict values — array<double> oracle outputs)."""
+    as a pyarrow Table.  Arrow, NOT pandas, on purpose: `.df()` folds
+    SQL NULL into NaN in float columns, which would flag every
+    legitimately-NULL oracle output — `to_pylist()` yields None for
+    NULL (skipped; NULL is the CORRECT way to express missing) and a
+    float NaN only when the oracle truly computed one.  Recurses
+    through lists/tuples/dicts (array<double> and struct outputs)."""
     import math
-
-    import numpy as np
 
     flags: list[str] = []
 
@@ -349,30 +358,21 @@ def _scan_oracle_frame(pdf) -> list[str]:
                 found[0] = True
             elif v == 0.0 and math.copysign(1.0, v) < 0:
                 found[1] = True
-        elif isinstance(v, (list, tuple, np.ndarray)):
+        elif isinstance(v, (list, tuple)):
             for x in v:
                 scan_value(x, found)
         elif isinstance(v, dict):
             for x in v.values():
                 scan_value(x, found)
 
-    for col in pdf.columns:
-        s = pdf[col]
-        if s.dtype.kind == "f":
-            vals = s.to_numpy()
-            nan_mask = np.isnan(vals)
-            if nan_mask.any():
-                flags.append(f"ORACLE_HAS_NAN:{col}")
-            if ((vals == 0.0) & np.signbit(vals) & ~nan_mask).any():
-                flags.append(f"ORACLE_NEG_ZERO:{col}")
-        elif s.dtype == object:
-            found = [False, False]
-            for v in s:
-                scan_value(v, found)
-            if found[0]:
-                flags.append(f"ORACLE_HAS_NAN:{col}")
-            if found[1]:
-                flags.append(f"ORACLE_NEG_ZERO:{col}")
+    for name, col in zip(table.column_names, table.columns):
+        found = [False, False]
+        for v in col.to_pylist():
+            scan_value(v, found)
+        if found[0]:
+            flags.append(f"ORACLE_HAS_NAN:{name}")
+        if found[1]:
+            flags.append(f"ORACLE_NEG_ZERO:{name}")
     return flags
 
 
@@ -543,7 +543,7 @@ def audit(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
         oracle = getattr(spec, "oracle", None)
         if oracle and dcon is not None:
             try:
-                entry["flags"] += _scan_oracle_frame(dcon.sql(oracle).df())
+                entry["flags"] += _scan_oracle_frame(dcon.sql(oracle).arrow())
             except Exception as e:  # noqa: BLE001 - report, don't die
                 entry["flags"].append(f"ORACLE_ERROR:{type(e).__name__}:{e}")
         report[name] = entry
