@@ -749,6 +749,50 @@ def test_ivf_index_roundtrip_matches_in_memory(spark, emb, tmp_path):
     assert m == i
 
 
+def test_ivf_index_append_is_partition_local(spark, emb, tmp_path):
+    """append_ivf_index must only ADD files to receiving cell dirs —
+    existing files untouched (O(delta) ingest), and base+delta answers
+    exactly like a one-shot index over the union."""
+    import os
+
+    path = str(tmp_path / "ivf_incr")
+    cents = similarity.train_centroids(emb, n_centroids=8)
+    base = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 2 == 1))
+    delta = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 2 == 0))
+    similarity.write_ivf_index(base, path, cents)
+
+    def files():
+        out = {}
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = files()
+    similarity.append_ivf_index(delta, path, cents)
+    after = files()
+    # every pre-existing file survives byte-stable (same path + mtime)
+    assert set(before) <= set(after)
+    assert all(after[p] == t for p, t in before.items())
+    assert len(after) > len(before)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    mem = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), queries, k=10, n_probe=4,
+        centroids=cents,
+    )
+    idx = similarity.ivf_topk_from_index(
+        spark, path, queries, cents, k=10, n_probe=4
+    )
+    m = {(r["qid"], r["vec_id"]) for r in mem.collect()}
+    i = {(r["qid"], r["vec_id"]) for r in idx.collect()}
+    assert m == i
+
+
 def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
     import os
 
