@@ -1728,7 +1728,7 @@ def pipeline_quality_dedup(spark, sf_dir):
     ppl = text.unigram_perplexity(docs)
     gated = docs.join(
         ppl.where(F.col("bits_per_token") <= _QD_TAU).select("doc_id"), "doc_id"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs = dedup.minhash_lsh_pairs(
         gated, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )
@@ -2339,7 +2339,7 @@ def pipeline_near_dedup_ingest(spark, sf_dir):
         )
     )
     ref = docs.where("doc_id < 250").select("doc_id", "text")
-    s1 = dedup.dedup_against_reference(batch, ref).localCheckpoint()
+    s1 = dedup.dedup_against_reference(batch, ref).localCheckpoint(eager=False)
     near = dedup.minhash_lsh_pairs_against(
         s1, ref, num_hashes=16, bands=4, shingle_n=3, threshold=0.8
     )

@@ -35,13 +35,36 @@ CHECKPOINT_MODES = ("local", "reliable")
 
 def make_checkpointer(
     checkpoint: str = "local",
+    eager: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
-    """Resolve a checkpoint mode name to a ``df -> materialized df``
+    """Resolve a checkpoint mode name to a ``df -> lineage-severed df``
     callable.  ``"reliable"`` validates up front that a checkpoint
     directory is registered — failing at round 1 with a clear message
-    beats Spark's mid-job ``SparkException`` after minutes of work."""
+    beats Spark's mid-job ``SparkException`` after minutes of work.
+
+    ``eager=True`` forces materialization at the call site — required
+    when the checkpoint guards a SIDE EFFECT (e.g. MERGE materializes the
+    merged partitions before deleting/overwriting the directory it read
+    them from).  The default is lazy for "local" (see inline comment);
+    "reliable" is always eager — a lazy DFS checkpoint recomputes the RDD
+    a second time to write the checkpoint files, which the eager
+    cache-then-write path avoids."""
     if checkpoint == "local":
-        return lambda df: df.localCheckpoint()
+        if eager:
+            return lambda df: df.localCheckpoint()
+        # LAZY (eager=False): lineage is severed identically (the returned
+        # frame wraps a checkpoint-marked RDD), but no dedicated job runs at
+        # the call site — the next action over the frame materializes it.
+        # Every iterative loop in this package runs an action right after
+        # its round checkpoint (a convergence fingerprint / count) or defers
+        # entirely to the caller's single action (pagerank, MMR), so the
+        # eager job was pure scheduling overhead: one job per round instead
+        # of two, measured 1.74s -> 1.39s on the sf0.1 pagerank iteration
+        # block with bit-identical results.  RDD identity still guarantees
+        # each round is computed once (the checkpoint RDD is persisted on
+        # first compute and shared by reference, not re-planned per
+        # consumer).
+        return lambda df: df.localCheckpoint(eager=False)
     if checkpoint == "reliable":
 
         def _reliable(df: DataFrame) -> DataFrame:

@@ -300,7 +300,15 @@ def pagerank(
     as connected_components; ranks/degrees are O(nodes) frames, never
     driver-side except the node count (a 1-scalar action).
     """
-    edges = (
+    ckpt = make_checkpointer(checkpoint)
+    # lazy checkpoint, not persist+unpersist: the whole iteration chain
+    # below is LAZY (no mid-loop action), so a persist unpersisted before
+    # the caller's action would leave every iteration's contrib join
+    # re-deriving the pair pipeline.  The checkpoint RDD is shared by
+    # identity across all iteration references, materialized once by the
+    # nodes.count() below, and reclaimed by the ContextCleaner when the
+    # result frame is GC'd.
+    edges = ckpt(
         pairs.select(
             F.explode(
                 F.array(
@@ -311,9 +319,7 @@ def pagerank(
         )
         .select("__e.src", "__e.dst")
         .distinct()
-        .persist()
     )
-    ckpt = make_checkpointer(checkpoint)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = ckpt(deg.select("src", "deg"))
     n = nodes.count()
@@ -346,7 +352,6 @@ def pagerank(
             )
         )
         pr = ckpt(pr)
-    edges.unpersist()
     return pr.select(F.col("src").alias("node"), "pr")
 
 
@@ -382,10 +387,12 @@ def pagerank_directed(
     aggregate cross-joined back as a broadcast — O(nodes) frames
     throughout, no driver traffic beyond the node count.
     """
-    edges = (
-        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
+    ckpt = make_checkpointer(checkpoint)
+    # lazy checkpoint instead of persist+unpersist — same reasoning as
+    # :func:`pagerank`: the loop is lazy, so the edge set must stay
+    # materializable-by-identity for the caller's deferred action.
+    edges = ckpt(
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
     nodes = (
@@ -395,7 +402,6 @@ def pagerank_directed(
         .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
         .select("node", F.coalesce(F.col("od"), F.lit(0).cast("long")).alias("od"))
     )
-    ckpt = make_checkpointer(checkpoint)
     nodes = ckpt(nodes)
     n = nodes.count()
     base = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 12)
@@ -431,7 +437,6 @@ def pagerank_directed(
             )
         )
         pr = ckpt(pr)
-    edges.unpersist()
     return pr.select("node", "pr")
 
 
@@ -504,12 +509,16 @@ def triangle_count(
     """
     if orientation not in ("degree", "id"):
         raise ValueError(f"orientation must be 'degree' or 'id', got {orientation!r}")
-    # localCheckpoint (eager), not persist: the operator returns a LAZY
+    # LAZY localCheckpoint, not persist: the operator returns a LAZY
     # frame, so a persist+unpersist pair inside the builder would unmark
     # the cache before any action ran and the oriented-distinct edge set
     # would be recomputed for all four consumers (wedge join both sides,
-    # confirm join, node list).  The checkpoint materializes it exactly
-    # once; the ContextCleaner reclaims it when the result frame is GC'd.
+    # confirm join, node list).  The checkpoint RDD is shared by identity
+    # across every consumer (one compute, cached on first touch — both
+    # frames sit just above a shuffle, so the expensive map side runs once
+    # regardless); lazy skips the two dedicated materialization jobs the
+    # eager form paid.  The ContextCleaner reclaims the blocks when the
+    # result frame is GC'd.
     und = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -517,9 +526,9 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    o = _oriented_edges(und, orientation).localCheckpoint()
+    o = _oriented_edges(und, orientation).localCheckpoint(eager=False)
     # wedges: src -> (b, c), both out-edges, dst ranks ordered b < c —
     # so the closing edge b-c is oriented exactly (b -> c)
     w = (
@@ -676,9 +685,11 @@ def adamic_adar(
     adjd = adj.join(deg, "z")
     if max_hub_degree is not None:
         adjd = adjd.where(F.col("deg") <= int(max_hub_degree))
-    # the apex-keyed self-join reuses one exchange; materialize once so
-    # the distinct+degree subtree is not rebuilt per side
-    adjd = adjd.localCheckpoint()
+    # the apex-keyed self-join reuses one exchange; checkpoint (lazy) so
+    # the distinct+degree subtree is not rebuilt per side — shared by RDD
+    # identity, computed inside the caller's action instead of a
+    # dedicated job
+    adjd = adjd.localCheckpoint(eager=False)
     left = adjd.select("z", F.col("nb").alias("node_a"), "deg")
     right = adjd.select("z", F.col("nb").alias("node_b"))
     wedges = left.join(right, "z").where(F.col("node_a") < F.col("node_b"))

@@ -497,7 +497,7 @@ def ks_statistic(
         )
     merged = per_value(reference, "n_r").join(
         per_value(current, "n_c"), "__v", "full"
-    ).na.fill({"n_r": 0, "n_c": 0}).localCheckpoint()
+    ).na.fill({"n_r": 0, "n_c": 0}).localCheckpoint(eager=False)
     # ONE eager totals probe off the checkpointed frame: it both guards the
     # degenerate cases (an empty side would make ks_d a silent NULL that a
     # `ks_d > tau` gate reads as "no drift" — total data loss passing the
@@ -1110,7 +1110,7 @@ def mann_whitney_u(
         per_value(a, "ca")
         .join(per_value(b, "cb"), "__v", "full")
         .na.fill({"ca": 0, "cb": 0})
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = merged.agg(
         F.sum("ca").cast("long").alias("n_a"),

@@ -266,7 +266,10 @@ def temperature_weights(
     per = (
         df.groupBy(g.alias("grp"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        .localCheckpoint()
+        # lazy: post-shuffle, so the corpus-wide count map stage runs once
+        # and the three consumers share the checkpoint RDD by identity —
+        # no dedicated materialization job
+        .localCheckpoint(eager=False)
     )
     total = per.agg(F.sum("n_rows").cast("long").alias("__N"))
     scored = per.crossJoin(F.broadcast(total)).select(

@@ -835,11 +835,11 @@ def mmr_topk(
     A query whose candidate set (or cosine_topk pool) holds fewer than
     ``k`` members returns that many rows — never padded, never an error
     (the greedy rounds simply run dry, which is what re-ranking an
-    under-filled pool means).  Note also that unlike the framework's
-    other operators this one is EAGER: the per-round ``localCheckpoint``
-    calls run Spark jobs at construction time, so building the plan
-    already costs ``k`` bounded jobs — call it when you want the answer,
-    not as a lazily-composed subexpression.
+    under-filled pool means).  The per-round ``localCheckpoint`` calls
+    are LAZY: each round's frame wraps a lineage-severed RDD shared by
+    identity across later rounds, so the caller's single action computes
+    every round exactly once — no per-round construction-time jobs
+    (beyond :func:`cosine_topk`'s bounded query-count guard probe).
     """
     from ..errors import BallistaError
 
@@ -864,7 +864,7 @@ def mmr_topk(
     p = (
         pool_df.join(candidates.select(F.col(id_col), F.col(vec_col)), id_col)
         .withColumn("__n", norm(F.col(vec_col)))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     w = Window.partitionBy(query_id).orderBy(F.desc("__score"), F.col(id_col))
@@ -875,10 +875,10 @@ def mmr_topk(
         .drop("__rn")
         .withColumn("__rank", F.lit(1))
     )
-    selected = first.localCheckpoint()
+    selected = first.localCheckpoint(eager=False)
     remaining = p.join(
         selected.select(query_id, id_col), [query_id, id_col], "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for r in range(2, k + 1):
         c, s = remaining.alias("c"), selected.alias("s")
@@ -908,10 +908,10 @@ def mmr_topk(
             .select(*p.columns, "__score")
             .withColumn("__rank", F.lit(r))
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
         remaining = remaining.join(
             pick.select(query_id, id_col), [query_id, id_col], "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     return selected.select(
         F.col(query_id),

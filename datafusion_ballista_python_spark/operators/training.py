@@ -533,9 +533,13 @@ def bpe_merges(
         lambda x: x != "",
     )
     marked = F.transform(toks, lambda x: F.concat(x, F.lit("|")))
+    # lazy checkpoints throughout the BPE loop: every round runs a bounded
+    # TakeOrdered collect over the corpus frame immediately after, which
+    # materializes the checkpoint — the eager form paid one extra job per
+    # round for the same lineage truncation
     corpus = df.select(
         F.concat(F.lit(" "), F.array_join(marked, " ")).alias("s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     strip = "substring(x, 1, length(x) - 1)"
     n_rounds = -(-n_merges // batch)  # ceil
@@ -591,7 +595,7 @@ def bpe_merges(
         # the final round's rewrite has no consumer — skip it (one fewer
         # full-corpus materialization even at batch=1)
         if rnd < n_rounds - 1 and len(merges) < n_merges:
-            corpus = corpus.select(expr.alias("s")).localCheckpoint()
+            corpus = corpus.select(expr.alias("s")).localCheckpoint(eager=False)
     if len(merges) < n_merges:
         # distinguish 'corpus exhausted' (no adjacent pairs left — a real
         # stopping condition) from 'candidate_pool too small' (every
@@ -737,7 +741,8 @@ def dsir_weights(
             F.sum("n").cast("long").alias("c_raw"),
             F.sum(F.col("n") * F.col("__tgt")).cast("long").alias("c_tgt"),
         )
-        .localCheckpoint()
+        # lazy: the totals collect below materializes it in the same job
+        .localCheckpoint(eager=False)
     )
     # total column names must differ from dist's per-bucket names in more
     # than case: Spark resolves references case-insensitively by default

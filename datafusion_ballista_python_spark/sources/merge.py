@@ -99,7 +99,11 @@ def merge_into_path(
     """
     from ..operators._ckpt import make_checkpointer
 
-    ckpt = make_checkpointer(checkpoint)
+    # eager=True: both checkpoints here guard SIDE EFFECTS — the update
+    # batch must be pinned before any of the 4+ actions reads it, and the
+    # merged partitions must be fully materialized before their source
+    # directories are deleted/overwritten below
+    ckpt = make_checkpointer(checkpoint, eager=True)
     # Pin the update batch ONCE: merge_into_path drives 4+ separate actions
     # off this frame (dup check, partition collect, current-location semi
     # join, merge/write).  A nondeterministic source (unordered limit,
