@@ -828,11 +828,25 @@ def q21_suppliers_waiting(spark, sf_dir):
     is_late = (
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
+    # __isF as an int BEFORE the aggregate: the original max(o_orderstatus)
+    # carried a STRING aggregation buffer, which is not hash-aggregable —
+    # Spark fell back to SortAggregate, paying two full sorts of the
+    # joined lineitem rows.  o_orderstatus is constant within a
+    # (l_orderkey, l_suppkey) group (it is an attribute of the order the
+    # group key names), so max(status) == 'F'  <=>  max((status='F')::int)
+    # == 1 — same rows out, and the int buffer restores HashAggregate.
+    # The explicit repartition on l_orderkey alone establishes ONE
+    # exchange that satisfies both the aggregate (clustering by a
+    # superset-keyed group (ok, sk) accepts hash(ok)) and the two window
+    # passes (partitionBy ok) — the groupBy's natural hash(ok, sk)
+    # partitioning would force the window to re-exchange everything.
     g = (
         lo.withColumn("__late", is_late)
+        .withColumn("__isF", (F.col("o_orderstatus") == "F").cast("int"))
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.max("o_orderstatus").alias("__status"),
+            F.max("__isF").alias("__isF"),
             F.sum("__late").alias("late_rows"),
         )
     )
@@ -847,7 +861,7 @@ def q21_suppliers_waiting(spark, sf_dir):
             (F.col("late_rows") > 0)
             & (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
-            & (F.col("__status") == "F")
+            & (F.col("__isF") == 1)
         )
     )
     sup = t["supplier"].df.join(

