@@ -308,6 +308,14 @@ def pagerank(
     # identity across all iteration references, materialized once by the
     # nodes.count() below, and reclaimed by the ContextCleaner when the
     # result frame is GC'd.
+    # repartition by the JOIN key before checkpointing: a checkpointed
+    # frame preserves its physical outputPartitioning (LogicalRDD carries
+    # it), so every iteration's edges x ranks join sees two hash(src)
+    # co-partitioned inputs and plans NO exchange — and because the
+    # rank-update join (nodes x sums) is likewise co-partitioned, each
+    # power iteration pays exactly ONE exchange (the contribution
+    # aggregate that moves rank mass along edges, which is the
+    # irreducible shuffle of PageRank) instead of three.
     edges = ckpt(
         pairs.select(
             F.explode(
@@ -319,6 +327,7 @@ def pagerank(
         )
         .select("__e.src", "__e.dst")
         .distinct()
+        .repartition(F.col("src"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = ckpt(deg.select("src", "deg"))
@@ -391,8 +400,14 @@ def pagerank_directed(
     # lazy checkpoint instead of persist+unpersist — same reasoning as
     # :func:`pagerank`: the loop is lazy, so the edge set must stay
     # materializable-by-identity for the caller's deferred action.
+    # repartition(src) before the checkpoint — same co-partitioning
+    # contract as :func:`pagerank`: the preserved hash(src) partitioning
+    # makes each iteration's edges x ranks join exchange-free, leaving the
+    # per-dst contribution aggregate as the one shuffle per iteration.
     edges = ckpt(
-        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition(F.col("src"))
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
     nodes = (
