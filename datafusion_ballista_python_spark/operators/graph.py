@@ -71,8 +71,16 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'minlabel' or 'star'")
     # both directions from ONE scan of pairs (a union of two selects would
     # evaluate the upstream pair pipeline — often an expensive dedup plan —
-    # twice)
-    edges = (
+    # twice).  Lazy checkpoint, not persist+unpersist: the blocks are
+    # computed once (first fingerprint action), shared by RDD identity by
+    # every iteration's join, and reclaimed by the ContextCleaner when the
+    # result frame is GC'd — no CacheManager entry to leak and no
+    # unpersist-ordering hazard.  NOTE a pre-join repartition on the join
+    # key would NOT remove the per-iteration exchange: under AQE the
+    # checkpointed LogicalRDD reports UnknownPartitioning (measured on
+    # this Spark build — see OPTIMIZATION_r11.md), so the join re-shuffles
+    # regardless and the repartition is a pure extra pass at scale.
+    edges = ckpt(
         pairs.select(
             F.explode(
                 F.array(
@@ -83,7 +91,6 @@ def connected_components(
         )
         .select("__e.src", "__e.dst")
         .distinct()
-        .persist()
     )
     # label(n) = min(n, min neighbor) — one aggregate over the edge list
     labels = (
@@ -133,14 +140,12 @@ def connected_components(
                 .count()
             )
             if n_changed == 0:
-                edges.unpersist()
                 return labels.select(
                     F.col("src").alias(node_col), F.col("label").alias(comp_col)
                 )
         prev_sum = cur_sum
         prev_labels = labels
 
-    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations; "
         "a component's diameter exceeds the budget — raise max_iterations or "
@@ -307,15 +312,11 @@ def pagerank(
     # re-deriving the pair pipeline.  The checkpoint RDD is shared by
     # identity across all iteration references, materialized once by the
     # nodes.count() below, and reclaimed by the ContextCleaner when the
-    # result frame is GC'd.
-    # repartition by the JOIN key before checkpointing: a checkpointed
-    # frame preserves its physical outputPartitioning (LogicalRDD carries
-    # it), so every iteration's edges x ranks join sees two hash(src)
-    # co-partitioned inputs and plans NO exchange — and because the
-    # rank-update join (nodes x sums) is likewise co-partitioned, each
-    # power iteration pays exactly ONE exchange (the contribution
-    # aggregate that moves rank mass along edges, which is the
-    # irreducible shuffle of PageRank) instead of three.
+    # result frame is GC'd.  (A repartition-by-src before the checkpoint
+    # was tried and reverted: under AQE the checkpointed LogicalRDD
+    # reports UnknownPartitioning, so the iteration joins re-shuffle
+    # either way and the repartition is one extra pass of the edge set —
+    # see OPTIMIZATION_r11.md.)
     edges = ckpt(
         pairs.select(
             F.explode(
@@ -327,7 +328,6 @@ def pagerank(
         )
         .select("__e.src", "__e.dst")
         .distinct()
-        .repartition(F.col("src"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = ckpt(deg.select("src", "deg"))
@@ -400,14 +400,8 @@ def pagerank_directed(
     # lazy checkpoint instead of persist+unpersist — same reasoning as
     # :func:`pagerank`: the loop is lazy, so the edge set must stay
     # materializable-by-identity for the caller's deferred action.
-    # repartition(src) before the checkpoint — same co-partitioning
-    # contract as :func:`pagerank`: the preserved hash(src) partitioning
-    # makes each iteration's edges x ranks join exchange-free, leaving the
-    # per-dst contribution aggregate as the one shuffle per iteration.
     edges = ckpt(
-        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition(F.col("src"))
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
     nodes = (
