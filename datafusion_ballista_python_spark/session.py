@@ -17,6 +17,8 @@ did not create (the correctness driver passes us its own session).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 # ballista/datafusion config keys -> Spark SQL conf (SURVEY §4)
@@ -43,15 +45,22 @@ _RUNTIME_CONFS = {
     # runtime re-planning: partition coalescing + skew-join splitting
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # coalesce by TARGET SIZE (advisoryPartitionSizeInBytes), not up to the
-    # cluster's default parallelism: the Spark tuning guide's recommended
-    # setting — size-based coalescing keeps reduce partitions in the
-    # efficient range at every scale (tiny intermediate shuffles collapse
-    # to one task instead of `shuffle.partitions` near-empty ones; at real
-    # scale partitions target the advisory size, which is what you want
-    # for shuffle-block efficiency).  Measured ~5% across the bench suite
-    # with identical plans otherwise.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # AQE coalescing policy.  The knob only matters when shuffle data is
+    # SMALL relative to the cluster (coalescing hits its floor); once
+    # post-shuffle partitions exceed advisoryPartitionSizeInBytes — i.e.
+    # any real 100 TB run — both policies target the advisory size and the
+    # flag is inert.  "true" (the upstream default) keeps small shuffles
+    # parallel; "false" (the tuning guide's production recommendation)
+    # collapses them to fewer advisory-sized tasks.  An interleaved
+    # 12-query min-of-3 A/B on the local bench measured "true" 5.6%
+    # faster overall (window-heavy queries like the SCD2 pipeline lose
+    # the most under "false"), so the local default follows the
+    # measurement and the upstream default; set
+    # SPARK_GRAFT_PARALLELISM_FIRST=false on production clusters where
+    # the guide's size-based policy is preferred.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": (
+        os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched Python boundary (UDFs, toPandas, createDataFrame)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
