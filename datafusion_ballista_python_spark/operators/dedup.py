@@ -536,6 +536,68 @@ def jaccard_candidates(
     )
 
 
+def _overlap_prefilter(
+    cands: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    required_overlap,
+) -> DataFrame:
+    """Drop candidate pairs that provably cannot reach ``required_overlap``
+    shared shingles WITHOUT touching the string arrays — the exact
+    ``array_intersect`` over multi-word shingle STRINGS is the dominant
+    verify cost (measured 2.2 s vs 0.6 s on hashed longs for the sf0.1
+    containment candidates), and ~99.7% of candidates fail the threshold,
+    so an integer-array prefilter pays for itself many times over.
+
+    Per doc (computed once off the checkpointed ``sh``): ``__h`` =
+    xxhash64 of each gram, and guard ``__hok`` = "the hash map is
+    injective on this doc's gram set".  When both docs' guards hold,
+    every shared gram contributes a distinct shared hash, so
+    ``|array_intersect(ha, hb)| >= |A∩B|`` and the prefilter keeps a
+    SUPERSET of every pair the exact verify can accept (1e-6 slack so
+    double rounding can only under-prune).  A doc with an internal hash
+    collision (probability ~2^-64) bypasses the prefilter entirely —
+    the exact string verify downstream still decides every surviving
+    pair, so the result set is identical by construction.
+
+    ``required_overlap``: Column over ``__na``/``__nb`` (the raw gram
+    array sizes) giving the minimum |A∩B| the join's threshold implies.
+    """
+    hsh = sh.select(
+        F.col(id_col),
+        F.size("grams").alias("__n"),
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("__h"),
+        F.size(F.array_distinct("grams")).alias("__nd"),
+    ).select(
+        id_col,
+        "__n",
+        "__h",
+        (F.size(F.array_distinct("__h")) == F.col("__nd")).alias("__hok"),
+    )
+    ha = hsh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__n").alias("__na"),
+        F.col("__h").alias("__ha"),
+        F.col("__hok").alias("__oka"),
+    )
+    hb = hsh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__h").alias("__hb"),
+        F.col("__hok").alias("__okb"),
+    )
+    his = F.size(F.array_intersect("__ha", "__hb")).cast("double")
+    keep = (
+        (~F.col("__oka"))
+        | (~F.col("__okb"))
+        | (his >= required_overlap - F.lit(1e-6))
+    )
+    return (
+        cands.join(ha, "doc_a").join(hb, "doc_b").where(keep)
+        .select("doc_a", "doc_b")
+    )
+
+
 def jaccard_join(
     df: DataFrame,
     threshold: float = 0.8,
@@ -607,6 +669,18 @@ def jaccard_join(
         + F.lit(1)
     )
     cands = jaccard_candidates(sh, threshold, id_col=id_col, positional=positional)
+    # hashed-overlap prefilter before the exact verify: J >= t forces
+    # |A∩B| >= t/(1+t) * (|A|+|B|); candidates provably below that bound
+    # (on the cheap integer-hash arrays) never reach the string
+    # array_intersect — see _overlap_prefilter for the result-identity
+    # argument
+    cands = _overlap_prefilter(
+        cands,
+        sh,
+        id_col,
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__na") + F.col("__nb")).cast("double"),
+    )
     # verify against the ALREADY-checkpointed shingle frame instead of
     # re-tokenizing candidate docs from the source (what the LSH variants
     # must do, since they only hold signatures): Jaccard is order-blind,
@@ -735,6 +809,14 @@ def containment_join(
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    # hashed-overlap prefilter before the exact verify: C(A->B) >= t
+    # forces |A∩B| >= t * |A|; candidates provably below that bound (on
+    # the cheap integer-hash arrays) never reach the string
+    # array_intersect — see _overlap_prefilter for the result-identity
+    # argument
+    cands = _overlap_prefilter(
+        cands, sh, id_col, F.lit(threshold) * F.col("__na").cast("double")
     )
     pairs = (
         cands.join(

@@ -2373,3 +2373,41 @@ def test_positional_filter_prunes_late_prefix_candidates(spark):
             ).collect()
         }
         assert got == {(100, 101): 1.0}, (positional, got)
+
+
+def test_overlap_prefilter_is_exact_superset(spark):
+    """The hashed-overlap prefilter (verify-stage fast path of
+    jaccard_join/containment_join) must keep EVERY candidate pair whose
+    exact shared-shingle overlap meets the requirement, and only prune
+    pairs provably below it — on word shingles its decisions must equal
+    the exact string-overlap decisions (xxhash64 is injective in practice;
+    the in-operator __hok guard covers the pathological collision case)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_python_spark.operators.dedup import (
+        _ordered_grams,
+        _overlap_prefilter,
+        with_shingles,
+    )
+
+    rows = [
+        (0, "w1 w2 w3 w4"),          # 4 tokens
+        (1, "w1 w2 w3 zz"),          # overlap 3 with doc 0
+        (2, "w1 aa bb cc"),          # overlap 1 with doc 0
+        (3, "w1 w2 w3 w4"),          # duplicate of doc 0 (overlap 4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = with_shingles(df, "text", 1, "grams").select("doc_id", "grams")
+    sh = _ordered_grams(base, "doc_id", "lex").localCheckpoint()
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], ["doc_a", "doc_b"]
+    )
+    # requirement |A∩B| >= 3 (e.g. containment t=0.75 on 4-gram docs)
+    kept = {
+        (r["doc_a"], r["doc_b"])
+        for r in _overlap_prefilter(
+            cands, sh, "doc_id", F.lit(0.75) * F.col("__na").cast("double")
+        ).collect()
+    }
+    # exact overlaps: (0,1)=3 keep, (0,2)=1 drop, (0,3)=4 keep, (1,2)=1 drop
+    assert kept == {(0, 1), (0, 3)}, kept
