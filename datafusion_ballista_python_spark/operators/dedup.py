@@ -351,9 +351,14 @@ def _verify_exact_jaccard(
     cand_ids = cands.select(F.col(left_col).alias(id_col)).union(
         cands.select(F.col(right_col).alias(id_col))
     )
+    # lazy localCheckpoint: consumed once per pair side below, and each
+    # consumer would otherwise re-run the corpus scan -> semi-join ->
+    # tokenize subtree; the checkpointed frame is only the candidate-pair
+    # members' shingles (O(candidates), tiny next to the corpus).  Lazy so
+    # the caller's single action materializes it without a dedicated job.
     sh = with_shingles(
         source.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, "grams"
-    ).select(F.col(id_col), F.col("grams"))
+    ).select(F.col(id_col), F.col("grams")).localCheckpoint(eager=False)
     pairs = (
         cands.join(
             sh.select(F.col(id_col).alias(left_col), F.col("grams").alias("ga")),
