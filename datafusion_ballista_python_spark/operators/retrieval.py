@@ -71,7 +71,15 @@ def bm25_query_scores(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # qtf: tf restricted to the (broadcast) query term-bag — the only
+    # rows whose df the score ever reads
+    qtf = tf.join(F.broadcast(query_terms.select("term").distinct()), "term")
+    # df per QUERY term only: counts the same docs-per-term integers the
+    # full-vocabulary aggregate would for every term that survives the
+    # query join, and the result is <= |query terms| rows, so it
+    # broadcasts by construction — the corpus-wide term-keyed exchange
+    # (vocabulary-sized at scale) disappears from the plan.
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -86,8 +94,7 @@ def bm25_query_scores(
         + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
     )
     contrib = (
-        tf.join(F.broadcast(query_terms.select("term").distinct()), "term")
-        .join(dfreq, "term")
+        qtf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn("__c", F.round(idf * tf_norm, 6).cast("decimal(25,6)"))
