@@ -2697,11 +2697,11 @@ def _graded_bm25_pool(spark, sf_dir):
     )
     scores = retrieval.bm25_query_scores(cand_docs, qterms)
     pool = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
-    hits = (
-        text._terms(cand_docs, "text", "doc_id")
-        .join(qterms, "term")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("__nq"))
+    # one tokenize pass: rel counts (doc, query term) rows off the same
+    # tf subtree the BM25 score shuffles — see eval_ndcg_retrieval
+    _dl, qtf = retrieval._query_tf_parts(cand_docs, qterms)
+    hits = qtf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nq")
     )
     return pool.join(hits, "doc_id", "left").select(
         F.lit(0).cast("long").alias("qid"),
@@ -2739,11 +2739,16 @@ def eval_ndcg_retrieval(spark, sf_dir):
     )
     scores = retrieval.bm25_query_scores(cand_docs, qterms)
     pool = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
-    hits = (
-        text._terms(cand_docs, "text", "doc_id")
-        .join(qterms, "term")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("__nq"))
+    # graded relevance from the SAME tokenize + (doc, term) aggregation
+    # subtree the BM25 score shuffles (retrieval._query_tf_parts): qtf has
+    # one row per (doc, query term) present, so COUNT(*) == the old
+    # COUNT(DISTINCT term) over the raw token explode — identical rel
+    # integers, one corpus tokenize pass instead of two (the old hits
+    # exchange was keyed by doc_id, the tf exchange by (doc_id, term), so
+    # nothing upstream was shareable between them).
+    _dl, qtf = retrieval._query_tf_parts(cand_docs, qterms)
+    hits = qtf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nq")
     )
     graded = pool.join(hits, "doc_id", "left").select(
         F.lit(0).cast("long").alias("qid"),

@@ -38,6 +38,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _query_tf_parts(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The two frames every query-side lexical scorer needs, built from ONE
+    tokenize pass: ``dl`` (per-doc token length) and ``qtf`` (per-doc term
+    frequency restricted to the broadcast query term-bag).  Shared so a
+    caller that needs BOTH a BM25 score and another per-doc query-term
+    statistic (e.g. the NDCG entry's graded relevance = distinct query
+    terms present) derives them from the same ``tf`` aggregation subtree —
+    Spark's exchange reuse then runs the corpus tokenize + (id, term)
+    shuffle once, where independently-built frames would tokenize the
+    corpus once per consumer (the exchanges are keyed differently, so only
+    an identical upstream subtree is shareable)."""
+    from .text import _terms
+
+    terms = _terms(docs, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # qtf: tf restricted to the (broadcast) query term-bag — the only
+    # rows whose df the score ever reads
+    qtf = tf.join(F.broadcast(query_terms.select("term").distinct()), "term")
+    return dl, qtf
+
+
 def bm25_query_scores(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -64,16 +93,7 @@ def bm25_query_scores(
 
     Returns ``(id_col, bm25)`` with ``bm25`` a 6-decimal double.
     """
-    from .text import _terms
-
-    terms = _terms(docs, text_col, id_col)
-    tf = terms.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    # qtf: tf restricted to the (broadcast) query term-bag — the only
-    # rows whose df the score ever reads
-    qtf = tf.join(F.broadcast(query_terms.select("term").distinct()), "term")
+    dl, qtf = _query_tf_parts(docs, query_terms, text_col, id_col)
     # df per QUERY term only: counts the same docs-per-term integers the
     # full-vocabulary aggregate would for every term that survives the
     # query join, and the result is <= |query terms| rows, so it
