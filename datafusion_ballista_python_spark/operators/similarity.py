@@ -1006,29 +1006,40 @@ def embed_covariance(
     if method != "exact":
         raise ValueError(f"embed_covariance: unknown method {method!r}")
 
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(dim - 1)),
-                    lambda j: F.struct(
-                        i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
-                        (
-                            F.element_at(v, i + 1) * F.element_at(v, j + 1)
-                        )
-                        .cast("double")
-                        .alias("xy"),
-                    ),
-                ),
-            )
-        )
-    ).alias("p")
+    # Pair generation via two chained posexplodes over a dim-padded copy of
+    # the vector, filtered j >= i.  The original nested
+    # transform/flatten/explode built dim*(dim+1)/2 structs per row through
+    # INTERPRETED higher-order functions (HOFs are CodegenFallback) — the
+    # r11 A/B (tools/ab_covariance.py) measured it at 1.71 s vs 0.40 s for
+    # this Generate-based form at sf0.1, with bit-identical (i, j, sxy, n)
+    # aggregates.  The one remaining HOF is the per-ROW pad/truncate
+    # transform (dim evals per row, not dim^2): element_at keeps the exact
+    # out-of-range/NULL semantics of the old form, so ragged or
+    # NULL-element vectors produce the same (xy, count) multiset —
+    # posexplode emits NULL elements as rows, and a too-short vector still
+    # yields all dim positions with NULL products, exactly as element_at
+    # did per pair.  Unlike a constant-index-array Generate (variant D,
+    # 78 s: it copied the vector into every generated pair row) the
+    # generated rows here are narrow (int, float), and both Generates,
+    # the filter and the partial aggregation run inside one
+    # WholeStageCodegen span.
+    padded = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.element_at(v, i + 1)
+    )
     sums = (
-        df.select(pair)
-        .select("p.i", "p.j", "p.xy")
+        df.select(padded.alias("__p"))
+        .select("__p", F.posexplode("__p").alias("__i", "__xi"))
+        .select(
+            F.col("__i").cast("int").alias("i"),
+            F.col("__xi"),
+            F.posexplode("__p").alias("__j", "__xj"),
+        )
+        .where(F.col("__j") >= F.col("__i"))
+        .select(
+            "i",
+            F.col("__j").cast("int").alias("j"),
+            (F.col("__xi") * F.col("__xj")).cast("double").alias("xy"),
+        )
         .groupBy("i", "j")
         .agg(
             F.sum(F.col("xy").cast("decimal(25,6)")).cast("double").alias("sxy"),

@@ -106,3 +106,98 @@ def test_pca_k_out_of_range(emb):
         pca_project(emb, k=65)
     with pytest.raises(ValueError, match="out of range"):
         pca_project(emb, k=0)
+
+
+def test_exact_generator_matches_hof_on_ragged_input(spark):
+    """r11 pinned equivalence: the posexplode pair generator must produce
+    the same (i, j, sxy, n) aggregates as the original nested-HOF
+    formulation for EVERY input shape — ragged vectors, NULL elements,
+    NULL vectors — not just the fixed-dim corpus (where the oracle pins
+    it).  Rebuilds the pre-r11 expression inline as the reference."""
+    from pyspark.sql import functions as F
+
+    dim = 4
+    df = spark.createDataFrame(
+        [
+            ([1.0, 2.0, 3.0, 4.0],),
+            ([5.0, None, 7.0, 8.0],),   # NULL element
+            (None,),                     # NULL vector
+            ([1.5, 2.5, 3.5, 4.5, 9.9],),  # longer than dim: truncated
+        ],
+        "embedding array<float>",
+    )
+    v = F.col("embedding")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.element_at(v, i + 1) * F.element_at(v, j + 1))
+                        .cast("double")
+                        .alias("xy"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    ref_sums = (
+        df.select(pair)
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xy").cast("decimal(25,6)")).cast("double").alias("sxy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    ref = sorted(
+        (r["i"], r["j"], r["sxy"], r["n"]) for r in ref_sums.collect()
+    )
+    got = sorted(
+        (r["i"], r["j"], r["cov"])
+        for r in embed_covariance(df, dim=dim, method="exact").collect()
+    )
+    # cov = sxy/n - mean_i * mean_j, so equality of the full cov frame
+    # pins equality of the (sxy, n) aggregates the generator feeds; compute
+    # the reference cov off the HOF sums with the same means/assemble.
+    means = (
+        df.select(
+            F.posexplode(F.transform(v, lambda x: x.cast("double"))).alias(
+                "mi", "x"
+            )
+        )
+        .groupBy("mi")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+    )
+    from datafusion_ballista_python_spark.operators.similarity import (
+        _assemble_cov,
+    )
+
+    want = sorted(
+        (r["i"], r["j"], r["cov"])
+        for r in _assemble_cov(ref_sums, means, 6).collect()
+    )
+    assert got == want
+    assert len(ref) == dim * (dim + 1) // 2  # every pair present despite NULLs
+
+
+def test_exact_short_vector_raises_like_old_form(spark):
+    """A vector SHORTER than dim raised INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    under ANSI in the pre-r11 nested-HOF form (element_at past the end);
+    the posexplode generator pads with the same element_at, so the error
+    surface is unchanged."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    import pyspark
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<float>")
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|out of bounds"):
+        embed_covariance(df, dim=4, method="exact").collect()

@@ -10,6 +10,12 @@ B) literal inline: one CreateArray of dim*(dim+1)/2 struct expressions
 C) posexplode + slice/transform (single-level HOF)
 D) constant (i, j) index-pair array exploded, element_at after the Generate
    (no HOFs, small plan, carries the vector through the Generate)
+F) two chained posexplodes over a dim-padded copy of the vector, filtered
+   j >= i (codegen Generates; the only HOF is ONE per-row transform that
+   pads/truncates to dim with the same element_at semantics as A, so the
+   (i, j, xy, count) multiset is identical for ANY input, ragged included;
+   unlike D the per-pair rows are narrow — the vector never rides a
+   generated row)
 """
 from __future__ import annotations
 
@@ -100,6 +106,24 @@ def pairs_d(df, v):
     )
 
 
+def pairs_f(df, v):
+    padded = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)), lambda i: F.element_at(v, i + 1)
+    )
+    a = df.select(padded.alias("__p"))
+    b = a.select("__p", F.posexplode("__p").alias("i", "__xi"))
+    c = b.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("__xi"),
+        F.posexplode("__p").alias("j", "__xj"),
+    ).where(F.col("j") >= F.col("i"))
+    return c.select(
+        "i",
+        F.col("j").cast("int").alias("j"),
+        (F.col("__xi") * F.col("__xj")).cast("double").alias("xy"),
+    )
+
+
 def sums_of(pairs):
     return pairs.groupBy("i", "j").agg(
         F.sum(F.col("xy").cast("decimal(25,6)")).cast("double").alias("sxy"),
@@ -131,7 +155,13 @@ def main() -> None:
     import json
 
     names = os.environ.get("AB_COV_VARIANTS", "A,B,C,D").split(",")
-    all_variants = {"A": pairs_a, "B": pairs_b, "C": pairs_c, "D": pairs_d}
+    all_variants = {
+        "A": pairs_a,
+        "B": pairs_b,
+        "C": pairs_c,
+        "D": pairs_d,
+        "F": pairs_f,
+    }
     variants = {n: all_variants[n] for n in names}
     del json
 
@@ -167,6 +197,60 @@ def main() -> None:
             res[name].append(time.perf_counter() - t0)
     for name, s in res.items():
         print(f"{name}: min={min(s):.3f} {['%.2f' % x for x in s]}")
+
+    # bench-shape timing: the FULL corpus query (sums + means + assemble +
+    # orderBy) under the bench's count() action, which prunes the unused
+    # aggregate expressions — the noop numbers above include decimal-sum
+    # work the bench never pays, so this is the number that predicts the
+    # bench delta.
+    def full(fn, frame):
+        vv = F.col("embedding")
+        sums = sums_of(fn(frame, vv))
+        means = (
+            frame.select(
+                F.posexplode(
+                    F.transform(vv, lambda x: x.cast("double"))
+                ).alias("mi", "x")
+            )
+            .groupBy("mi")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+        )
+        mj = means.select(
+            F.col("mi").alias("mj_i"), F.col("mean").alias("mean_j")
+        )
+        return (
+            sums.join(F.broadcast(means), sums["i"] == means["mi"])
+            .join(F.broadcast(mj), sums["j"] == mj["mj_i"])
+            .select(
+                "i",
+                "j",
+                (
+                    F.round(
+                        F.col("sxy") / F.col("n")
+                        - F.col("mean") * F.col("mean_j"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("cov"),
+            )
+            .orderBy("i", "j")
+        )
+
+    for fn in ok.values():
+        full(fn, tiny).count()
+    resf = {k: [] for k in ok}
+    for rep in range(4):
+        for name, fn in ok.items():
+            t0 = time.perf_counter()
+            full(fn, emb).count()
+            resf[name].append(time.perf_counter() - t0)
+    for name, s in resf.items():
+        print(f"full-{name}: min={min(s):.3f} {['%.2f' % x for x in s]}")
     spark.stop()
 
 
