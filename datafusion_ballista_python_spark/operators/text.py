@@ -568,19 +568,38 @@ def _maximal_spans_from_toks(
     """maximal_repeated_spans body over a pre-materialized (id, __t)
     token frame — shared with remove_repeated_spans so the corpus-wide
     tokenization is paid once across both span derivation and removal."""
-    from .training import _ngrams
-
-    anchors = toks.select(
-        F.col(id_col),
-        F.posexplode(_ngrams(F.col("__t"), n)).alias("__pos", "__span"),
+    # Anchor assembly + hot filter, r11 form (tools/ab_spans.py: 1.43 s ->
+    # 0.60 s at sf0.1, identical rows).  Two changes vs the original
+    # explode(_ngrams(...)) + aggregate + join:
+    # (1) codegen assembly — posexplode the token array once and build each
+    #     anchor span with n element_at's in codegen, instead of the
+    #     interpreted HOF transform/slice per position (HOFs are
+    #     CodegenFallback); the k + n <= size filter runs before the
+    #     element_at projection, so out-of-range access cannot occur and
+    #     docs shorter than n contribute nothing, exactly like _ngrams'
+    #     empty-array branch;
+    # (2) hot positions via COUNT() OVER (PARTITION BY __span) — the old
+    #     aggregate + equi-join shipped the anchor subtree through TWO
+    #     exchanges and (because the agg and join map stages differ) built
+    #     the anchor assembly twice; the window attaches the corpus count
+    #     in the single span-keyed exchange, one assembly pass total.  The
+    #     Zipf-head skew exposure is unchanged: the join's probe output for
+    #     a hot span landed on one reducer under the old shape too.
+    span = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("__t"), F.col("__k") + i + 1) for i in range(n)],
     )
-    hot = (
-        anchors.groupBy("__span")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    anchors = (
+        toks.select(F.col(id_col), "__t", F.posexplode("__t").alias("__k", "__x"))
+        .where(F.col("__k") + n <= F.size("__t"))
+        .select(F.col(id_col), F.col("__k").alias("__pos"), span.alias("__span"))
+    )
+    wh = Window.partitionBy("__span")
+    hot_pos = (
+        anchors.withColumn("__c", F.count(F.lit(1)).over(wh))
         .where(F.col("__c") >= min_count)
-        .select("__span")
+        .select(id_col, "__pos")
     )
-    hot_pos = anchors.join(hot, "__span").select(id_col, "__pos")
     w = Window.partitionBy(id_col).orderBy("__pos")
     runs = (
         hot_pos.withColumn("__g", F.col("__pos") - F.row_number().over(w))
