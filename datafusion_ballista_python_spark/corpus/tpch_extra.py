@@ -799,7 +799,7 @@ def q21_suppliers_waiting(spark, sf_dir):
 
     The oracle keeps the canonical EXISTS / NOT-EXISTS formulation; the
     Spark plan is the single-scan rewrite — per-(order, supplier) grain
-    with per-order window counts:
+    collapsed to per-order counts:
 
       late(l1) AND EXISTS(other supp)      <=> n_supp > 1
       AND NOT EXISTS(other late supp)      <=> n_late_supp = 1
@@ -807,10 +807,10 @@ def q21_suppliers_waiting(spark, sf_dir):
     so the hash-match doubles as a proof of the rewrite's equivalence.
     Scale: ONE lineitem scan joined against the 3-column orders
     projection.  At scale that join is sort-merge on orderkey, and both
-    the (order, supp) aggregate and the per-order window counts reuse
-    its hash(l_orderkey) partitioning (a subset of the group keys
-    satisfies the clustering requirement) — no further full-size
-    exchange.  At bench scale orders broadcasts instead, which trades
+    the (order, supp) aggregate and the order-grain aggregate that
+    replaces the former window pass reuse its hash(l_orderkey)
+    partitioning (a subset / prefix of the group keys satisfies the
+    clustering requirement) — no further full-size exchange and no sort.  At bench scale orders broadcasts instead, which trades
     those savings for two skinny-row exchanges; that is the right trade
     in both regimes, so no join hint is forced.  The nation-filtered
     supplier dim broadcasts into the tiny qualifying set.
@@ -850,16 +850,32 @@ def q21_suppliers_waiting(spark, sf_dir):
             F.sum("__late").alias("late_rows"),
         )
     )
-    w = Window.partitionBy("l_orderkey")
+    # Order-grain aggregate instead of the per-order window pair (r11,
+    # tools/ab_q21.py: identical 37-row output, 0.76 -> 0.70 s noop at
+    # sf0.1): the window computed n_supp / n_late_supp per (order, supp)
+    # row and then FILTERED to the single late supplier — but when exactly
+    # one supplier in the order is late, max(when(late, sk)) IS that
+    # supplier and sum(when(late, late_rows)) is its late-line count, so a
+    # second HashAggregate to l_orderkey grain answers the same question
+    # without the Window operator's full sort of the (order, supp) frame.
+    # It rides the same hash(l_orderkey) exchange the first aggregate
+    # established (group key is a prefix of the clustering), so the plan
+    # keeps ONE data-sized exchange and drops the Sort + Window entirely —
+    # at scale that is a sort of billions of rows replaced by a hash
+    # aggregate.  __isF is constant across the order's suppliers, so
+    # max(__isF) carries the status flag to order grain unchanged.
+    late = F.col("late_rows") > 0
     qual = (
-        g.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_late_supp",
-            F.sum(F.when(F.col("late_rows") > 0, 1).otherwise(0)).over(w),
+        g.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(late.cast("int")).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("l_suppkey"),
+            F.sum(F.when(late, F.col("late_rows"))).alias("late_rows"),
+            F.max("__isF").alias("__isF"),
         )
         .filter(
-            (F.col("late_rows") > 0)
-            & (F.col("n_supp") > 1)
+            (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
             & (F.col("__isF") == 1)
         )
