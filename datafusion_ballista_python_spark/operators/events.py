@@ -187,9 +187,9 @@ def scd2_history(
     point-in-time joins against (with the as-of join, operators/asof.py).
 
     Three windows, ALL keyed on the dimension key (lag to detect value
-    changes, running sum to group runs, lead for the interval end) and
-    one (key, run) aggregate: everything shuffles once on the key;
-    dimension keys are many and small so no skew concern.  Ordering
+    changes, running sum to group runs, lead for the interval end), and
+    a row FILTER to the run-start rows: everything shuffles once on the
+    key; dimension keys are many and small so no skew concern.  Ordering
     within a key is (ts, tiebreak) so same-timestamp changes resolve
     deterministically on both engines.
     """
@@ -215,12 +215,25 @@ def scd2_history(
             "__run",
             F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
         )
-        .groupBy(key_col, "__run")
-        .agg(
-            # attr is constant within a run; min() keeps the aggregate
-            # order-insensitive (first() would depend on partition order)
-            F.min(attr_col).alias(attr_col),
-            F.min(ts_col).alias("valid_from"),
+        .withColumn("__rn", F.row_number().over(w))
+        # One interval per run via the run-START rows, not a (key, run)
+        # aggregate (r11): attr is constant within a run BY CONSTRUCTION
+        # (any change increments __run), and the start row — being first
+        # in the (ts, tiebreak) order — carries the run's MIN timestamp,
+        # so filtering reproduces exactly the old MIN(attr)/MIN(ts) rows.
+        # The old aggregate's STRING buffer (min over attr) is not
+        # hash-aggregable, so Spark fell back to SortAggregate: the plan
+        # paid partial+final SortAggregates plus their Sort of the change
+        # log.  The filter is free — it rides the Window's output.  A run
+        # starts where __chg = 1, plus the key's FIRST row for the
+        # leading-NULL-attr run 0 (eqNullSafe(NULL, lag=NULL) is true
+        # there, so its __chg is 0); row_number shares the Window spec.
+        .where((F.col("__chg") == 1) | (F.col("__rn") == 1))
+        .select(
+            F.col(key_col),
+            F.col("__run"),
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
         )
     )
     w2 = Window.partitionBy(key_col).orderBy("valid_from", "__run")
