@@ -27,18 +27,44 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, min_s, max_s,
     n_distinct).  min/max are string-rendered so heterogeneous column
-    types fit one result schema; all metrics come from a single
-    aggregate (one scan, map-side partials)."""
+    types fit one result schema.
+
+    Counts, null counts, count_distincts and NON-string min/max come
+    from one aggregate; STRING min/max are split into a side aggregate
+    cross-joined back (two 1-row frames).  Why (r11): a string MIN/MAX
+    buffer is not hash-aggregable, and because Spark plans multiple
+    COUNT(DISTINCT) via Expand, that one string buffer dragged EVERY
+    phase of the (cols+1)x-expanded distinct pipeline into SortAggregate
+    — those phases group by (gid, value), so they each paid a real Sort
+    of the expanded rows.  Split, the distinct pipeline is all
+    HashAggregate (plan: SortAggregate 4 -> 2 on the 4-column profile),
+    and the side aggregate — grouping-free, so its SortAggregate
+    streams without sorting — re-scans only the string columns
+    (columnar projection).  Sorting (cols+1)x the corpus against
+    re-scanning two pruned columns is the same trade at every scale."""
     cols = list(cols or df.columns)
+    stypes = dict(df.dtypes)
+    str_cols = [c for c in cols if stypes.get(c) == "string"]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
         ]
+        if c not in str_cols:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
     wide = df.agg(*aggs)
+    if str_cols:
+        saggs = []
+        for c in str_cols:
+            saggs += [
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        wide = wide.crossJoin(F.broadcast(df.agg(*saggs)))
     per_col = F.array(
         *[
             F.struct(
