@@ -272,19 +272,22 @@ def tfidf_top_terms(
 
     Scale shape: term explode feeds a map-side-partial (doc, term) count
     (Zipf-skewed hot terms collapse before the shuffle); document
-    frequency is a second partial agg on term; the tf<->df join shuffles
-    both sides on term (vocabulary is too big to broadcast at corpus
-    scale — let AQE broadcast when it is small); the corpus size N is a
-    1-row broadcast; the final per-doc top-k is one window shuffle on
-    doc id.  No driver-side collect anywhere.
+    frequency rides ONE term-keyed exchange as COUNT() OVER (PARTITION BY
+    term) — the r11 window form (same as _ordered_grams): the previous
+    separate df aggregate + tf<->df join re-shuffled the tf table by term
+    ANYWAY whenever the vocabulary was too big to broadcast, so the
+    window pays the same exchange while deleting the second tf pass and
+    the join (A/B: 0.70 -> 0.65 s at sf0.1, identical rows); the corpus
+    size N is a 1-row broadcast; the final per-doc top-k is one window
+    shuffle on doc id.  No driver-side collect anywhere.
     """
     terms = _terms(df, text_col, id_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     idf = F.log((F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1)) + 1
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
     )
@@ -309,15 +312,22 @@ def bm25_top_terms(
 
     Same shuffle shape as :func:`tfidf_top_terms` plus a per-doc length
     aggregate; (N, avgdl) reduce to a 1-row broadcast so the length
-    normalization is map-side.
+    normalization is map-side.  r11: df and dl attach as window
+    aggregates — df in the term-keyed exchange (see tfidf_top_terms),
+    dl in the SAME doc-keyed exchange the final rank window needs — so
+    both join-back passes over tf are gone (A/B: 1.01 -> 0.89 s at
+    sf0.1, identical rows); the dl branch survives only as the 1-row
+    (n_docs, avgdl) stats aggregate.
     """
     terms = _terms(df, text_col, id_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    stats = (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     )
     idf = F.log(
         1
@@ -328,9 +338,11 @@ def bm25_top_terms(
         F.col("tf")
         + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
     )
+    wt = Window.partitionBy("term")
+    wd = Window.partitionBy(id_col)
     scored = (
-        tf.join(dfreq, "term")
-        .join(dl, id_col)
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
+        .withColumn("dl", F.sum("tf").over(wd).cast("long"))
         .crossJoin(F.broadcast(stats))
         .withColumn("bm25", F.round(idf * tf_norm, 6))
     )
