@@ -6,12 +6,24 @@ conservation laws."""
 
 import math
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from datafusion_ballista_python_spark.operators import quality, training
+
+
+def _engine_round6(x: float) -> float:
+    """Replicate Spark/DuckDB ROUND on a double: HALF_UP over the value's
+    SHORTEST decimal representation (Spark rounds BigDecimal(double),
+    which goes through Double.toString).  Python's round() uses the exact
+    binary value with half-even ties — on a quotient landing exactly on a
+    6dp decimal midpoint (e.g. f1 = 0.1666665 from rounded p = 0.333333,
+    r = 0.111111) the two DISAGREE by one ulp of the rounding, which is
+    the divergence hypothesis found in round 11."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 SETTINGS = dict(
     max_examples=15,
@@ -29,10 +41,10 @@ words = st.lists(
 def _brute_rouge1(cand, ref):
     cc, rc = Counter(cand), Counter(ref)
     ov = sum(min(cc[g], rc[g]) for g in cc)
-    p = round(ov / len(cand), 6) if cand else None
-    r = round(ov / len(ref), 6) if ref else None
+    p = _engine_round6(ov / len(cand)) if cand else None
+    r = _engine_round6(ov / len(ref)) if ref else None
     f1 = (
-        round(2 * p * r / (p + r), 6)
+        _engine_round6(2 * p * r / (p + r))
         if p is not None and r is not None and (p + r) > 0
         else None
     )
@@ -41,6 +53,10 @@ def _brute_rouge1(cand, ref):
 
 @settings(**SETTINGS)
 @given(cand=words, ref=words)
+# the 6dp-midpoint example hypothesis found in r11 (f1 = 0.1666665 from
+# the rounded p/r): pinned so the engine-vs-python rounding divergence
+# the reference must replicate stays covered on every run
+@example(cand=["cat", "dog", "dog"], ref=["cat"] * 9)
 def test_rouge1_matches_bruteforce(spark, cand, ref):
     df = spark.createDataFrame(
         [(0, " ".join(cand), " ".join(ref))], "doc_id long, cand string, ref string"
