@@ -821,32 +821,35 @@ def q21_suppliers_waiting(spark, sf_dir):
     from pyspark.sql import Window
 
     t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    # o_orderstatus = 'F' is pushed to the ORDERS SCAN (r12): the status
+    # is an attribute of the order, constant across every lineitem the
+    # inner join keeps, and the EXISTS/NOT-EXISTS subqueries only range
+    # over lineitems of the SAME order — so dropping non-F orders before
+    # the join removes exactly the orders the old order-grain
+    # max(__isF) == 1 filter discarded at the end, with every surviving
+    # order's n_supp / n_late_supp / late_rows computed from the same
+    # rows.  ~half the orders (and their lineitems) now never reach the
+    # join, the repartition exchange, or either aggregate, and the
+    # predicate lands in the scan's PushedFilters.
     lo = t["lineitem"].df.select("l_orderkey", "l_suppkey", "l_shipdate").join(
-        t["orders"].df.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        t["orders"].df.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     is_late = (
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
-    # __isF as an int BEFORE the aggregate: the original max(o_orderstatus)
-    # carried a STRING aggregation buffer, which is not hash-aggregable —
-    # Spark fell back to SortAggregate, paying two full sorts of the
-    # joined lineitem rows.  o_orderstatus is constant within a
-    # (l_orderkey, l_suppkey) group (it is an attribute of the order the
-    # group key names), so max(status) == 'F'  <=>  max((status='F')::int)
-    # == 1 — same rows out, and the int buffer restores HashAggregate.
     # The explicit repartition on l_orderkey alone establishes ONE
-    # exchange that satisfies both the aggregate (clustering by a
-    # superset-keyed group (ok, sk) accepts hash(ok)) and the two window
-    # passes (partitionBy ok) — the groupBy's natural hash(ok, sk)
-    # partitioning would force the window to re-exchange everything.
+    # exchange that satisfies both this aggregate (clustering by a
+    # superset-keyed group (ok, sk) accepts hash(ok)) and the order-grain
+    # aggregate below — the groupBy's natural hash(ok, sk) partitioning
+    # would force a second data-sized exchange.
     g = (
         lo.withColumn("__late", is_late)
-        .withColumn("__isF", (F.col("o_orderstatus") == "F").cast("int"))
         .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.max("__isF").alias("__isF"),
             F.sum("__late").alias("late_rows"),
         )
     )
@@ -862,8 +865,8 @@ def q21_suppliers_waiting(spark, sf_dir):
     # established (group key is a prefix of the clustering), so the plan
     # keeps ONE data-sized exchange and drops the Sort + Window entirely —
     # at scale that is a sort of billions of rows replaced by a hash
-    # aggregate.  __isF is constant across the order's suppliers, so
-    # max(__isF) carries the status flag to order grain unchanged.
+    # aggregate.  (The former max(__isF) order-status carry is gone: the
+    # status filter now lives in the orders scan above.)
     late = F.col("late_rows") > 0
     qual = (
         g.groupBy("l_orderkey")
@@ -872,13 +875,8 @@ def q21_suppliers_waiting(spark, sf_dir):
             F.sum(late.cast("int")).alias("n_late_supp"),
             F.max(F.when(late, F.col("l_suppkey"))).alias("l_suppkey"),
             F.sum(F.when(late, F.col("late_rows"))).alias("late_rows"),
-            F.max("__isF").alias("__isF"),
         )
-        .filter(
-            (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
-            & (F.col("__isF") == 1)
-        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     sup = t["supplier"].df.join(
         F.broadcast(
