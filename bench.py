@@ -312,12 +312,38 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # Scaling-probe mode (r11 verdict item #2): the default 16 shuffle
+    # partitions keep BASELINE.md reference parity for the headline
+    # artifact, but they also saturate at 8 cores on sf0.1 stages, so the
+    # driver's low-core/high-core probe reads ~1 everywhere
+    # (PERF_r11.json scaling block, suspect_cpus_ignored).  Under
+    # SPARK_GRAFT_SCALING=1 the shuffle partition count is pinned at a
+    # FIXED 64 (= 2x the high core count) for EVERY core count, so the
+    # low/high-core comparison varies exactly one thing — cores.  (The
+    # first formulation, partitions = 2x cpus per run, conflated task
+    # count with core count: the c8/16-partition run beat the
+    # c32/64-partition run outright because sf0.1 stages are scheduling-
+    # overhead-bound, plans/r12/BENCH_scaling_*.  A fixed task count
+    # exposes the core effect; a still-flat ratio then means the query
+    # genuinely has less than 8 cores of work at this SF, which is the
+    # honest reading, not a harness artifact.)  The headline run (flag
+    # unset) is byte-compatible with every previous round.
+    scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1"
+    try:
+        shuffle_parts = (
+            int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "64"))
+            if scaling
+            else 16
+        )
+    except ValueError:
+        shuffle_parts = 16
+
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the driver records the LAST line of stdout as
@@ -429,6 +455,8 @@ def main() -> None:
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                **({"scaling": 1, "shuffle_partitions": shuffle_parts}
+                   if scaling else {}),
             },
             fh,
             indent=1,
@@ -454,6 +482,10 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        # only present under SPARK_GRAFT_SCALING=1 — the headline line is
+        # byte-compatible with previous rounds when the flag is unset
+        **({"scaling": 1, "shuffle_partitions": shuffle_parts}
+           if scaling else {}),
     }
     # Degradation ladder: the driver records only the last ~2000 chars of
     # stdout, so the line must fit.  Shed information in order of least
