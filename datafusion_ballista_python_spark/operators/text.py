@@ -896,10 +896,25 @@ def bigram_perplexity(
     DECIMAL(25,6) scaled by the per-(doc,bigram) frequency.
 
     Scale shape: bigrams collapse to per-(doc, prev, w) counts map-side
-    before any shuffle; the model tables are two partial-agg shuffles
-    (bigram key, context key); N is a 1-row broadcast; joins shuffle on
-    the bigram/context keys (AQE broadcasts a small vocab).  Zero
-    Python, no per-doc window — bigrams come from the array self-zip.
+    before any shuffle; the context tables cb = c(prev,w) and
+    cp = c(prev,·) attach as SUM windows riding ONE explicit
+    repartition(p) of the btf frame (hash(p) clusters (p, w) too, and
+    the (p, w) window's sort already satisfies the (p) window — one
+    exchange, one sort, both tables).  The former join formulation paid
+    full btf-grain exchanges on (p, w) for the cb join AND on (p) for
+    the cp join — including the same Zipf-head hash(p) exchange the
+    window needs, since hash(p, w) partitioning cannot satisfy a join on
+    p — plus the model-table aggregation shuffles (r12 A/B:
+    tools/ab_bigram.py, locally flat 1.96 vs 1.90 s, identical rows,
+    Exchange refs 32 -> 20, model-table joins gone from the plan).
+    Known trade: a window partition cannot be AQE-skew-split, but
+    neither could the joins it replaces — an aggregate sits between each
+    join and its shuffle stage, so OptimizeSkewedJoin's pattern never
+    matches (verified mechanically in the r12 skew work, dedup.py
+    _ordered_grams) — and the join form paid the same hot-p exchange
+    anyway.  The unigram term c(w) remains a join (it derives from the
+    token explode, not from btf); N is a 1-row broadcast.  Zero Python,
+    no per-doc window — bigrams come from the array self-zip.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
@@ -917,14 +932,21 @@ def bigram_perplexity(
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.p").alias("p"), F.col("__bg.w").alias("w"))
     btf = bg.groupBy(id_col, "p", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    # the context-count tables DERIVE from btf (sum of per-doc bigram tfs
-    # == corpus bigram count; cp further collapses cb), so the tokenize +
-    # bigram zip-explode subtree is built once and its exchange reused —
-    # the previous shape re-ran it once per aggregation branch.  Same for
-    # the unigram side: one explode feeds c_w, and the corpus token total
-    # is the sum of c_w (identical integer), not a second explode pass.
-    cb = btf.groupBy("p", "w").agg(F.sum("tf").cast("long").alias("cb"))
-    cp = cb.groupBy("p").agg(F.sum("cb").cast("long").alias("cp"))
+    # context tables as SUM windows over ONE hash(p) exchange (see the
+    # docstring's scale-shape paragraph): cb = SUM(tf) OVER (p, w) and
+    # cp = SUM(tf) OVER (p) are the same integers the former
+    # groupBy-derived tables carried (window sum == group sum over
+    # identical rows), attached without the (p, w)- and (p)-keyed join
+    # exchanges.  The unigram side is unchanged: one explode feeds c_w,
+    # and the corpus token total is the sum of c_w (identical integer),
+    # not a second explode pass.
+    from pyspark.sql import Window
+
+    ctx = (
+        btf.repartition(F.col("p"))
+        .withColumn("cb", F.sum("tf").over(Window.partitionBy("p", "w")))
+        .withColumn("cp", F.sum("tf").over(Window.partitionBy("p")))
+    )
     c_w = (
         d.select(F.explode("__t").alias("w"))
         .groupBy("w")
@@ -936,9 +958,7 @@ def bigram_perplexity(
     ) * (F.col("c").cast("double") / F.col("n"))
     bits = F.round(-F.log(prob) / F.log(F.lit(2.0)), 6)
     scored = (
-        btf.join(cb, ["p", "w"])
-        .join(cp, "p")
-        .join(c_w, "w")
+        ctx.join(c_w, "w")
         .crossJoin(F.broadcast(total))
         .withColumn("__bits", F.col("tf") * bits.cast("decimal(25,6)"))
     )
