@@ -398,15 +398,24 @@ def unigram_perplexity(
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    # self-trained model counts derive from tf (sum of per-doc term
-    # frequencies == corpus term count), not from a second aggregation of
-    # the raw terms frame: the tf subtree's exchange is reused by
-    # ReuseExchange, so the corpus is tokenized once instead of once per
-    # aggregation branch — identical counts, one fewer full scan+explode.
+    # self-trained model counts from a SECOND aggregation of the raw
+    # terms frame (identical integers: corpus term count == sum of
+    # per-doc tfs).  The r11 round derived counts from tf instead
+    # (counts = tf.groupBy(term).sum(tf)) to save this branch's
+    # tokenize+explode; the r12 tripwire A/B (tools/ab_ppl_buckets.py)
+    # measured that form a real 1.26x regression on the composing
+    # perplexity_buckets entry and neutral on the solo entry: deriving
+    # from tf SERIALIZES the counts branch behind tf's (id, term)
+    # exchange (tokenize -> X(id,term) -> agg -> X(term) on the critical
+    # path), while the independent branch here runs CONCURRENTLY with
+    # the tf branch and partial-aggregates map-side before its one
+    # skinny vocabulary exchange — no extra shuffled bytes, just a
+    # second pass over the pruned text column, which is this repo's
+    # standing cheaper-at-scale trade (cf. fuzzy_levenshtein).
     counts = (
         lm.select("term", F.col("c").cast("long").alias("c"))
         if lm is not None
-        else tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+        else terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
     bits = F.round(
