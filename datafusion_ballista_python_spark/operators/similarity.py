@@ -629,14 +629,20 @@ def ivfpq_topk(
     )
     if rerank is None:
         return topped
-    # refine: exact cosine over the R-row shortlist only
+    # refine: exact cosine over the R-row shortlist only.  The candidate
+    # norm is computed AFTER the id join (r12): _with_norm before the
+    # join ran the interpreted 64-element dot fold over EVERY candidate
+    # row and then discarded all but the shortlist — post-join it touches
+    # R rows per query, which is the memory/CPU story the docstring
+    # promises (a shortlist member probed by several queries re-folds its
+    # norm once per query row, but R x queries << corpus at every scale).
     shortlist = topped.drop("cos_sim").join(
         F.broadcast(_with_norm(queries, query_vec, "__qn")), on=query_id
     )
     refined = shortlist.join(
-        _with_norm(candidates.select(id_col, vec_col), vec_col, "__cn"),
+        candidates.select(id_col, vec_col),
         on=id_col,
-    )
+    ).withColumn("__cn", norm(F.col(vec_col)))
     exact_sim = F.round(
         dot(F.col(query_vec), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 4
     )
