@@ -41,7 +41,16 @@ def profile_table(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFr
     and the side aggregate — grouping-free, so its SortAggregate
     streams without sorting — re-scans only the string columns
     (columnar projection).  Sorting (cols+1)x the corpus against
-    re-scanning two pruned columns is the same trade at every scale."""
+    re-scanning two pruned columns is the same trade at every scale.
+
+    Two-scan assumption (advisor note): the split means ``df`` is
+    evaluated twice, so the string min/max are internally consistent
+    with the counts only for DETERMINISTIC inputs (a stable table /
+    file scan — the profiling use case).  If ``df`` embeds
+    non-deterministic expressions or reads data mutating between scans,
+    persist/checkpoint it before calling; the operator does not do so
+    itself because pinning an arbitrary-width corpus to save one
+    columnar re-scan is the wrong default at scale."""
     cols = list(cols or df.columns)
     stypes = dict(df.dtypes)
     str_cols = [c for c in cols if stypes.get(c) == "string"]

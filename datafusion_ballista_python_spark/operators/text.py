@@ -10,6 +10,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Eagerness of the span pipelines' token-frame checkpoint; module-level
+# so tools/ab_eager_ckpt.py can interleave both settings in one session.
+# LAZY by the r12 measurement (spans 0.90 -> 0.87 s, exact_substrings
+# 0.48 -> 0.39 s, identical rows): the narrow-from-scan multi-consumer
+# race the r11 round guarded against does not occur — AQE plan
+# finalization runs the tokenize stage once at checkpoint-RDD creation,
+# and the consumers read its output.
+_EAGER_TOK_CKPT = False
+
 
 def _trimmed(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -280,6 +289,21 @@ def tfidf_top_terms(
     the join (A/B: 0.70 -> 0.65 s at sf0.1, identical rows); the corpus
     size N is a 1-row broadcast; the final per-doc top-k is one window
     shuffle on doc id.  No driver-side collect anywhere.
+
+    Known trade (advisor note): the window form gives up two escape
+    hatches the join had when the vocabulary DID fit the broadcast
+    threshold — AQE could broadcast the df side (skipping the term
+    exchange of tf entirely) and could in principle skew-split the join
+    — so one Zipf-head term's posting list lands on a single reducer
+    with no runtime mitigation.  In practice neither hatch was real at
+    corpus scale: an unbounded vocabulary cannot broadcast, and the
+    skew split never fires on an aggregate-fed join (OptimizeSkewedJoin
+    pattern-matches SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) only —
+    verified in the r12 skew work, dedup._ordered_grams).  A corpus
+    with boilerplate-dominated term distributions should pre-filter
+    stopwords upstream; the dedup operators' salted df-attach
+    (SPARK_GRAFT_DF_ATTACH=join) is the template if this site ever
+    needs the same hardening.
     """
     terms = _terms(df, text_col, id_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -570,17 +594,18 @@ def maximal_repeated_spans(
 def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, __t) token-array frame, materialized ONCE.
 
-    localCheckpoint (eager), not persist, for the same reason as
+    localCheckpoint, not persist, for the same reason as
     triangle_count's oriented-edge frame: the span pipelines consume the
     tokenization 2-3 times (anchor explode, span-text slice join,
     position explode), and a lazily returned persist would re-tokenize
-    the whole corpus per consumer until the cache materializes.
+    the whole corpus per consumer until the cache materializes.  Lazy
+    per the _EAGER_TOK_CKPT measurement note.
     """
     from .training import _token_array
 
     return df.select(
         F.col(id_col), _token_array(text_col).alias("__t")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=_EAGER_TOK_CKPT)
 
 
 def _maximal_spans_from_toks(
@@ -593,11 +618,13 @@ def _maximal_spans_from_toks(
     # 0.60 s at sf0.1, identical rows).  Two changes vs the original
     # explode(_ngrams(...)) + aggregate + join:
     # (1) codegen assembly — posexplode the token array once and build each
-    #     anchor span with n element_at's in codegen, instead of the
+    #     anchor span with n try_element_at's in codegen, instead of the
     #     interpreted HOF transform/slice per position (HOFs are
-    #     CodegenFallback); the k + n <= size filter runs before the
-    #     element_at projection, so out-of-range access cannot occur and
-    #     docs shorter than n contribute nothing, exactly like _ngrams'
+    #     CodegenFallback); the k + n <= size filter keeps every surviving
+    #     row in range, and try_element_at (r12, advisor note) makes
+    #     out-of-range access NULL by construction instead of relying on
+    #     Catalyst evaluating the filter before the projection under ANSI
+    #     — docs shorter than n contribute nothing, exactly like _ngrams'
     #     empty-array branch;
     # (2) hot positions via COUNT() OVER (PARTITION BY __span) — the old
     #     aggregate + equi-join shipped the anchor subtree through TWO
@@ -608,7 +635,7 @@ def _maximal_spans_from_toks(
     #     a hot span landed on one reducer under the old shape too.
     span = F.concat_ws(
         " ",
-        *[F.element_at(F.col("__t"), F.col("__k") + i + 1) for i in range(n)],
+        *[F.try_element_at(F.col("__t"), F.col("__k") + i + 1) for i in range(n)],
     )
     anchors = (
         toks.select(F.col(id_col), "__t", F.posexplode("__t").alias("__k", "__x"))

@@ -57,6 +57,14 @@ def _brute_rouge1(cand, ref):
 # the rounded p/r): pinned so the engine-vs-python rounding divergence
 # the reference must replicate stays covered on every run
 @example(cand=["cat", "dog", "dog"], ref=["cat"] * 9)
+# r12 (advisor note): two more EXACT binary midpoints — p = 1/128 =
+# 0.0078125 and p = 5/128 = 0.0390625 are 7-decimal-exact doubles whose
+# 6dp quantization is a true midpoint, so HALF_UP (engine) and
+# round-half-even (python round()) disagree by 1e-6; these pin the
+# repr-shortest-digits equivalence the reference relies on at the
+# 5e-7 boundary itself, not only on a derived f1 midpoint
+@example(cand=["cat"] + ["dog"] * 127, ref=["cat"])
+@example(cand=["cat"] * 5 + ["dog"] * 123, ref=["cat"] * 5)
 def test_rouge1_matches_bruteforce(spark, cand, ref):
     df = spark.createDataFrame(
         [(0, " ".join(cand), " ".join(ref))], "doc_id long, cand string, ref string"
