@@ -1032,8 +1032,23 @@ def embed_covariance(
     padded = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.element_at(v, i + 1)
     )
+    # Balance the dim*(dim+1)/2 pair fanout BEFORE it happens (r12): the
+    # generator multiplies every input row ~dim^2/2-fold, so one
+    # round-robin exchange of the narrow padded vectors (1x input bytes)
+    # buys even parallelism for ~2080x that volume of generated work —
+    # without it, a single-split scan (one parquet row group locally; any
+    # small-input exact run in production) serializes the whole explosion
+    # in one task (measured: 5.5 s single-task stage under the noop sink
+    # at sf0.1 -> spread across the session's shuffle parallelism).  The
+    # partition count follows spark.sql.shuffle.partitions — scale-
+    # parameterized, not a local constant; the DECIMAL accumulation is
+    # partition-order-independent so the result is bit-identical.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "16") or 16
+    )
     sums = (
         df.select(padded.alias("__p"))
+        .repartition(n_parts)
         .select("__p", F.posexplode("__p").alias("__i", "__xi"))
         .select(
             F.col("__i").cast("int").alias("i"),
