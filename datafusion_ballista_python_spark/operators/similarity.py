@@ -1032,23 +1032,18 @@ def embed_covariance(
     padded = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.element_at(v, i + 1)
     )
-    # Balance the dim*(dim+1)/2 pair fanout BEFORE it happens (r12): the
-    # generator multiplies every input row ~dim^2/2-fold, so one
-    # round-robin exchange of the narrow padded vectors (1x input bytes)
-    # buys even parallelism for ~2080x that volume of generated work —
-    # without it, a single-split scan (one parquet row group locally; any
-    # small-input exact run in production) serializes the whole explosion
-    # in one task (measured: 5.5 s single-task stage under the noop sink
-    # at sf0.1 -> spread across the session's shuffle parallelism).  The
-    # partition count follows spark.sql.shuffle.partitions — scale-
-    # parameterized, not a local constant; the DECIMAL accumulation is
-    # partition-order-independent so the result is bit-identical.
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "16") or 16
-    )
+    # A fanout-balance repartition before the pair explosion (spreading
+    # the ~dim^2/2-fold generated work off a single-split scan) was
+    # SHIPPED AND REVERTED in r12: a 5.5 s single-task stage observed in
+    # the 70-query sweep context did not reproduce in isolation (noop
+    # 0.91 s without it vs 1.12 s with; bench count path 0.384 vs
+    # 0.420 s min over a 10-round interleaved A/B) — the sweep number
+    # was JVM-context, not plan shape, so the extra exchange is pure
+    # overhead at bench scale.  At 100 TB the documented scale path is
+    # method='gram' (which never fans out), so the exact path keeps the
+    # single-scan shape.
     sums = (
         df.select(padded.alias("__p"))
-        .repartition(n_parts)
         .select("__p", F.posexplode("__p").alias("__i", "__xi"))
         .select(
             F.col("__i").cast("int").alias("i"),
